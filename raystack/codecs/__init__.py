@@ -1,0 +1,43 @@
+"""Codec registry. ``get_codec(name)`` resolves every codec the engine
+emits, including cascades; ``decode_blob`` is the single entry point the
+decode pipeline uses on stored page bytes."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .base import Codec, EncodedChunk, apply_validity, split_validity  # noqa: F401
+from .dictionary import DictionaryCodec
+from .forbp import ForBitpackCodec
+from .fsst import FsstCodec
+from .plain import PlainCodec
+from .rle import RleCodec
+
+
+def get_codec(name: str) -> Codec:
+    if name == "plain":
+        return PlainCodec()
+    if name == "dict":
+        return DictionaryCodec()
+    if name == "dict->fsst":
+        return DictionaryCodec(values_codec=FsstCodec())
+    if name == "rle":
+        return RleCodec()
+    if name == "rle->dict":
+        return RleCodec(values_codec=DictionaryCodec())
+    if name == "rle->dict->fsst":
+        return RleCodec(values_codec=DictionaryCodec(values_codec=FsstCodec()))
+    if name == "for_bitpack":
+        return ForBitpackCodec()
+    if name == "fsst":
+        return FsstCodec()
+    raise KeyError(f"unknown codec {name!r}")
+
+
+def decode_blob(blob: bytes) -> pa.Array:
+    chunk = EncodedChunk.from_bytes(blob)
+    return get_codec(chunk.codec).decode(chunk)
+
+
+ALL_CODECS = ["plain", "dict", "dict->fsst", "rle", "rle->dict",
+              "for_bitpack", "fsst"]

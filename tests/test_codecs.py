@@ -1,0 +1,133 @@
+"""Per-codec property tests: random typed arrays (incl. nulls, empties,
+non-UTF8 binary) → encode → serialize → deserialize → decode must be
+bit-identical (``pa.Array.equals``). Mirrors the reference's round-trip test
+strategy (reference tests/test_combine_csv.py:434-468) at the codec level —
+what SURVEY.md §5/§7-step-2 calls for."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raystack.codecs import ALL_CODECS, EncodedChunk, decode_blob, get_codec
+from raystack.codecs.base import arrays_bit_identical
+from raystack.codecs import bitpack
+from raystack.codecs import forbp, fsst
+
+rng = np.random.default_rng(42)
+
+
+def _int_arrays():
+    yield "int64-full", pa.array(rng.integers(-2**62, 2**62, 200), type=pa.int64())
+    yield "int64-narrow", pa.array(rng.integers(1000, 1050, 500), type=pa.int64())
+    yield "int32-neg", pa.array(rng.integers(-50, 50, 300).astype(np.int32))
+    yield "int-const", pa.array([7] * 100, type=pa.int64())
+    yield "int-empty", pa.array([], type=pa.int64())
+    yield "int-single", pa.array([42], type=pa.int64())
+    vals = rng.integers(0, 100, 200).astype(float)
+    vals[rng.random(200) < 0.3] = np.nan
+    yield "int-nulls", pa.array([None if np.isnan(v) else int(v) for v in vals],
+                                type=pa.int64())
+    yield "ts-us", pa.array(rng.integers(1_700_000_000_000_000,
+                                         1_700_100_000_000_000, 300),
+                            type=pa.int64()).cast(pa.timestamp("us"))
+    yield "date32", pa.array(rng.integers(19000, 19365, 200).astype(np.int32)).cast(pa.date32())
+    yield "bool", pa.array(rng.random(200) < 0.5)
+    yield "bool-nulls", pa.array([True, None, False, None, True] * 20)
+
+
+def _string_arrays():
+    words = ["the", "quick", "brown", "fox", "jumps", "über", "naïve", ""]
+    yield "str-lowcard", pa.array([words[i % 4] for i in range(300)])
+    yield "str-highcard", pa.array([f"https://host{i % 37}.example.com/path/{i}-{rng.integers(1e6)}"
+                                    for i in range(300)])
+    yield "str-empty-null", pa.array(["", None, "a", "", None, "bb"] * 30)
+    yield "str-long", pa.array(["x" * 5000, "y" * 3, "".join(rng.choice(list("abcdef "), 2000))])
+    yield "str-empty-arr", pa.array([], type=pa.string())
+    yield "large-str", pa.array(["abc", None, "d" * 100], type=pa.large_string())
+    raw = [rng.integers(0, 256, rng.integers(0, 50)).astype(np.uint8).tobytes()
+           for _ in range(200)]
+    yield "bin-random", pa.array(raw, type=pa.binary())
+    yield "bin-nonutf8", pa.array([b"\xff\xfe<html>\x00</html>", b"", None, b"\x80\x81"] * 25,
+                                  type=pa.binary())
+    yield "large-bin", pa.array([b"zz" * 100, None, b""], type=pa.large_binary())
+
+
+def _float_arrays():
+    yield "f64", pa.array(rng.standard_normal(200))
+    yield "f64-nulls", pa.array([1.5, None, float("nan"), 0.0, -0.0] * 20)
+    yield "f32", pa.array(rng.standard_normal(100).astype(np.float32))
+
+
+ALL_ARRAYS = list(_int_arrays()) + list(_string_arrays()) + list(_float_arrays())
+
+
+def _candidates(arr: pa.Array):
+    out = ["plain"]
+    if forbp.is_supported(arr.type):
+        out += ["for_bitpack", "dict", "rle"]
+    elif fsst.is_supported(arr.type):
+        out += ["dict", "dict->fsst", "rle", "rle->dict", "fsst"]
+    else:
+        out += ["dict", "rle"]
+    return out
+
+
+@pytest.mark.parametrize("name,arr", ALL_ARRAYS, ids=[n for n, _ in ALL_ARRAYS])
+def test_roundtrip_all_codecs(name, arr):
+    for codec_name in _candidates(arr):
+        codec = get_codec(codec_name)
+        chunk = codec.encode(arr)
+        blob = chunk.to_bytes()
+        back = decode_blob(blob)
+        assert back.type == arr.type, (codec_name, back.type, arr.type)
+        assert arrays_bit_identical(back, arr), \
+            f"{codec_name} failed bit-identical roundtrip on {name}"
+
+
+def test_bitpack_roundtrip():
+    for width in [0, 1, 3, 7, 8, 9, 13, 31, 33, 64]:
+        n = 257
+        hi = 1 if width == 0 else (1 << width)
+        vals = rng.integers(0, hi, n, dtype=np.uint64)
+        packed = bitpack.pack(vals, width)
+        assert len(packed) <= (n * width + 7) // 8
+        out = bitpack.unpack(packed, n, width)
+        assert np.array_equal(vals, out), width
+
+
+def test_fsst_compresses_urls():
+    urls = pa.array([f"https://www.example{i % 20}.com/articles/2024/01/page-{i}"
+                     for i in range(5000)])
+    chunk = get_codec("fsst").encode(urls)
+    plain = get_codec("plain").encode(urls)
+    assert chunk.nbytes < 0.55 * plain.nbytes
+    assert get_codec("fsst").decode(chunk).equals(urls)
+
+
+def test_for_bitpack_narrow_range_small():
+    arr = pa.array(rng.integers(10_000, 10_127, 10_000), type=pa.int64())
+    chunk = get_codec("for_bitpack").encode(arr)
+    assert chunk.nbytes <= 10_000  # 7 bits/value + validity
+    assert get_codec("for_bitpack").decode(chunk).equals(arr)
+
+
+def test_dict_low_cardinality_small():
+    arr = pa.array([["en", "de", "fr"][i % 3] for i in range(9000)])
+    chunk = get_codec("dict").encode(arr)
+    assert chunk.nbytes < 9000 * 0.5
+    assert get_codec("dict").decode(chunk).equals(arr)
+
+
+def test_rle_runs_small():
+    arr = pa.array(np.repeat(np.arange(20), 500), type=pa.int64())
+    chunk = get_codec("rle").encode(arr)
+    assert chunk.meta["runs"] == 20
+    assert chunk.nbytes < 1000
+    assert get_codec("rle").decode(chunk).equals(arr)
+
+
+def test_chunk_serialization_stable():
+    arr = pa.array([1, 2, None, 4], type=pa.int64())
+    c1 = get_codec("for_bitpack").encode(arr)
+    c2 = EncodedChunk.from_bytes(c1.to_bytes())
+    assert c2.codec == c1.codec and c2.meta == c1.meta and c2.buffers == c1.buffers
