@@ -1,0 +1,94 @@
+"""The align stage: drifting-schema Parquet partitions → one unified Dataset.
+
+Ray-Data shape (SURVEY.md §7 step 1): files are grouped by exact schema
+fingerprint at plan time (drift classes are few, so this is a handful of
+groups); each group gets one ``ray.data.read_parquet`` (with column pruning —
+only columns that survive into the target schema are read) and one
+vectorized ``map_batches`` align fn (rename → null-fill missing → reorder →
+cast → provenance), then the groups are unioned. This reproduces the
+reference's rename/reindex/astype chunk chain
+(d6tstack/combine_csv.py:93-106, 268-305, 473-480) without ever leaving
+Arrow.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .plan import AlignPlan, build_plan
+
+_PATH_COL = "path"  # added by read_parquet(include_paths=True)
+
+
+def make_align_fn(plan: AlignPlan, group_path: str) -> Callable[[pa.Table], pa.Table]:
+    """Vectorized per-batch align for one schema group. ``group_path`` is any
+    file of the group (they share rename map + schema)."""
+    rename = plan.rename_by_file[group_path]
+    target = plan.unified_schema
+    add_prov = plan.add_filename
+
+    def align(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        names = [rename.get(c, c) for c in batch.schema.names]
+        batch = batch.rename_columns(names)
+        cols, fields = [], []
+        for f in target:
+            if f.name in batch.schema.names:
+                col = batch.column(f.name)
+                if col.type != f.type:
+                    col = col.cast(f.type)
+                cols.append(col)
+            else:
+                cols.append(pa.nulls(n, f.type))  # missing → null-filled
+            fields.append(f)
+        if add_prov:
+            paths = batch.column(_PATH_COL)
+            if paths.type != pa.string():
+                paths = paths.cast(pa.string())
+            cols.append(paths)
+            fields.append(pa.field("filepath", pa.string()))
+            cols.append(pc.replace_substring_regex(paths, r"^.*/", ""))
+            fields.append(pa.field("filename", pa.string()))
+        return pa.table(cols, schema=pa.schema(fields))
+
+    return align
+
+
+def read_aligned(paths: list[str],
+                 columns_select: list[str] | None = None,
+                 columns_select_common: bool = False,
+                 columns_rename: dict[str, str] | None = None,
+                 add_filename: bool = True,
+                 apply_after_read: Callable | None = None,
+                 plan: AlignPlan | None = None,
+                 **read_kwargs):
+    """Build the aligned Dataset (lazy). ``apply_after_read`` mirrors the
+    reference's per-chunk UDF hook (combine_csv.py:101-102): a pandas
+    DataFrame → DataFrame function applied after alignment."""
+    import ray.data
+
+    if plan is None:
+        plan = build_plan(paths, columns_select=columns_select,
+                          columns_select_common=columns_select_common,
+                          columns_rename=columns_rename,
+                          add_filename=add_filename)
+
+    parts = []
+    for group in plan.schema_groups.values():
+        rename = plan.rename_by_file[group[0]]
+        avail = set(plan.file_schemas[group[0]].names)
+        # prune at the read: only source columns that land in the target
+        needed = [c for c in avail
+                  if rename.get(c, c) in set(plan.target_columns)]
+        ds = ray.data.read_parquet(group, columns=sorted(needed) or None,
+                                   include_paths=plan.add_filename,
+                                   **read_kwargs)
+        parts.append(ds.map_batches(make_align_fn(plan, group[0]),
+                                    batch_format="pyarrow"))
+    out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    if apply_after_read is not None:
+        out = out.map_batches(apply_after_read, batch_format="pandas")
+    return out
