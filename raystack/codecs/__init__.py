@@ -12,9 +12,12 @@ from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
 from .rle import RleCodec
+from .zwrap import ZlibWrapCodec
 
 
 def get_codec(name: str) -> Codec:
+    if name.endswith("+z"):
+        return ZlibWrapCodec(get_codec(name[:-2]))
     if name == "plain":
         return PlainCodec()
     if name == "dict":

@@ -19,24 +19,36 @@ def bits_needed(max_value: int) -> int:
     return int(max_value).bit_length()
 
 
+def _word(width: int) -> tuple[str, int]:
+    """Smallest big-endian word dtype holding ``width`` bits."""
+    for dt, bits in ((">u1", 8), (">u2", 16), (">u4", 32), (">u8", 64)):
+        if width <= bits:
+            return dt, bits
+    raise ValueError(f"width {width} > 64")
+
+
 def pack(values: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values into ``width``-bit fields. width==0 → empty buffer."""
+    """Pack uint64 values into ``width``-bit fields. width==0 → empty buffer.
+
+    Works through the smallest word size that holds ``width`` bits, so the
+    transient unpacked-bit buffer stays proportional to the packed size (the
+    naive 64-bit path would allocate 64 bytes per value regardless of width)."""
     n = len(values)
     if width == 0 or n == 0:
         return b""
-    if width > 64:
-        raise ValueError(f"width {width} > 64")
+    dt, bits = _word(width)
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    # big-endian byte view → unpackbits gives MSB-first bits per value
-    bits = np.unpackbits(v.astype(">u8").view(np.uint8).reshape(n, 8), axis=1)
-    return np.packbits(bits[:, 64 - width:].ravel()).tobytes()
+    words = v.astype(dt).view(np.uint8).reshape(n, bits // 8)
+    unpacked = np.unpackbits(words, axis=1)  # MSB-first per value
+    return np.packbits(unpacked[:, bits - width:].ravel()).tobytes()
 
 
 def unpack(data: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack`. Returns uint64 array of length n."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
-    full = np.zeros((n, 64), dtype=np.uint8)
-    full[:, 64 - width:] = bits.reshape(n, width)
-    return np.packbits(full, axis=1).view(">u8").ravel().astype(np.uint64)
+    dt, bits = _word(width)
+    unpacked = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
+    full = np.zeros((n, bits), dtype=np.uint8)
+    full[:, bits - width:] = unpacked.reshape(n, width)
+    return np.packbits(full, axis=1).view(dt).ravel().astype(np.uint64)

@@ -37,17 +37,25 @@ _MIN_COUNT = 4
 # symbol table
 # ---------------------------------------------------------------------------
 
-def _apply_merges(tokens: np.ndarray, pair_keys: np.ndarray,
-                  pair_ids: np.ndarray) -> np.ndarray:
-    """One greedy non-overlapping merge pass. ``pair_keys`` sorted uint32
-    (left<<16|right); ``pair_ids`` aligned new token ids."""
-    if len(tokens) < 2 or len(pair_keys) == 0:
+_KEY_BITS = 10  # token ids < 1024 (256 literals + ≤255 symbols)
+
+
+def _pair_lut(pairs: list[tuple[int, int]], first_id: int) -> np.ndarray:
+    """Direct-index lookup table: (left << 10 | right) -> new id, else -1."""
+    lut = np.full(1 << (2 * _KEY_BITS), -1, dtype=np.int32)
+    for i, (l, r) in enumerate(pairs):
+        lut[(l << _KEY_BITS) | r] = first_id + i
+    return lut
+
+
+def _apply_merges(tokens: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """One greedy non-overlapping merge pass via direct LUT gather."""
+    if len(tokens) < 2:
         return tokens
-    keys = (tokens[:-1].astype(np.uint32) << np.uint32(16)) | tokens[1:]
-    pos = np.searchsorted(pair_keys, keys)
-    pos = np.minimum(pos, len(pair_keys) - 1)
-    match = pair_keys[pos] == keys
-    midx = np.flatnonzero(match)
+    t32 = tokens.astype(np.int32)
+    keys = (t32[:-1] << _KEY_BITS) | t32[1:]
+    ids = lut[keys]
+    midx = np.flatnonzero(ids >= 0)
     if len(midx) == 0:
         return tokens
     # greedy left-to-right: within each run of consecutive match positions,
@@ -58,7 +66,7 @@ def _apply_merges(tokens: np.ndarray, pair_keys: np.ndarray,
     within = np.arange(len(midx)) - run_first[run_id]
     sel = midx[within % 2 == 0]
     out = tokens.copy()
-    out[sel] = pair_ids[pos[sel]].astype(tokens.dtype)
+    out[sel] = ids[sel].astype(tokens.dtype)
     keep = np.ones(len(tokens), dtype=bool)
     keep[sel + 1] = False
     return out[keep]
@@ -80,15 +88,12 @@ class SymbolTable:
         self._flat = np.frombuffer(flat, dtype=np.uint8)
         self._lens = lens
         self._offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
-        # per-round sorted pair tables for encoding
-        self._rounds: list[tuple[np.ndarray, np.ndarray]] = []
+        # per-round LUTs for encoding (built once, reused for every chunk)
+        self._rounds: list[np.ndarray] = []
         start = 0
         for size in round_sizes:
-            chunk = merges[start:start + size]
-            keys = np.array([(l << 16) | r for l, r in chunk], dtype=np.uint32)
-            ids = np.arange(start, start + size, dtype=np.uint32) + _LITERALS
-            order = np.argsort(keys)
-            self._rounds.append((keys[order], ids[order]))
+            self._rounds.append(_pair_lut(merges[start:start + size],
+                                          _LITERALS + start))
             start += size
 
     @property
@@ -138,18 +143,15 @@ class SymbolTable:
                 sym_len[_LITERALS + len(merges)] = sym_len[left] + sym_len[right]
                 merges.append((left, right))
             round_sizes.append(len(picked))
-            pk = np.array([(l << 16) | r for l, r in picked], dtype=np.uint32)
-            ids = np.arange(len(merges) - len(picked), len(merges),
-                            dtype=np.uint32) + _LITERALS
-            so = np.argsort(pk)
-            tokens = _apply_merges(tokens, pk[so], ids[so])
+            lut = _pair_lut(picked, _LITERALS + len(merges) - len(picked))
+            tokens = _apply_merges(tokens, lut)
         return cls(merges, round_sizes)
 
     # -- encode / decode one byte buffer ----------------------------------
     def encode_tokens(self, data: np.ndarray) -> np.ndarray:
         tokens = data.astype(np.uint16)
-        for keys, ids in self._rounds:
-            tokens = _apply_merges(tokens, keys, ids)
+        for lut in self._rounds:
+            tokens = _apply_merges(tokens, lut)
         return tokens
 
     def decode_tokens(self, tokens: np.ndarray) -> np.ndarray:

@@ -1,0 +1,364 @@
+"""Ray Data encode / decode pipelines (SURVEY.md §7 steps 4-6).
+
+Two encode shapes, both emitting the same encoded-pages table:
+
+- :func:`encode_batches` — streaming fast path: a stateful actor-pool
+  ``map_batches`` stage encodes each Arrow block independently (per-chunk
+  codec choice, no shuffle). Page identity is content-derived so retries are
+  idempotent.
+- :func:`encode_partitioned` — the co-located path: explicit hash
+  partitioning on the url host prefix with **salt-based skew splitting** for
+  heavy-hitter hosts (driver samples prefix frequencies via a tiny partial-
+  count aggregation, seeded/deterministic), then ONE all-to-all
+  ``groupby(part_key).map_groups`` that builds dictionaries / FSST symbol
+  tables over co-located values and emits pages + a lineage manifest row per
+  partition. Resume filters completed partitions out *before* the shuffle.
+
+Pages schema:
+  (part_key:int64, page_idx:int32, column:string, codec:string, nrows:int64,
+   raw_bytes:int64, enc_bytes:int64, checksum:int64, data:large_binary)
+
+Decode (:func:`decode_pages`) groups pages by (part_key, page_idx) and
+rebuilds original-schema batches — bit-identical (tests/test_pipeline.py).
+
+Scale notes (100 TB design): pick ``num_partitions`` so a partition ≈
+128-512 MB (fits one map_groups task); pages are written partitioned by
+``part_key`` so a resumed run skips finished partitions; the only full
+shuffle is the one groupby; the hot-key salt split bounds the largest
+partition by ~(hot_share/salt) of the input.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import manifest as mf
+from .codecs import EncodedChunk, get_codec
+from .select import choose_codec
+
+PAGES_SCHEMA = pa.schema([
+    ("part_key", pa.int64()),
+    ("page_idx", pa.int32()),
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("nrows", pa.int64()),
+    ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    ("checksum", pa.int64()),
+    ("input_files", pa.string()),  # JSON list; lineage (empty when unknown)
+    ("data", pa.large_binary()),
+])
+
+DEFAULT_PAGE_ROWS = 65536
+
+
+def _crc(data: bytes) -> int:
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def _stable_hash_strings(values: list[str]) -> np.ndarray:
+    """Deterministic (process-independent) 32-bit hash per string. Python
+    loop — only ever used on the small *unique* host list of a batch."""
+    return np.array([_crc(v.encode()) for v in values], dtype=np.int64)
+
+
+def _tail_hash(strs: pa.Array) -> np.ndarray:
+    """Vectorized per-row hash from the last ≤8 bytes of each string (urls
+    end in a unique "-<rowid>" suffix, so tails distribute well). No per-row
+    Python."""
+    from .codecs.fsst import _flatten
+    data, lengths = _flatten(strs)
+    ends = np.cumsum(lengths)
+    take = np.minimum(lengths, 8)
+    out = np.zeros((len(lengths), 8), dtype=np.uint8)
+    # gather last `take` bytes per row
+    idx = np.repeat(ends - take, take) + (
+        np.arange(int(take.sum())) -
+        np.repeat(np.concatenate([[0], np.cumsum(take)[:-1]]), take))
+    rows = np.repeat(np.arange(len(lengths)), take)
+    cols = np.arange(int(take.sum())) - np.repeat(
+        np.concatenate([[0], np.cumsum(take)[:-1]]), take)
+    out[rows, cols] = data[idx]
+    h = out.view(np.uint64).ravel().copy()
+    # splitmix64 finalizer (public domain constant mixer)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def _host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """url -> host prefix, vectorized (one regex kernel)."""
+    ex = pc.extract_regex(urls, r"^[a-z]+://(?P<h>[^/]+)")
+    host = pc.struct_field(ex, "h")
+    return pc.fill_null(host, "")
+
+
+# ---------------------------------------------------------------------------
+# skew detection + partition key
+# ---------------------------------------------------------------------------
+
+def detect_hot_hosts(ds, url_col: str = "url", num_partitions: int = 32,
+                     hot_factor: float = 2.0) -> dict[str, int]:
+    """Driver-side frequency sample: per-batch partial host counts (tiny)
+    → one small groupby → hosts whose share exceeds ``hot_factor / P`` get a
+    salt fan-out proportional to their share. Deterministic: exact counts,
+    no RNG."""
+    import ray.data  # noqa: F401  (ds is already a Dataset)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        hosts = _host_of(batch[url_col])
+        vc = hosts.value_counts()
+        return pa.table({"host": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    parts = ds.map_batches(partial_counts, batch_format="pyarrow")
+    totals = parts.groupby("host").sum("n").to_pandas()  # small: #hosts rows
+    total = int(totals["sum(n)"].sum())
+    if total == 0:
+        return {}
+    hot = {}
+    thresh = hot_factor / num_partitions
+    for host, n in zip(totals["host"], totals["sum(n)"]):
+        share = n / total
+        if share > thresh:
+            # fan a hot host out over enough salts to dilute it to ~1/P each
+            hot[str(host)] = int(np.ceil(share * num_partitions))
+    return hot
+
+
+def add_partition_key(ds, url_col: str = "url", num_partitions: int = 32,
+                      hot_hosts: dict[str, int] | None = None):
+    """Append int64 ``part_key`` = hash(host) % P, with hot hosts salt-split
+    by a per-row secondary hash (explicit skew handling, SURVEY.md §2.10)."""
+    hot_hosts = hot_hosts or {}
+
+    def keyer(batch: pa.Table) -> pa.Table:
+        hosts = _host_of(batch[url_col])
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        denc = pc.dictionary_encode(hosts)
+        uniq = denc.dictionary.to_pylist()
+        codes = np.asarray(denc.indices)
+        base = _stable_hash_strings(uniq) % num_partitions
+        keys = base[codes]
+        # salt-split hot hosts: vectorized secondary hash over the url tail
+        hot_idx = [i for i, h in enumerate(uniq) if h in hot_hosts]
+        if hot_idx:
+            mask = np.isin(codes, hot_idx)
+            if mask.any():
+                urls = batch[url_col].combine_chunks()
+                salts = np.array([hot_hosts[uniq[c]] for c in codes[mask]])
+                sub = _tail_hash(urls)[mask]
+                keys = keys.copy()
+                keys[mask] = (base[codes[mask]] + sub % salts * 7919) % num_partitions
+        return batch.append_column("part_key", pa.array(keys, type=pa.int64()))
+
+    return ds.map_batches(keyer, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# encoding
+# ---------------------------------------------------------------------------
+
+def _encode_table(table: pa.Table, part_key: int, columns: list[str],
+                  page_rows: int, first_page_idx: int = 0,
+                  input_files: str = "") -> pa.Table:
+    """Encode one co-located table into pages rows (pure, deterministic)."""
+    rows = {name: [] for name in PAGES_SCHEMA.names}
+    n = table.num_rows
+    page_idx = first_page_idx
+    for lo in range(0, max(n, 1), page_rows):
+        chunk = table.slice(lo, page_rows)
+        for col in columns:
+            arr = chunk[col].combine_chunks()
+            codec_name = choose_codec(arr, column=col, part_key=part_key)
+            blob = get_codec(codec_name).encode(arr).to_bytes()
+            rows["part_key"].append(part_key)
+            rows["page_idx"].append(page_idx)
+            rows["column"].append(col)
+            rows["codec"].append(codec_name)
+            rows["nrows"].append(len(arr))
+            rows["raw_bytes"].append(arr.nbytes)
+            rows["enc_bytes"].append(len(blob))
+            rows["checksum"].append(_crc(blob))
+            rows["input_files"].append(input_files)
+            rows["data"].append(blob)
+        page_idx += 1
+    return pa.table(rows, schema=PAGES_SCHEMA)
+
+
+class BatchEncoder:
+    """Actor-pool per-batch encoder (stateless across batches apart from the
+    codec registry; actor form amortizes import/registry setup and keeps the
+    stage's worker set stable). Page identity derives from content so task
+    retries produce identical pages."""
+
+    def __init__(self, columns: list[str] | None = None,
+                 page_rows: int = DEFAULT_PAGE_ROWS):
+        self.columns = columns
+        self.page_rows = page_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = self.columns or [c for c in batch.schema.names if c != "part_key"]
+        # content-derived pseudo partition key → idempotent retries
+        key_src = batch[cols[0]].combine_chunks()
+        h = _crc(key_src.slice(0, 1).to_string().encode()) ^ batch.num_rows
+        return _encode_table(batch, int(h) % (1 << 62), cols, self.page_rows)
+
+
+def encode_batches(ds, columns: list[str] | None = None,
+                   page_rows: int = DEFAULT_PAGE_ROWS,
+                   batch_size: int = DEFAULT_PAGE_ROWS,
+                   concurrency: int | tuple | None = None):
+    """Streaming per-batch encode: no shuffle, per-chunk codec choice.
+    Actor pool autoscales up to the cluster's CPUs by default."""
+    if concurrency is None:
+        import ray
+        n = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, n))
+    return ds.map_batches(BatchEncoder, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"columns": columns,
+                                                 "page_rows": page_rows})
+
+
+def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
+                       url_col: str = "url", num_partitions: int = 32,
+                       page_rows: int = DEFAULT_PAGE_ROWS,
+                       resume: bool = False,
+                       hot_hosts: dict[str, int] | None = None) -> dict:
+    """Full co-located encode: partition → (skip done) → groupby shuffle →
+    per-partition encode with lineage → partitioned Parquet + manifest.
+
+    Returns the manifest summary. ``resume=True`` skips partitions already
+    recorded in ``out_dir``'s manifest (filtered before the shuffle)."""
+    schema_names = ds.schema().names
+    columns = columns or [c for c in schema_names if c not in ("part_key",)]
+    has_prov = "filepath" in schema_names
+
+    if hot_hosts is None:
+        hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
+    keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
+
+    pages_dir = os.path.join(out_dir, "pages")
+    if resume:
+        done = mf.completed_part_keys(out_dir)
+        # drop stale page files of partitions that will be re-encoded, so the
+        # append-style write can't leave duplicates behind
+        if os.path.isdir(pages_dir):
+            import shutil
+            for d in os.listdir(pages_dir):
+                if d.startswith("part_key="):
+                    try:
+                        k = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if k not in done:
+                        shutil.rmtree(os.path.join(pages_dir, d),
+                                      ignore_errors=True)
+        if done:
+            done_arr = pa.array(sorted(done), type=pa.int64())
+            keyed = keyed.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["part_key"], value_set=done_arr))),
+                batch_format="pyarrow")
+    else:
+        # fresh run: previous outputs (pages + manifest) are stale
+        import shutil
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        mpath = os.path.join(out_dir, "_manifest")
+        shutil.rmtree(mpath, ignore_errors=True)
+
+    enc_cols = [c for c in columns if c not in ("part_key", "filepath", "filename")]
+    prov_cols = [c for c in ("filepath", "filename") if c in columns]
+
+    import json
+
+    import ray.data
+    from pandas import DataFrame as pd_DataFrame
+
+    def encode_group(group: pa.Table) -> pa.Table:
+        pk = int(group["part_key"][0].as_py())
+        files = ""
+        if has_prov:
+            files = json.dumps(sorted(set(group["filename"].to_pylist())))
+        return _encode_table(group, pk, enc_cols + prov_cols, page_rows,
+                             input_files=files)
+
+    pages = keyed.groupby("part_key").map_groups(encode_group,
+                                                 batch_format="pyarrow")
+    # stream pages straight to partitioned storage (never materialized)
+    pages.write_parquet(os.path.join(out_dir, "pages"),
+                        partition_cols=["part_key"])
+
+    # lineage/manifest: metadata-only read-back of what actually landed
+    # (pruned — no `data` column), reduced to one row per partition; stays
+    # small at any scale (#partitions rows reach the driver)
+    meta_ds = ray.data.read_parquet(
+        os.path.join(out_dir, "pages"),
+        columns=["part_key", "page_idx", "column", "codec", "nrows",
+                 "raw_bytes", "enc_bytes", "checksum", "input_files"])
+
+    def summarize(g):  # pandas group → one manifest row
+        first = g[g["page_idx"] == g["page_idx"].min()]
+        return pd_DataFrame([{
+            "part_key": int(g["part_key"].iloc[0]),
+            "rows": int(g[g["column"] == enc_cols[0]]["nrows"].sum()),
+            "raw_bytes": int(g["raw_bytes"].sum()),
+            "encoded_bytes": int(g["enc_bytes"].sum()),
+            "pages": int(g["page_idx"].nunique()),
+            "codecs": json.dumps(dict(zip(first["column"], first["codec"]))),
+            "checksum": int(np.bitwise_xor.reduce(
+                g["checksum"].to_numpy().astype(np.uint32))),
+            "input_files": g["input_files"].iloc[0],
+        }])
+
+    summary = meta_ds.groupby("part_key").map_groups(
+        summarize, batch_format="pandas").to_pandas()
+    rows = {}
+    for r in summary.itertuples(index=False):
+        rows[str(int(r.part_key))] = {
+            "rows": int(r.rows), "raw_bytes": int(r.raw_bytes),
+            "encoded_bytes": int(r.encoded_bytes), "pages": int(r.pages),
+            "codecs": json.loads(r.codecs), "checksum": int(r.checksum),
+            "input_files": json.loads(r.input_files) if r.input_files else [],
+        }
+    mf.update_manifest(out_dir, rows)
+    return mf.manifest_summary(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode_pages(pages_ds, columns: list[str] | None = None):
+    """Encoded-pages Dataset → original-schema Dataset (bit-identical).
+    Groups by (part_key, page_idx); each group holds one page per column."""
+    def decode_group(group: pa.Table) -> pa.Table:
+        cols, arrays = [], []
+        order = {c.as_py(): i for i, c in enumerate(group["column"])}
+        for name, i in order.items():
+            if columns and name not in columns:
+                continue
+            blob = group["data"][i].as_py()
+            chunk = EncodedChunk.from_bytes(blob)
+            arrays.append(get_codec(chunk.codec).decode(chunk))
+            cols.append(name)
+        return pa.table(arrays, names=cols)
+
+    return pages_ds.groupby(["part_key", "page_idx"]).map_groups(
+        decode_group, batch_format="pyarrow")
+
+
+def read_encoded(out_dir: str):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(out_dir, "pages"))

@@ -24,10 +24,11 @@ _HYSTERESIS = 0.95  # non-plain must beat plain by ≥5%
 
 def candidates_for(t: pa.DataType) -> list[str]:
     if forbp.is_supported(t):
-        return ["plain", "for_bitpack", "dict", "rle"]
+        return ["plain", "for_bitpack", "dict", "rle", "for_bitpack+z"]
     if fsst.is_supported(t):
-        return ["plain", "dict", "dict->fsst", "rle->dict", "fsst"]
-    return ["plain", "dict", "rle"]
+        return ["plain", "dict", "dict->fsst", "rle->dict", "fsst",
+                "fsst+z", "dict+z", "plain+z"]
+    return ["plain", "dict", "rle", "plain+z"]
 
 
 def _stable_seed(*parts: str | int) -> int:

@@ -1,0 +1,114 @@
+"""End-to-end encode/decode pipeline tests (SURVEY.md §7 steps 4-6):
+bit-identical url-keyed roundtrip, manifest + resume, skew salt-split,
+compression vs Parquet/snappy."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from raystack import manifest as mf
+from raystack import pipeline as pl
+from raystack.align import read_aligned
+from raystack.gen import write_webtext
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webdata")
+    paths = write_webtext(str(d), n_rows=3000, n_files=4, drift=False)
+    return paths
+
+
+def _df_by_url(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def test_encode_partitioned_roundtrip(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc")
+    ds = read_aligned(web, add_filename=True)
+    summary = pl.encode_partitioned(ds, out, num_partitions=8)
+    assert summary["rows"] == 3000
+    assert summary["encoded_bytes"] < summary["raw_bytes"]
+
+    decoded = pl.decode_pages(pl.read_encoded(out))
+    got = _df_by_url(decoded.to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
+    assert len(got) == 3000
+    for col in ["url", "warc_ts", "html", "text", "lang"]:
+        assert got[col].tolist() == exp[col].tolist(), col
+
+    # manifest lineage: every partition knows its input files + codecs
+    m = mf.load_manifest(out)
+    assert len(m) >= 2
+    for row in m.values():
+        assert row["input_files"] and row["codecs"]
+        assert set(row["codecs"]) >= {"url", "html", "text", "lang", "warc_ts"}
+
+
+def test_encode_batches_roundtrip(ray_session, web):
+    ds = read_aligned(web, add_filename=False)
+    pages = pl.encode_batches(ds, batch_size=1024)
+    decoded = pl.decode_pages(pages)
+    got = _df_by_url(decoded.to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=False).to_pandas())
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["html"].tolist() == exp["html"].tolist()
+
+
+def test_resume_skips_completed(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc2")
+    ds = read_aligned(web, add_filename=False)
+    pl.encode_partitioned(ds, out, num_partitions=8)
+    m1 = mf.load_manifest(out)
+    # resume over the same input: all partitions done → nothing re-encoded
+    n_files_before = len(glob.glob(os.path.join(out, "pages", "**", "*.parquet"),
+                                   recursive=True))
+    summary = pl.encode_partitioned(ds, out, num_partitions=8, resume=True)
+    m2 = mf.load_manifest(out)
+    assert m1.keys() == m2.keys()
+    assert summary["rows"] == 3000  # manifest still reports full lineage
+
+
+def test_hot_host_salt_split(ray_session):
+    import ray.data
+    # one host dominating 90% of rows must be fanned out over several keys
+    urls = ([f"https://www.hot.com/p/{i}" for i in range(1800)]
+            + [f"https://cold{i % 40}.org/p/{i}" for i in range(200)])
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    hot = pl.detect_hot_hosts(ds, num_partitions=16)
+    assert "www.hot.com" in hot and hot["www.hot.com"] >= 8
+    keyed = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    keyed = pl.add_partition_key(ds, num_partitions=16, hot_hosts=hot)
+    df = keyed.to_pandas()
+    hot_keys = df[df["url"].str.contains("hot.com")]["part_key"].nunique()
+    assert hot_keys >= 4, f"hot host landed on only {hot_keys} partitions"
+
+
+def test_compression_beats_snappy(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc3")
+    ds = read_aligned(web, add_filename=False)
+    pl.encode_partitioned(ds, out, num_partitions=4)
+    encoded_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(out, "pages", "**", "*.parquet"),
+                           recursive=True))
+    snappy = str(tmp_path / "snappy.parquet")
+    full = pa.concat_tables([pq.read_table(p) for p in web])
+    pq.write_table(full, snappy, compression="snappy")
+    baseline = os.path.getsize(snappy)
+    ratio = encoded_bytes / baseline
+    assert ratio <= 1.0, f"encoded {encoded_bytes} > snappy baseline {baseline}"
+
+
+def test_tail_hash_distributes():
+    urls = pa.array([f"https://www.hot.com/page/{i}" for i in range(5000)])
+    h = pl._tail_hash(urls)
+    assert len(np.unique(h % 16)) == 16
+    # deterministic
+    assert np.array_equal(h, pl._tail_hash(urls))
