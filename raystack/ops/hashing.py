@@ -1,0 +1,91 @@
+"""Shared vectorized hashing primitives for the dedup/text ops.
+
+Everything operates on the flattened byte buffer of a string column (one
+contiguous numpy pass, no per-row Python): rolling 8-byte window hashes with
+row-boundary masking, per-row segment reductions via ``np.minimum.reduceat``
+/ ``np.add.reduceat``, and the splitmix64 finalizer for mixing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.fsst import _flatten
+
+_U64 = np.uint64
+_MAXU64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(h: np.ndarray) -> np.ndarray:
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> _U64(30)
+        h *= _U64(0xBF58476D1CE4E5B9)
+        h ^= h >> _U64(27)
+        h *= _U64(0x94D049BB133111EB)
+        h ^= h >> _U64(31)
+    return h
+
+
+def flatten_column(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat uint8 data, row_starts int64, row_lengths int64); nulls → empty."""
+    import pyarrow.compute as pc
+    if arr.null_count:
+        arr = pc.fill_null(arr, "" if pa.types.is_string(arr.type)
+                           or pa.types.is_large_string(arr.type) else b"")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, lengths = _flatten(arr)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    return data, starts, lengths.astype(np.int64)
+
+
+def window_hashes(data: np.ndarray, window: int = 8) -> np.ndarray:
+    """Rolling ``window``-byte hashes over the flat buffer (length =
+    len(data); the last window-1 positions hash a zero-padded tail)."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    padded = np.zeros(n + window - 1, dtype=np.uint8)
+    padded[:n] = data
+    # little-endian uint64 view of each 8-byte window via stride tricks
+    if window == 8:
+        win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n]
+        h = win.copy().view(np.uint64).ravel()
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(padded, window)[:n]
+        h = np.zeros(n, dtype=np.uint64)
+        for i in range(window):
+            with np.errstate(over="ignore"):
+                h = h * _U64(257) + win[:, i]
+    return splitmix64(h)
+
+
+def row_valid_mask(starts: np.ndarray, lengths: np.ndarray, total: int,
+                   window: int) -> np.ndarray:
+    """Vectorized version of the window-validity mask (no per-row loop)."""
+    if total == 0:
+        return np.zeros(0, dtype=bool)
+    counts = np.maximum(lengths - window + 1, 0)
+    delta = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(delta, starts, counts > 0)
+    np.subtract.at(delta, starts + counts, counts > 0)
+    return np.cumsum(delta[:-1]) > 0
+
+
+def min_hash_per_row(h: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
+                     valid: np.ndarray, a: int, b: int,
+                     window: int = 8) -> np.ndarray:
+    """min over each row's valid window hashes of (h*a+b); rows with no
+    valid window (shorter than the shingle) → MAX sentinel."""
+    counts = np.maximum(lengths - window + 1, 0)
+    if len(h) == 0:
+        return np.full(len(starts), _MAXU64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        ph = h * _U64(a) + _U64(b)
+    ph = np.where(valid, ph, _MAXU64)
+    mins = np.minimum.reduceat(ph, np.minimum(starts, len(ph) - 1))
+    mins = mins.astype(np.uint64)
+    mins[counts == 0] = _MAXU64  # reduceat artifacts on empty segments
+    return mins

@@ -1,0 +1,135 @@
+"""Text analysis operators: token counting, char stats, language ID,
+quality scoring, document fingerprinting. All vectorized ``map_batches``
+stages over Arrow batches (pyarrow.compute string kernels + numpy); the
+language-ID stage is an actor pool so its per-language pattern tables are
+compiled once per actor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import flatten_column, splitmix64, window_hashes, row_valid_mask
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# stateless vectorized stages
+# ---------------------------------------------------------------------------
+
+def add_token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
+    """Whitespace-token count per row (regex ``\\S+``, one Arrow kernel)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], r"\S+")
+        return t.append_column(out_col, n.cast(pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_char_stats(ds, text_col: str = "text"):
+    """n_chars_actual (codepoints), n_spaces, n_digits, n_punct per row."""
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        t = t.append_column("n_chars_actual",
+                            pc.utf8_length(col).cast(pa.int64()))
+        t = t.append_column("n_spaces",
+                            pc.count_substring(col, " ").cast(pa.int64()))
+        t = t.append_column("n_digits",
+                            pc.count_substring_regex(col, r"\d").cast(pa.int64()))
+        t = t.append_column("n_punct",
+                            pc.count_substring_regex(col, r"[.,;:!?]").cast(pa.int64()))
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_quality_score(ds, text_col: str = "text"):
+    """Heuristic quality in [0,1]: length band + word-length sanity + low
+    digit/punct density (the usual webtext quality signals; cf. C4/Gopher
+    rules, public)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t[text_col]).cast(pa.float64())
+        n_tok = pc.count_substring_regex(t[text_col], r"\S+").cast(pa.float64())
+        n_digit = pc.count_substring_regex(t[text_col], r"\d").cast(pa.float64())
+        n_punct = pc.count_substring_regex(t[text_col], r"[.,;:!?]").cast(pa.float64())
+        c = np.asarray(n_chars)
+        tk = np.maximum(np.asarray(n_tok), 1.0)
+        mean_wl = c / tk
+        len_score = np.clip(c / 200.0, 0, 1) * (c < 20000)
+        wl_score = ((mean_wl > 2.0) & (mean_wl < 12.0)).astype(float)
+        digit_pen = np.clip(1.0 - np.asarray(n_digit) / np.maximum(c, 1) * 5, 0, 1)
+        punct_pen = np.clip(1.0 - np.asarray(n_punct) / np.maximum(c, 1) * 10, 0, 1)
+        q = 0.4 * len_score + 0.2 * wl_score + 0.2 * digit_pen + 0.2 * punct_pen
+        return t.append_column("quality", pa.array(q, type=pa.float64()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
+    """64-bit content fingerprint: XOR of all rolling 8-byte window hashes of
+    the row (order-insensitive core) mixed with a head-weighted sum and the
+    length — fully vectorized over the flat buffer, no per-row Python."""
+    def fn(t: pa.Table) -> pa.Table:
+        data, starts, lengths = flatten_column(t[text_col])
+        h = window_hashes(data)
+        valid = row_valid_mask(starts, lengths, len(data), 8)
+        hv = np.where(valid, h, _U64(0))
+        if len(hv):
+            x = np.bitwise_xor.reduceat(hv, np.minimum(starts, len(hv) - 1))
+            x = x.astype(np.uint64)
+            x[np.maximum(lengths - 7, 0) == 0] = _U64(0)
+        else:
+            x = np.zeros(len(starts), dtype=np.uint64)
+        fp = splitmix64(x ^ splitmix64(lengths.astype(np.uint64)))
+        return t.append_column(out_col, pa.array(fp.view(np.int64)))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# language ID — stateful actor pool (pattern tables built once per actor)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " les ", " et ", " est "],
+    "es": [" el ", " los ", " las ", " es ", " y "],
+    "pt": [" o ", " os ", " das ", " é ", " e "],
+    "it": [" il ", " gli ", " e ", " è ", " di "],
+    "nl": [" de ", " het ", " en ", " is ", " van "],
+}
+
+
+class LanguageId:
+    """n-gram/stopword-marker heuristic language ID. Actor pool stage: the
+    per-language marker patterns are prepared once in ``__init__``; each
+    batch does |langs| vectorized substring-count kernels."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.langs = list(_LANG_MARKERS)
+        self.patterns = ["|".join(__import__("re").escape(m)
+                                  for m in _LANG_MARKERS[l])
+                         for l in self.langs]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * t.num_rows),
+            pc.cast(pc.fill_null(t[self.text_col], ""), pa.string()),
+            pa.array([" "] * t.num_rows), "")
+        scores = np.stack([
+            np.asarray(pc.count_substring_regex(padded, p).cast(pa.int64()))
+            for p in self.patterns])
+        lens = np.maximum(np.asarray(pc.utf8_length(padded)), 1)
+        best = np.argmax(scores, axis=0)
+        hit = scores.max(axis=0) > 0
+        langs = np.array(self.langs, dtype=object)
+        pred = np.where(hit, langs[best], "und")
+        return t.append_column(self.out_col, pa.array(pred, type=pa.string()))
+
+
+def add_language_id(ds, text_col: str = "text", concurrency=(1, 4)):
+    return ds.map_batches(LanguageId, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"text_col": text_col})

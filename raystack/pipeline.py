@@ -96,10 +96,14 @@ def _tail_hash(strs: pa.Array) -> np.ndarray:
 
 
 def _host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """url -> host prefix, vectorized (one regex kernel)."""
+    """url -> host prefix, vectorized (one regex kernel). Non-URL values
+    (or non-string key columns) fall back to the whole value, so generic
+    tables hash-partition on the column itself."""
+    if not (pa.types.is_string(urls.type) or pa.types.is_large_string(urls.type)):
+        urls = pc.cast(urls, pa.string())
     ex = pc.extract_regex(urls, r"^[a-z]+://(?P<h>[^/]+)")
     host = pc.struct_field(ex, "h")
-    return pc.fill_null(host, "")
+    return pc.fill_null(pc.coalesce(host, urls), "")
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,131 @@
+"""API-parity facade: the reference's ``CombinerCSV`` surface on Parquet
+inputs, Ray-Data-first (SURVEY.md §7 step 8).
+
+Method map (reference d6tstack/combine_csv.py):
+  columns()/is_all_equal()/is_column_present*  ← sniff_columns :108-179
+  combine_preview(nrows)                       ← combine_preview :332-345
+  to_pandas()                                  ← to_pandas :351-360
+  dataset()                                    ← the chunk generator :93-106
+  to_parquet_combine(dir)                      ← to_parquet_combine :486-504
+  to_parquet_align(dir, prefix)                ← to_parquet_align :459-484
+  to_csv_combine/align                         ← :436-457 / :406-434
+  to_encoded(dir, ...)                         ← the graft's codec sink
+  apply_after_read hook                        ← :101-102
+
+Sniffing is metadata-only (Parquet footers); previews are driver-side head
+reads (the reference's nrows_preview=3 analog); all full-size paths are lazy
+Ray Datasets.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .align import make_align_fn, read_aligned
+from .plan import AlignPlan, build_plan
+from .pipeline import encode_partitioned
+
+
+class Stacker:
+    def __init__(self, fname_list: list[str],
+                 columns_select: list[str] | None = None,
+                 columns_select_common: bool = False,
+                 columns_rename: dict[str, str] | None = None,
+                 add_filename: bool = True,
+                 apply_after_read: Callable | None = None,
+                 nrows_preview: int = 3):
+        self.fname_list = sorted(fname_list)
+        self.apply_after_read = apply_after_read
+        self.nrows_preview = nrows_preview
+        self.plan: AlignPlan = build_plan(
+            self.fname_list, columns_select=columns_select,
+            columns_select_common=columns_select_common,
+            columns_rename=columns_rename, add_filename=add_filename)
+
+    # -- inspection (plan-time, no Ray) -----------------------------------
+    def columns(self) -> dict:
+        p = self.plan
+        return {"columns_all": p.columns_all, "columns_common": p.columns_common,
+                "columns_unique": p.columns_unique}
+
+    def is_all_equal(self) -> bool:
+        return self.plan.is_all_equal
+
+    def is_column_present(self) -> pd.DataFrame:
+        df = pd.DataFrame(self.plan.presence).T
+        df.index = [os.path.basename(p) for p in df.index]
+        return df
+
+    def is_column_present_unique(self) -> pd.DataFrame:
+        return self.is_column_present()[self.plan.columns_unique]
+
+    def is_column_present_common(self) -> pd.DataFrame:
+        return self.is_column_present()[self.plan.columns_common]
+
+    # -- previews (driver-side head reads) --------------------------------
+    def _head_table(self, path: str, nrows: int) -> pa.Table:
+        f = pq.ParquetFile(path)
+        batch = next(f.iter_batches(batch_size=nrows))
+        t = pa.Table.from_batches([batch]).slice(0, nrows)
+        if self.plan.add_filename:
+            t = t.append_column("path", pa.array([path] * t.num_rows))
+        return t
+
+    def combine_preview(self, nrows: int | None = None) -> pd.DataFrame:
+        nrows = nrows or self.nrows_preview
+        parts = []
+        for p in self.fname_list:
+            fn = make_align_fn(self.plan, p)
+            parts.append(fn(self._head_table(p, nrows)).to_pandas())
+        df = pd.concat(parts, ignore_index=True)
+        if self.apply_after_read is not None:
+            df = self.apply_after_read(df)
+        return df
+
+    # -- full-size paths (Ray Datasets) -----------------------------------
+    def dataset(self, **read_kwargs):
+        return read_aligned(self.fname_list, plan=self.plan,
+                            apply_after_read=self.apply_after_read,
+                            **read_kwargs)
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self.dataset().to_pandas()
+
+    def to_parquet_combine(self, output_dir: str, **write_kwargs) -> str:
+        self.dataset().write_parquet(output_dir, **write_kwargs)
+        return output_dir
+
+    def to_parquet_align(self, output_dir: str, prefix: str = "raystack-") -> list[str]:
+        """One cleaned output file per input file, all on the unified schema
+        (reference to_parquet_align semantics, combine_csv.py:459-484)."""
+        os.makedirs(output_dir, exist_ok=True)
+        outs = []
+        for p in self.fname_list:
+            sub = read_aligned([p], plan=self.plan,
+                               apply_after_read=self.apply_after_read)
+            out = os.path.join(output_dir,
+                               prefix + os.path.basename(p))
+            # single file per input: small per-file writes via pyarrow
+            pq.write_table(pa.Table.from_pandas(sub.to_pandas(),
+                                                preserve_index=False), out)
+            outs.append(out)
+        return outs
+
+    def to_csv_combine(self, output_dir: str, **write_kwargs) -> str:
+        self.dataset().write_csv(output_dir, **write_kwargs)
+        return output_dir
+
+    def to_encoded(self, output_dir: str, url_col: str | None = None,
+                   num_partitions: int = 32, resume: bool = False) -> dict:
+        """The graft sink: per-column codec encode with partitioning +
+        manifest (replaces reference to_parquet_combine K5)."""
+        if url_col is None:
+            url_col = "url" if "url" in self.plan.target_columns \
+                else self.plan.target_columns[0]
+        return encode_partitioned(self.dataset(), output_dir, url_col=url_col,
+                                  num_partitions=num_partitions, resume=resume)
