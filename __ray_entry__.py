@@ -1,44 +1,352 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raystack engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline on sf0.001: split ``documents`` into
+drifting Parquet partitions, schema-align (union + rename merge), encode
+every column with auto-selected codecs through the partitioned groupby
+pipeline, decode, return the decoded Dataset.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 (+ the training-data ops), DuckDB-checkable where
+SQL-expressible. Ray is initialised by the driver; nothing here calls
+``ray.init``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_SCRATCH = "/tmp/raystack_entry"
+
+
+# ---------------------------------------------------------------------------
+# deterministic drifted split of the documents table (the align fixtures)
+# ---------------------------------------------------------------------------
+
+def _drifted_documents(sf_dir: str) -> list[str]:
+    """documents → 3 Parquet partition files with reference drift classes:
+    part-0 full schema, part-1 drops ``source``, part-2 renames
+    ``text``→``body``. Split rule: doc_id % 3 (mirrors the oracle SQL)."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(_SCRATCH, tag)
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    doc_mod = pa.array(np.asarray(t["doc_id"].combine_chunks()) % 3)
+    import pyarrow.compute as pc
+    paths = []
+    for i in range(3):
+        part = t.filter(pc.equal(doc_mod, i))
+        if i == 1:
+            part = part.drop_columns(["source"])
+        elif i == 2:
+            part = part.rename_columns(
+                ["body" if c == "text" else c for c in part.schema.names])
+        p = os.path.join(out, f"part-{i}.parquet")
+        pq.write_table(part, p)
+        paths.append(p)
+    return paths
+
+
+def _aligned(sf_dir: str, **kw):
+    from raystack.align import read_aligned
+    return read_aligned(_drifted_documents(sf_dir),
+                        columns_rename={"body": "text"}, **kw)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: drift-align → partitioned codec encode → decode (sf0.001)."""
+    from raystack import pipeline as pl
+    sf_dir = "/root/testdata/sf0.001"
+    out = os.path.join(_SCRATCH, "flagship")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _aligned(sf_dir, add_filename=True)
+    pl.encode_partitioned(ds, out, url_col="source", num_partitions=4)
+    decoded = pl.decode_pages(pl.read_encoded(out),
+                              columns=["doc_id", "text", "lang", "source",
+                                       "n_chars"])
+    return decoded
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _roundtrip(sf_dir: str, table: str, columns: list[str], key_col: str):
+    """encode → decode identity over one testdata table (exercises every
+    codec family on real ints/floats/timestamps/strings)."""
+    import ray.data
+    from raystack import pipeline as pl
+    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                               columns=columns)
+    pages = pl.encode_batches(ds, batch_size=8192, concurrency=2)
+    return pl.decode_pages(pages, columns=columns)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def combine_union(sf):
+        return _aligned(sf, add_filename=False)
 
+    def combine_common(sf):
+        return _aligned(sf, columns_select_common=True, add_filename=False)
+
+    def combine_select(sf):
+        return _aligned(sf, columns_select=["doc_id", "lang", "n_chars"],
+                        add_filename=False)
+
+    def combine_provenance(sf):
+        ds = _aligned(sf, add_filename=True)
+        return ds.select_columns(["doc_id", "filename"])
+
+    def combine_preview(sf):
+        from raystack.stacker import Stacker
+        st = Stacker(_drifted_documents(sf), columns_rename={"body": "text"},
+                     add_filename=False)
+        df = st.combine_preview(nrows=2)
+        return df[["doc_id", "lang", "n_chars"]]
+
+    def roundtrip_documents(sf):
+        return _roundtrip(sf, "documents",
+                          ["doc_id", "text", "lang", "source", "n_chars"],
+                          "doc_id")
+
+    def roundtrip_events(sf):
+        return _roundtrip(sf, "events",
+                          ["event_id", "ts", "user_id", "event_type", "value",
+                           "props"], "event_id")
+
+    def roundtrip_lineitem(sf):
+        return _roundtrip(sf, "lineitem",
+                          ["l_orderkey", "l_partkey", "l_quantity",
+                           "l_returnflag", "l_linestatus", "l_shipdate"],
+                          "l_orderkey")
+
+    def roundtrip_partitioned(sf):
+        from raystack import pipeline as pl
+        out = os.path.join(_SCRATCH, "rt_part_" + sf.strip("/").replace("/", "_"))
+        shutil.rmtree(out, ignore_errors=True)
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
+        pl.encode_partitioned(ds, out, url_col="source", num_partitions=4)
+        return pl.decode_pages(pl.read_encoded(out),
+                               columns=["doc_id", "text", "lang", "source",
+                                        "n_chars"])
+
+    def docs_by_lang(sf):
+        from ray.data.aggregate import Count, Sum
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["lang", "n_chars"])
+        return ds.groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"))
+
+    def events_stats(sf):
+        from ray.data.aggregate import Count, Max, Min
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_type", "ts", "user_id"])
+        return ds.groupby("event_type").aggregate(
+            Count(alias_name="n_events"),
+            Min("ts", alias_name="min_ts"),
+            Max("ts", alias_name="max_ts"),
+            Min("user_id", alias_name="min_user"))
+
+    def token_counts(sf):
+        from raystack.ops.text import add_token_count
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return add_token_count(ds).select_columns(["doc_id", "n_tokens"])
+
+    def char_stats(sf):
+        from raystack.ops.text import add_char_stats
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return add_char_stats(ds).select_columns(
+            ["doc_id", "n_chars_actual", "n_spaces", "n_digits"])
+
+    def exact_dedup(sf):
+        from raystack.ops.dedup import exact_dedup as dd
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return dd(ds, "text", "doc_id")
+
+    def ann_topk(sf):
+        from raystack.ops.similarity import ann_topk as ann
+        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        head = pq.read_table(os.path.join(sf, "embeddings.parquet")).slice(0, 4)
+        qm = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        qids = head["vec_id"].to_numpy()
+        return ann(emb, qm, qids, k=10)
+
+    # --- rows-only (non-SQL-expressible) ---------------------------------
+    def langid(sf):
+        from raystack.ops.text import add_language_id
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return add_language_id(ds, concurrency=2).select_columns(
+            ["doc_id", "lang_pred"])
+
+    def quality(sf):
+        from raystack.ops.text import add_quality_score
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return add_quality_score(ds).select_columns(["doc_id", "quality"])
+
+    def fingerprints(sf):
+        from raystack.ops.text import add_fingerprint
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+    def minhash_dedup(sf):
+        from raystack.ops.dedup import minhash_lsh_dedup
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return minhash_lsh_dedup(ds)
+
+    def simhash_sigs(sf):
+        from raystack.ops.dedup import simhash
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return simhash(ds)
+
+    def embedding_dups(sf):
+        from raystack.ops.dedup import embedding_near_dup
+        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        return embedding_near_dup(emb, threshold=0.95)
+
+    def ivf_topk(sf):
+        from raystack.ops.similarity import ivf_topk as ivf
+        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        head = pq.read_table(os.path.join(sf, "embeddings.parquet")).slice(0, 4)
+        qm = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        return ivf(emb, qm, head["vec_id"].to_numpy(), k=10)
+
+    def webtext_encode(sf):
+        """Full webtext flagship on generated data (schema from
+        BASELINE.json input_hint): gen → drift-align → encode → decode."""
+        from raystack import pipeline as pl
+        from raystack.align import read_aligned
+        from raystack.gen import write_webtext
+        scale = 2000 if "0.001" in sf else 6000
+        base = os.path.join(_SCRATCH, f"webtext_{scale}")
+        out = base + "_enc"
+        shutil.rmtree(out, ignore_errors=True)
+        paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
+        ds = read_aligned(paths, columns_rename={"body": "text"},
+                          add_filename=True)
+        pl.encode_partitioned(ds, out, num_partitions=8)
+        return pl.decode_pages(pl.read_encoded(out),
+                               columns=["url", "warc_ts", "html", "text",
+                                        "lang"])
+
+    def multimodal_features(sf):
+        from raystack.ops.multimodal import extract_image_features
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        def to_media(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "media_id": t["doc_id"],
+                "payload": pc.cast(pc.cast(t["text"], pa.binary()),
+                                   pa.large_binary()),
+                "mime": pa.array(["text/plain"] * t.num_rows),
+                "meta": pa.array(["{}"] * t.num_rows)})
+        media = ds.map_batches(to_media, batch_format="pyarrow")
+        return extract_image_features(media, concurrency=2)
+
+    return {
+        "combine_union": combine_union,
+        "combine_common": combine_common,
+        "combine_select": combine_select,
+        "combine_provenance": combine_provenance,
+        "combine_preview": combine_preview,
+        "roundtrip_documents": roundtrip_documents,
+        "roundtrip_events": roundtrip_events,
+        "roundtrip_lineitem": roundtrip_lineitem,
+        "roundtrip_partitioned": roundtrip_partitioned,
+        "docs_by_lang": docs_by_lang,
+        "events_stats": events_stats,
+        "token_counts": token_counts,
+        "char_stats": char_stats,
+        "exact_dedup": exact_dedup,
+        "ann_topk": ann_topk,
+        "langid": langid,
+        "quality": quality,
+        "fingerprints": fingerprints,
+        "minhash_dedup": minhash_dedup,
+        "simhash_sigs": simhash_sigs,
+        "embedding_dups": embedding_dups,
+        "ivf_topk": ivf_topk,
+        "webtext_encode": webtext_encode,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB, same parquet views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    docs_all = "doc_id, text, lang, source, n_chars"
+    return {
+        "combine_union": (
+            "SELECT doc_id, text, lang, "
+            "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE source END AS source, "
+            "n_chars FROM documents"),
+        "combine_common": "SELECT doc_id, text, lang, n_chars FROM documents",
+        "combine_select": "SELECT doc_id, lang, n_chars FROM documents",
+        "combine_provenance": (
+            "SELECT doc_id, 'part-' || (doc_id % 3) || '.parquet' AS filename "
+            "FROM documents"),
+        "combine_preview": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY doc_id % 3 "
+            "         ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 2"),
+        "roundtrip_documents": f"SELECT {docs_all} FROM documents",
+        "roundtrip_events": ("SELECT event_id, ts, user_id, event_type, value,"
+                             " props FROM events"),
+        "roundtrip_lineitem": ("SELECT l_orderkey, l_partkey, l_quantity, "
+                               "l_returnflag, l_linestatus, l_shipdate "
+                               "FROM lineitem"),
+        "roundtrip_partitioned": f"SELECT {docs_all} FROM documents",
+        "docs_by_lang": ("SELECT lang, count(*) AS n_docs, "
+                         "sum(n_chars) AS sum_chars FROM documents "
+                         "GROUP BY lang"),
+        "events_stats": ("SELECT event_type, count(*) AS n_events, "
+                         "min(ts) AS min_ts, max(ts) AS max_ts, "
+                         "min(user_id) AS min_user FROM events "
+                         "GROUP BY event_type"),
+        "token_counts": ("SELECT doc_id, "
+                         "len(regexp_extract_all(text, '\\S+')) AS n_tokens "
+                         "FROM documents"),
+        "char_stats": ("SELECT doc_id, length(text) AS n_chars_actual, "
+                       "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
+                       "len(regexp_extract_all(text, '\\d')) AS n_digits "
+                       "FROM documents"),
+        "exact_dedup": ("SELECT text, min(doc_id) AS doc_id FROM documents "
+                        "GROUP BY text"),
+        "ann_topk": ("""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored)
+            SELECT qid AS query_id, vec_id AS neighbor_id, rank
+            FROM ranked WHERE rank <= 10"""),
+    }

@@ -119,6 +119,29 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
+    # two-pass candidate pruning: an aggregate-only groupby finds buckets
+    # with ≥2 members (cheap — no group materialization), then only those
+    # rows reach the per-group verification. With mostly-unique corpora the
+    # verified set is a tiny fraction of the input, so the expensive
+    # map_groups never sees millions of singleton buckets.
+    counts = exploded.groupby(["band", "bucket"]).count().to_pandas()
+    hot = counts[counts["count()"] >= 2]
+    if len(hot) == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64())}))
+    hot_keys = pa.array((hot["band"].to_numpy().astype(np.int64) << 48)
+                        ^ hot["bucket"].to_numpy().astype(np.int64))
+
+    def keep_hot(t: pa.Table) -> pa.Table:
+        k = pc.bit_wise_xor(
+            pc.shift_left(pc.cast(t["band"], pa.int64()), 48),
+            pc.cast(t["bucket"], pa.int64()))
+        return t.filter(pc.is_in(k, value_set=hot_keys))
+
+    candidates_only = exploded.map_batches(keep_hot, batch_format="pyarrow")
+
     def candidates(g) -> "pd.DataFrame":  # pandas group: one (band, bucket)
         import pandas as pd
         if len(g) < 2:
@@ -133,7 +156,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: ids[dup],
                              "dup_of": np.full(int(dup.sum()), ids[0])})
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+    pairs = candidates_only.groupby(["band", "bucket"]).map_groups(
         candidates, batch_format="pandas")
     # a doc may appear via several bands → keep one verdict (min dup_of)
     return pairs.groupby(id_col).min("dup_of").map_batches(
@@ -188,8 +211,20 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: g.loc[dup, id_col],
                              "dup_of": first[dup]})
 
-    return (sh.map_batches(add_prefix, batch_format="pyarrow")
-              .groupby("prefix").map_groups(verdicts, batch_format="pandas"))
+    prefixed = sh.map_batches(add_prefix, batch_format="pyarrow")
+    # same two-pass pruning as minhash: only prefixes with ≥2 members reach
+    # the per-group verdict stage
+    counts = prefixed.groupby("prefix").count().to_pandas()
+    hot = pa.array(counts[counts["count()"] >= 2]["prefix"].to_numpy())
+    if len(hot) == 0:
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "dup_of": pa.array([], pa.int64())}))
+    return (prefixed.map_batches(
+                lambda t: t.filter(pc.is_in(t["prefix"], value_set=hot)),
+                batch_format="pyarrow")
+            .groupby("prefix").map_groups(verdicts, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------

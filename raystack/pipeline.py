@@ -180,11 +180,15 @@ def _encode_table(table: pa.Table, part_key: int, columns: list[str],
     rows = {name: [] for name in PAGES_SCHEMA.names}
     n = table.num_rows
     page_idx = first_page_idx
+    codec_by_col: dict[str, str] = {}  # choose once per partition per column
     for lo in range(0, max(n, 1), page_rows):
         chunk = table.slice(lo, page_rows)
         for col in columns:
             arr = chunk[col].combine_chunks()
-            codec_name = choose_codec(arr, column=col, part_key=part_key)
+            codec_name = codec_by_col.get(col)
+            if codec_name is None:
+                codec_name = choose_codec(arr, column=col, part_key=part_key)
+                codec_by_col[col] = codec_name
             blob = get_codec(codec_name).encode(arr).to_bytes()
             rows["part_key"].append(part_key)
             rows["page_idx"].append(page_idx)
@@ -239,7 +243,8 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        url_col: str = "url", num_partitions: int = 32,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        resume: bool = False,
-                       hot_hosts: dict[str, int] | None = None) -> dict:
+                       hot_hosts: dict[str, int] | None = None,
+                       source_paths: list[str] | None = None) -> dict:
     """Full co-located encode: partition → (skip done) → groupby shuffle →
     per-partition encode with lineage → partitioned Parquet + manifest.
 
@@ -250,7 +255,13 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     has_prov = "filepath" in schema_names
 
     if hot_hosts is None:
-        hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
+        if source_paths:
+            # pruned pre-pass: read ONLY the key column from the raw files
+            import ray.data
+            url_ds = ray.data.read_parquet(source_paths, columns=[url_col])
+            hot_hosts = detect_hot_hosts(url_ds, url_col, num_partitions)
+        else:
+            hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
     keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
 
     pages_dir = os.path.join(out_dir, "pages")

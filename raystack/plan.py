@@ -120,17 +120,16 @@ def build_plan(paths: list[str],
             del applicable[o]
         rename_by_file[p] = applicable
 
-    # post-rename column universe for target selection
-    renamed_all: list[str] = []
-    for c in columns_all:
-        c2 = columns_rename.get(c, c)
-        if c2 not in renamed_all:
-            renamed_all.append(c2)
-    renamed_common: list[str] = []
-    for c in columns_common:
-        c2 = columns_rename.get(c, c)
-        if c2 not in renamed_common:
-            renamed_common.append(c2)
+    # post-rename column universe for target selection: recompute union /
+    # intersection over the per-file *renamed* column lists, so a rename that
+    # repairs drift (body→text) makes the column common again
+    renamed_file_cols = [
+        [rename_by_file[p].get(c, c) for c in schemas[p].names] for p in paths]
+    renamed_all = _modal_order(renamed_file_cols)
+    rcommon = set(renamed_file_cols[0]) if renamed_file_cols else set()
+    for cols in renamed_file_cols[1:]:
+        rcommon &= set(cols)
+    renamed_common = [c for c in renamed_all if c in rcommon]
 
     if columns_select:
         target = list(dict.fromkeys(columns_select))

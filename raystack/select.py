@@ -1,10 +1,18 @@
 """Sampling-based codec auto-selection (SURVEY.md §2.10 "codec auto-selection",
 §7 step 3).
 
-Per column chunk: draw a deterministic sample (seeded by (column, part_key) so
-Ray task retries pick the same codec — SURVEY.md §7 "retries must not change
-codec choices"), sample-encode every candidate codec, estimate full-chunk
-bytes, pick the argmin with hysteresis toward ``plain``.
+Two-stage cost model per column chunk:
+
+1. **Cheap stats prefilter** on a deterministic sample (distinct ratio, run
+   ratio, average value width) prunes the candidate list — no point
+   sample-encoding an FSST table for a 3-value categorical, or RLE for a
+   column with no runs.
+2. **Sample-encode** the survivors (sample capped by rows *and* bytes so
+   wide html values don't make selection cost rival encoding cost) and pick
+   the smallest estimate, with hysteresis toward ``plain``.
+
+Seeding is (column, part_key)-stable so Ray task retries pick the same codec
+(SURVEY.md §7 "retries must not change codec choices").
 """
 
 from __future__ import annotations
@@ -13,22 +21,15 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .codecs import get_codec
 from .codecs import forbp, fsst
 from .codecs.base import EncodedChunk
 
-_SAMPLE_ROWS = 1024
+_SAMPLE_ROWS = 512
+_SAMPLE_MAX_BYTES = 128 * 1024
 _HYSTERESIS = 0.95  # non-plain must beat plain by ≥5%
-
-
-def candidates_for(t: pa.DataType) -> list[str]:
-    if forbp.is_supported(t):
-        return ["plain", "for_bitpack", "dict", "rle", "for_bitpack+z"]
-    if fsst.is_supported(t):
-        return ["plain", "dict", "dict->fsst", "rle->dict", "fsst",
-                "fsst+z", "dict+z", "plain+z"]
-    return ["plain", "dict", "rle", "plain+z"]
 
 
 def _stable_seed(*parts: str | int) -> int:
@@ -38,19 +39,71 @@ def _stable_seed(*parts: str | int) -> int:
 def _sample(arr: pa.Array, seed: int) -> pa.Array:
     n = len(arr)
     if n <= _SAMPLE_ROWS:
-        return arr
-    rng = np.random.default_rng(seed)
-    idx = np.sort(rng.choice(n, size=_SAMPLE_ROWS, replace=False))
-    return arr.take(pa.array(idx))
+        sample = arr
+    else:
+        rng = np.random.default_rng(seed)
+        idx = np.sort(rng.choice(n, size=_SAMPLE_ROWS, replace=False))
+        sample = arr.take(pa.array(idx))
+    if sample.nbytes > _SAMPLE_MAX_BYTES and len(sample) > 32:
+        keep = max(32, int(len(sample) * _SAMPLE_MAX_BYTES / sample.nbytes))
+        sample = sample.slice(0, keep)
+    return sample
+
+
+def _stats(sample: pa.Array) -> dict:
+    n = max(len(sample), 1)
+    try:
+        distinct = len(pc.dictionary_encode(sample).dictionary)
+    except Exception:
+        distinct = n
+    if len(sample) > 1:
+        neq = pc.not_equal(sample.slice(1), sample.slice(0, len(sample) - 1))
+        runs = 1 + int(np.asarray(pc.fill_null(neq, True)).sum())
+    else:
+        runs = len(sample)
+    return {"distinct_ratio": distinct / n, "run_ratio": runs / n,
+            "avg_bytes": sample.nbytes / n}
+
+
+def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
+    """Candidate codecs for a type, pruned by sample stats when given."""
+    if forbp.is_supported(t):
+        out = ["plain", "for_bitpack", "for_bitpack+z"]
+        if stats is None or stats["distinct_ratio"] < 0.5:
+            out.append("dict")
+        if stats is None or stats["run_ratio"] < 0.5:
+            out.append("rle")
+        return out
+    if fsst.is_supported(t):
+        out = ["plain", "plain+z"]
+        low_card = stats is None or stats["distinct_ratio"] < 0.5
+        wide = stats is None or stats["avg_bytes"] >= 8
+        if low_card:
+            out += ["dict", "dict+z", "dict->fsst"]
+            if stats is not None and stats["run_ratio"] < 0.5:
+                out.append("rle->dict")
+        if wide and not (stats is not None and low_card):
+            out += ["fsst+z"]
+        if stats is None:
+            out += ["fsst", "fsst+z", "rle->dict"]
+        return out
+    out = ["plain", "plain+z"]
+    if stats is None or stats["distinct_ratio"] < 0.5:
+        out.append("dict")
+    if stats is None or stats["run_ratio"] < 0.5:
+        out.append("rle")
+    return out
 
 
 def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> str:
     """Pick the cheapest candidate codec for this chunk by sample-encoding."""
     n = len(arr)
-    cands = candidates_for(arr.type)
     if n == 0:
         return "plain"
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     sample = _sample(arr, _stable_seed(column, part_key))
+    cands = candidates_for(arr.type, _stats(sample))
     sn = len(sample)
     est: dict[str, float] = {}
     for name in cands:
