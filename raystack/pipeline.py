@@ -15,7 +15,7 @@ Two encode shapes, both emitting the same encoded-pages table:
   partition. Resume filters completed partitions out *before* the shuffle.
 
 Pages schema:
-  (part_key:int64, page_idx:int32, column:string, codec:string, nrows:int64,
+  (part_key:int64, page_idx:int64, column:string, codec:string, nrows:int64,
    raw_bytes:int64, enc_bytes:int64, checksum:int64, data:large_binary)
 
 Decode (:func:`decode_pages`) groups pages by (part_key, page_idx) and
@@ -43,7 +43,7 @@ from .select import choose_codec
 
 PAGES_SCHEMA = pa.schema([
     ("part_key", pa.int64()),
-    ("page_idx", pa.int32()),
+    ("page_idx", pa.int64()),
     ("column", pa.string()),
     ("codec", pa.string()),
     ("nrows", pa.int64()),
@@ -175,12 +175,16 @@ def add_partition_key(ds, url_col: str = "url", num_partitions: int = 32,
 
 def _encode_table(table: pa.Table, part_key: int, columns: list[str],
                   page_rows: int, first_page_idx: int = 0,
-                  input_files: str = "") -> pa.Table:
-    """Encode one co-located table into pages rows (pure, deterministic)."""
+                  input_files: str = "",
+                  codec_cache: dict[str, str] | None = None) -> pa.Table:
+    """Encode one co-located table into pages rows (pure, deterministic).
+    ``codec_cache`` (column → codec) lets a caller reuse choices across
+    partitions/segments (streaming path); default = choose per partition."""
     rows = {name: [] for name in PAGES_SCHEMA.names}
     n = table.num_rows
     page_idx = first_page_idx
-    codec_by_col: dict[str, str] = {}  # choose once per partition per column
+    # choose once per partition per column (or reuse the caller's cache)
+    codec_by_col = codec_cache if codec_cache is not None else {}
     for lo in range(0, max(n, 1), page_rows):
         chunk = table.slice(lo, page_rows)
         for col in columns:
@@ -214,13 +218,15 @@ class BatchEncoder:
                  page_rows: int = DEFAULT_PAGE_ROWS):
         self.columns = columns
         self.page_rows = page_rows
+        self.codec_cache: dict[str, str] = {}  # per-actor, amortizes selection
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols = self.columns or [c for c in batch.schema.names if c != "part_key"]
         # content-derived pseudo partition key → idempotent retries
         key_src = batch[cols[0]].combine_chunks()
         h = _crc(key_src.slice(0, 1).to_string().encode()) ^ batch.num_rows
-        return _encode_table(batch, int(h) % (1 << 62), cols, self.page_rows)
+        return _encode_table(batch, int(h) % (1 << 62), cols, self.page_rows,
+                             codec_cache=self.codec_cache)
 
 
 def encode_batches(ds, columns: list[str] | None = None,
@@ -264,42 +270,12 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
             hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
     keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
 
-    pages_dir = os.path.join(out_dir, "pages")
-    if resume:
-        done = mf.completed_part_keys(out_dir)
-        # drop stale page files of partitions that will be re-encoded, so the
-        # append-style write can't leave duplicates behind
-        if os.path.isdir(pages_dir):
-            import shutil
-            for d in os.listdir(pages_dir):
-                if d.startswith("part_key="):
-                    try:
-                        k = int(d.split("=", 1)[1])
-                    except ValueError:
-                        continue
-                    if k not in done:
-                        shutil.rmtree(os.path.join(pages_dir, d),
-                                      ignore_errors=True)
-        if done:
-            done_arr = pa.array(sorted(done), type=pa.int64())
-            keyed = keyed.map_batches(
-                lambda t: t.filter(
-                    pc.invert(pc.is_in(t["part_key"], value_set=done_arr))),
-                batch_format="pyarrow")
-    else:
-        # fresh run: previous outputs (pages + manifest) are stale
-        import shutil
-        shutil.rmtree(pages_dir, ignore_errors=True)
-        mpath = os.path.join(out_dir, "_manifest")
-        shutil.rmtree(mpath, ignore_errors=True)
+    keyed = _apply_resume(keyed, out_dir, resume)
 
     enc_cols = [c for c in columns if c not in ("part_key", "filepath", "filename")]
     prov_cols = [c for c in ("filepath", "filename") if c in columns]
 
     import json
-
-    import ray.data
-    from pandas import DataFrame as pd_DataFrame
 
     def encode_group(group: pa.Table) -> pa.Table:
         pk = int(group["part_key"][0].as_py())
@@ -314,10 +290,48 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     # stream pages straight to partitioned storage (never materialized)
     pages.write_parquet(os.path.join(out_dir, "pages"),
                         partition_cols=["part_key"])
+    return _finalize_manifest(out_dir, enc_cols)
 
-    # lineage/manifest: metadata-only read-back of what actually landed
-    # (pruned — no `data` column), reduced to one row per partition; stays
-    # small at any scale (#partitions rows reach the driver)
+
+def _apply_resume(keyed, out_dir: str, resume: bool):
+    """Fresh run: wipe stale outputs. Resume: drop page files of partitions
+    being re-encoded (so the append-style write can't leave duplicates) and
+    filter completed part_keys out *before* the shuffle."""
+    import shutil
+    pages_dir = os.path.join(out_dir, "pages")
+    if not resume:
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "_manifest"), ignore_errors=True)
+        return keyed
+    done = mf.completed_part_keys(out_dir)
+    if os.path.isdir(pages_dir):
+        for d in os.listdir(pages_dir):
+            if d.startswith("part_key="):
+                try:
+                    k = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if k not in done:
+                    shutil.rmtree(os.path.join(pages_dir, d),
+                                  ignore_errors=True)
+    if done:
+        done_arr = pa.array(sorted(done), type=pa.int64())
+        keyed = keyed.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t["part_key"], value_set=done_arr))),
+            batch_format="pyarrow")
+    return keyed
+
+
+def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
+    """Lineage/manifest from a metadata-only read-back of what actually
+    landed (pruned — no ``data`` column), reduced to one row per partition;
+    only #partitions rows ever reach the driver."""
+    import json
+
+    import ray.data
+    from pandas import DataFrame as pd_DataFrame
+
     meta_ds = ray.data.read_parquet(
         os.path.join(out_dir, "pages"),
         columns=["part_key", "page_idx", "column", "codec", "nrows",
@@ -334,7 +348,7 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
             "codecs": json.dumps(dict(zip(first["column"], first["codec"]))),
             "checksum": int(np.bitwise_xor.reduce(
                 g["checksum"].to_numpy().astype(np.uint32))),
-            "input_files": g["input_files"].iloc[0],
+            "input_files": first["input_files"].iloc[0],
         }])
 
     summary = meta_ds.groupby("part_key").map_groups(
@@ -349,6 +363,100 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         }
     mf.update_manifest(out_dir, rows)
     return mf.manifest_summary(out_dir)
+
+
+class SplitEncoder:
+    """Actor-pool stage for :func:`encode_streaming`: sort each batch by
+    ``part_key`` (cheap in-batch sort), slice per-key segments, encode each
+    segment into pages whose ids derive from content (62-bit hash of first/
+    last key value + row count) — deterministic under task retries, unique
+    per (partition, page) with ~2^-62 collision odds."""
+
+    def __init__(self, enc_cols: list[str], prov_cols: list[str],
+                 page_rows: int, has_prov: bool):
+        self.enc_cols = enc_cols
+        self.prov_cols = prov_cols
+        self.page_rows = page_rows
+        self.has_prov = has_prov
+        # actor state: codec choice per column, decided on the first (and
+        # largest-sample) segment seen, reused for every later segment —
+        # selection cost is paid once per actor, not once per tiny segment
+        self.codec_cache: dict[str, str] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+        keys = np.asarray(batch["part_key"])
+        order = np.argsort(keys, kind="stable")
+        tbl = batch.take(pa.array(order))
+        keys = keys[order]
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                                 [len(keys)]])
+        out = []
+        cols = self.enc_cols + self.prov_cols
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            seg = tbl.slice(int(lo), int(hi - lo))
+            pk = int(keys[lo])
+            first_val = seg[self.enc_cols[0]][0].as_py()
+            last_val = seg[self.enc_cols[0]][-1].as_py()
+            base = ((_crc(repr(first_val).encode()) << 31)
+                    ^ (_crc(repr(last_val).encode()) << 1)
+                    ^ seg.num_rows) & ((1 << 62) - 1)
+            files = ""
+            if self.has_prov:
+                files = json.dumps(sorted(set(seg["filename"].to_pylist())))
+            out.append(_encode_table(seg, pk, cols, self.page_rows,
+                                     first_page_idx=base, input_files=files,
+                                     codec_cache=self.codec_cache))
+        return pa.concat_tables(out) if out else _encode_table(
+            tbl, 0, cols, self.page_rows, codec_cache=self.codec_cache)
+
+
+def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
+                     url_col: str = "url", num_partitions: int = 32,
+                     page_rows: int = DEFAULT_PAGE_ROWS,
+                     resume: bool = False,
+                     hot_hosts: dict[str, int] | None = None,
+                     source_paths: list[str] | None = None,
+                     batch_size: int = 32768,
+                     concurrency: int | tuple | None = None,
+                     sort_pages: bool = True) -> dict:
+    """Throughput-path encode: per-batch per-partition-segment encoding with
+    NO row shuffle — the only exchange is an optional sort of the already-
+    compressed pages (≈4× less volume than the input) so page files land
+    partition-aligned. Trade-off vs :func:`encode_partitioned`: dictionaries
+    / FSST tables are per page-segment, not per partition, so columns that
+    profit from global co-located dictionary builds may compress slightly
+    worse; resume/manifest/decode semantics are identical."""
+    schema_names = ds.schema().names
+    columns = columns or [c for c in schema_names if c not in ("part_key",)]
+    has_prov = "filepath" in schema_names
+
+    if hot_hosts is None:
+        if source_paths:
+            import ray.data
+            url_ds = ray.data.read_parquet(source_paths, columns=[url_col])
+            hot_hosts = detect_hot_hosts(url_ds, url_col, num_partitions)
+        else:
+            hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
+    keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
+    keyed = _apply_resume(keyed, out_dir, resume)
+
+    enc_cols = [c for c in columns if c not in ("part_key", "filepath", "filename")]
+    prov_cols = [c for c in ("filepath", "filename") if c in columns]
+    if concurrency is None:
+        import ray
+        n = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(2, n))
+    pages = keyed.map_batches(
+        SplitEncoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"enc_cols": enc_cols, "prov_cols": prov_cols,
+                               "page_rows": page_rows, "has_prov": has_prov})
+    if sort_pages:
+        pages = pages.sort("part_key")  # compressed-volume exchange only
+    pages.write_parquet(os.path.join(out_dir, "pages"),
+                        partition_cols=["part_key"])
+    return _finalize_manifest(out_dir, enc_cols)
 
 
 # ---------------------------------------------------------------------------
