@@ -76,8 +76,14 @@ def read_aligned(paths: list[str],
                           columns_rename=columns_rename,
                           add_filename=add_filename)
 
+    want = set(paths)
     parts = []
     for group in plan.schema_groups.values():
+        # a caller may pass a pre-built plan with a subset of its files
+        # (per-file aligned sinks) — read only the requested ones
+        group = [p for p in group if p in want]
+        if not group:
+            continue
         rename = plan.rename_by_file[group[0]]
         avail = set(plan.file_schemas[group[0]].names)
         # prune at the read: only source columns that land in the target

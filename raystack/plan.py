@@ -90,10 +90,24 @@ def build_plan(paths: list[str],
                columns_select_common: bool = False,
                columns_rename: dict[str, str] | None = None,
                add_filename: bool = True) -> AlignPlan:
+    """Plan over Parquet inputs (footer sniff). CSV inputs go through
+    :func:`plan_from_schemas` with schemas sniffed by
+    :mod:`raystack.sources.csv`."""
+    paths = sorted(paths)  # lexicographic file order (combine_csv.py:62)
+    return plan_from_schemas(paths, sniff_parquet_schemas(paths),
+                             columns_select=columns_select,
+                             columns_select_common=columns_select_common,
+                             columns_rename=columns_rename,
+                             add_filename=add_filename)
+
+
+def plan_from_schemas(paths: list[str], schemas: dict[str, pa.Schema],
+                      columns_select: list[str] | None = None,
+                      columns_select_common: bool = False,
+                      columns_rename: dict[str, str] | None = None,
+                      add_filename: bool = True) -> AlignPlan:
     if columns_select and len(columns_select) != len(set(columns_select)):
         raise ValueError("duplicate entries in columns_select")  # combine_csv.py:89-91
-    paths = sorted(paths)  # lexicographic file order (combine_csv.py:62)
-    schemas = sniff_parquet_schemas(paths)
     file_cols = [list(schemas[p].names) for p in paths]
 
     columns_all = _modal_order(file_cols)

@@ -42,10 +42,18 @@ class Stacker:
         self.fname_list = sorted(fname_list)
         self.apply_after_read = apply_after_read
         self.nrows_preview = nrows_preview
-        self.plan: AlignPlan = build_plan(
-            self.fname_list, columns_select=columns_select,
-            columns_select_common=columns_select_common,
-            columns_rename=columns_rename, add_filename=add_filename)
+        self._is_csv = all(p.lower().endswith((".csv", ".txt", ".tsv"))
+                           for p in self.fname_list)
+        self._dialect = None
+        opts = dict(columns_select=columns_select,
+                    columns_select_common=columns_select_common,
+                    columns_rename=columns_rename, add_filename=add_filename)
+        if self._is_csv:
+            from .sources.csv import build_csv_plan
+            self.plan, self._dialect = build_csv_plan(self.fname_list, **opts)
+        else:
+            self.plan: AlignPlan = build_plan(self.fname_list, **opts)
+        self._opts = opts
 
     # -- inspection (plan-time, no Ray) -----------------------------------
     def columns(self) -> dict:
@@ -69,9 +77,21 @@ class Stacker:
 
     # -- previews (driver-side head reads) --------------------------------
     def _head_table(self, path: str, nrows: int) -> pa.Table:
-        f = pq.ParquetFile(path)
-        batch = next(f.iter_batches(batch_size=nrows))
-        t = pa.Table.from_batches([batch]).slice(0, nrows)
+        if self._is_csv:
+            import pyarrow.csv as pacsv
+
+            from .sources.csv import _csv_options
+            names = (list(self.plan.file_schemas[path].names)
+                     if not self._dialect.has_header else None)
+            ro, po, co = _csv_options(self._dialect, column_names=names)
+            with pacsv.open_csv(path, read_options=ro, parse_options=po,
+                                convert_options=co) as reader:
+                t = pa.Table.from_batches([reader.read_next_batch()])
+            t = t.slice(0, nrows)
+        else:
+            f = pq.ParquetFile(path)
+            batch = next(f.iter_batches(batch_size=nrows))
+            t = pa.Table.from_batches([batch]).slice(0, nrows)
         if self.plan.add_filename:
             t = t.append_column("path", pa.array([path] * t.num_rows))
         return t
@@ -89,12 +109,27 @@ class Stacker:
 
     # -- full-size paths (Ray Datasets) -----------------------------------
     def dataset(self, **read_kwargs):
+        if self._is_csv:
+            from .sources.csv import read_aligned_csv
+            return read_aligned_csv(self.fname_list,
+                                    apply_after_read=self.apply_after_read,
+                                    **self._opts, **read_kwargs)
         return read_aligned(self.fname_list, plan=self.plan,
                             apply_after_read=self.apply_after_read,
                             **read_kwargs)
 
     def to_pandas(self) -> pd.DataFrame:
         return self.dataset().to_pandas()
+
+    def _per_file_dataset(self, path: str):
+        """One input file read through the GLOBAL plan (unified schema)."""
+        if self._is_csv:
+            from .sources.csv import read_aligned_csv
+            return read_aligned_csv([path], plan=self.plan,
+                                    dialect=self._dialect,
+                                    apply_after_read=self.apply_after_read)
+        return read_aligned([path], plan=self.plan,
+                            apply_after_read=self.apply_after_read)
 
     def to_parquet_combine(self, output_dir: str, **write_kwargs) -> str:
         self.dataset().write_parquet(output_dir, **write_kwargs)
@@ -106,8 +141,7 @@ class Stacker:
         os.makedirs(output_dir, exist_ok=True)
         outs = []
         for p in self.fname_list:
-            sub = read_aligned([p], plan=self.plan,
-                               apply_after_read=self.apply_after_read)
+            sub = self._per_file_dataset(p)
             out = os.path.join(output_dir,
                                prefix + os.path.basename(p))
             # single file per input: small per-file writes via pyarrow
@@ -119,6 +153,46 @@ class Stacker:
     def to_csv_combine(self, output_dir: str, **write_kwargs) -> str:
         self.dataset().write_csv(output_dir, **write_kwargs)
         return output_dir
+
+    def to_csv_align(self, output_dir: str, prefix: str = "raystack-") -> list[str]:
+        """One cleaned CSV per input file on the unified schema
+        (reference to_csv_align, combine_csv.py:406-434)."""
+        os.makedirs(output_dir, exist_ok=True)
+        outs = []
+        for p in self.fname_list:
+            sub = self._per_file_dataset(p)
+            base = os.path.splitext(os.path.basename(p))[0]
+            out = os.path.join(output_dir, prefix + base + ".csv")
+            sub.to_pandas().to_csv(out, index=False)
+            outs.append(out)
+        return outs
+
+    def to_csv_head(self, output_dir: str) -> list[str]:
+        """Per-file sniff-preview dump (reference to_csv_head,
+        combine_csv.py:383-404) — debugging aid."""
+        os.makedirs(output_dir, exist_ok=True)
+        outs = []
+        for p in self.fname_list:
+            t = self._head_table(p, self.nrows_preview)
+            base = os.path.splitext(os.path.basename(p))[0]
+            out = os.path.join(output_dir, base + "-head.csv")
+            t.to_pandas().to_csv(out, index=False)
+            outs.append(out)
+        return outs
+
+    def to_sql_combine(self, uri: str | None = None,
+                       table_name: str = "stacked",
+                       schema_name: str | None = None,
+                       return_create_sql: bool = False,
+                       dialect: str = "postgres"):
+        """SQL sink parity: ``return_create_sql=True`` yields the DDL for
+        the unified schema without touching a DB (reference
+        combine_csv.py:539-545); the executing path is gated on sqlalchemy."""
+        from .sources.sql import schema_to_ddl, write_sql_combine
+        if return_create_sql:
+            return schema_to_ddl(self.plan.output_schema, table_name,
+                                 schema_name, dialect)
+        return write_sql_combine(self.dataset(), uri, table_name)
 
     def to_encoded(self, output_dir: str, url_col: str | None = None,
                    num_partitions: int = 32, resume: bool = False) -> dict:

@@ -1,0 +1,103 @@
+"""Stacker facade tests: reference API parity on Parquet and CSV inputs
+(SURVEY.md §7 step 8), plus SQL DDL / Excel pure-logic parity."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from raystack.gen import make_sales_files
+from raystack.stacker import Stacker
+
+
+@pytest.fixture(scope="module")
+def sales_extra(tmp_path_factory):
+    return make_sales_files(str(tmp_path_factory.mktemp("st")), drift="extra")
+
+
+def test_columns_and_presence(sales_extra):
+    st = Stacker(sales_extra)
+    cols = st.columns()
+    assert cols["columns_all"] == ["date", "sales", "cost", "profit", "profit2"]
+    assert cols["columns_unique"] == ["profit2"]
+    assert not st.is_all_equal()
+    pres = st.is_column_present()
+    assert pres.loc["mar.parquet", "profit2"]
+    assert not pres.loc["jan.parquet", "profit2"]
+    assert list(st.is_column_present_unique().columns) == ["profit2"]
+
+
+def test_combine_preview_matches_oracle(sales_extra):
+    st = Stacker(sales_extra, add_filename=False)
+    prev = st.combine_preview(nrows=2)
+    assert len(prev) == 6
+    assert list(prev.columns) == ["date", "sales", "cost", "profit", "profit2"]
+    assert prev["profit2"].notna().sum() == 2
+
+
+def test_to_pandas_and_parquet_sinks(ray_session, sales_extra, tmp_path):
+    st = Stacker(sales_extra, add_filename=False)
+    df = st.to_pandas()
+    assert len(df) == 30
+    out = st.to_parquet_combine(str(tmp_path / "combined"))
+    back = pq.read_table(out).to_pandas()
+    assert len(back) == 30
+    outs = st.to_parquet_align(str(tmp_path / "aligned"))
+    assert len(outs) == 3
+    for p in outs:
+        t = pq.read_table(p)
+        assert t.schema.names == ["date", "sales", "cost", "profit", "profit2"]
+        assert t.num_rows == 10  # exactly that input file's rows
+
+
+def test_csv_stacker_end_to_end(ray_session, tmp_path):
+    for m, month in enumerate(["jan", "feb"], start=1):
+        with open(tmp_path / f"{month}.csv", "w") as f:
+            f.write("date,sales,cost\n")
+            for d in range(4):
+                f.write(f"2011-{m:02d}-{d+1:02d},100,-80\n")
+    with open(tmp_path / "mar.csv", "w") as f:
+        f.write("date,sales,cost,profit\n2011-03-01,100,-80,20\n")
+    st = Stacker([str(tmp_path / f) for f in ["jan.csv", "feb.csv", "mar.csv"]])
+    assert st.columns()["columns_unique"] == ["profit"]
+    df = st.to_pandas()
+    assert len(df) == 9 and df["profit"].notna().sum() == 1
+    heads = st.to_csv_head(str(tmp_path / "heads"))
+    assert len(heads) == 3 and all(os.path.exists(h) for h in heads)
+    aligned = st.to_csv_align(str(tmp_path / "al"))
+    a = pd.read_csv(aligned[0])
+    assert list(a.columns) == ["date", "sales", "cost", "profit",
+                               "filepath", "filename"]
+
+
+def test_sql_ddl(sales_extra):
+    st = Stacker(sales_extra, add_filename=False)
+    ddl = st.to_sql_combine(table_name="sales", return_create_sql=True)
+    assert ddl.startswith("CREATE TABLE sales")
+    assert '"date" TIMESTAMP' in ddl and '"sales" BIGINT' in ddl
+
+
+def test_excel_pure_logic():
+    from raystack.sources.excel import (collapse_multi_header, convert_excel,
+                                        output_filename, parse_header_range)
+    r = parse_header_range("B2:E2")
+    assert r == {"header": 1, "skiprows": 1, "usecols": [1, 4]}
+    assert parse_header_range("A1:C1")["usecols"] == [0, 2]
+    with pytest.raises(ValueError):
+        parse_header_range("A1:B2")
+    cols = collapse_multi_header([("Year", "2011"), ("Unnamed: 0", "sales"),
+                                  "flat"])
+    assert cols == ["Year 2011", "sales", "flat"]
+    assert output_filename("/x/y/book.xlsx", "Sheet1") == "book-Sheet1.csv"
+    with pytest.raises(NotImplementedError):
+        convert_excel("nope.xlsx")
+
+
+def test_encoded_sink(ray_session, sales_extra, tmp_path):
+    st = Stacker(sales_extra, add_filename=False)
+    summary = st.to_encoded(str(tmp_path / "enc"), num_partitions=2)
+    assert summary["rows"] == 30
+    from raystack import pipeline as pl
+    dec = pl.decode_pages(pl.read_encoded(str(tmp_path / "enc"))).to_pandas()
+    assert len(dec) == 30
