@@ -187,6 +187,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = head["vec_id"].to_numpy()
         return ann(emb, qm, qids, k=10)
 
+    def events_windowed(sf):
+        from raystack.ops.window import tumbling_window_agg
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_type", "ts"])
+        return tumbling_window_agg(ds, "ts", "event_type", window_sec=600)
+
+    def orders_by_segment(sf):
+        from raystack.ops.join import broadcast_join
+        orders = ray.data.read_parquet(os.path.join(sf, "orders.parquet"),
+                                       columns=["o_orderkey", "o_custkey"])
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment"]
+                             ).to_pandas().rename(columns={"c_custkey":
+                                                           "o_custkey"})
+        return broadcast_join(orders, cust, on="o_custkey", how="inner")
+
+    def top_orders(sf):
+        ds = ray.data.read_parquet(os.path.join(sf, "orders.parquet"),
+                                   columns=["o_orderkey", "o_totalprice"])
+        return (ds.sort(["o_totalprice", "o_orderkey"],
+                        descending=[True, False]).limit(10))
+
+    def distinct_langs(sf):
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["lang"])
+        return ds.groupby("lang").count().select_columns(["lang"])
+
+    def events_semi_join(sf):
+        from raystack.ops.join import semi_join
+        keys = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey"])["c_custkey"].to_pylist()
+        keys = [k for k in keys if k < 20]
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "user_id"])
+        return semi_join(ds, keys, on="user_id")
+
+    def csv_ingest(sf):
+        """Drifting CSV partitions (written from documents) → sniff dialect
+        → aligned union (the reference's flagship CombinerCSV path)."""
+        from raystack.sources.csv import read_aligned_csv
+        tag = sf.strip("/").replace("/", "_")
+        out = os.path.join(_SCRATCH, "csv_" + tag)
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "text", "lang", "n_chars"])
+        doc_mod = np.asarray(t["doc_id"].combine_chunks()) % 3
+        import pyarrow.compute as pc
+        paths = []
+        for i in range(3):
+            part = t.filter(pc.equal(pa.array(doc_mod), i))
+            if i == 2:  # drift: renamed column
+                part = part.rename_columns(
+                    ["doc_id", "body", "lang", "n_chars"])
+            p = os.path.join(out, f"part-{i}.csv")
+            part.to_pandas().to_csv(p, index=False)
+            paths.append(p)
+        return read_aligned_csv(paths, columns_rename={"body": "text"},
+                                add_filename=False)
+
     # --- rows-only (non-SQL-expressible) ---------------------------------
     def langid(sf):
         from raystack.ops.text import add_language_id
@@ -280,6 +339,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_stats": char_stats,
         "exact_dedup": exact_dedup,
         "ann_topk": ann_topk,
+        "events_windowed": events_windowed,
+        "orders_by_segment": orders_by_segment,
+        "top_orders": top_orders,
+        "distinct_langs": distinct_langs,
+        "events_semi_join": events_semi_join,
+        "csv_ingest": csv_ingest,
         "langid": langid,
         "quality": quality,
         "fingerprints": fingerprints,
@@ -335,6 +400,21 @@ def oracle_sql() -> dict[str, str]:
                        "FROM documents"),
         "exact_dedup": ("SELECT text, min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
+        "events_windowed": (
+            "SELECT event_type, "
+            "make_timestamp((epoch_us(ts) // 600000000) * 600000000) "
+            "AS window_start, count(*) AS n_events, min(ts) AS min_ts, "
+            "max(ts) AS max_ts FROM events GROUP BY 1, 2"),
+        "orders_by_segment": (
+            "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"),
+        "top_orders": ("SELECT o_orderkey, o_totalprice FROM orders "
+                       "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "events_semi_join": (
+            "SELECT event_id, user_id FROM events WHERE user_id IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
+        "csv_ingest": "SELECT doc_id, text, lang, n_chars FROM documents",
         "ann_topk": ("""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 4),

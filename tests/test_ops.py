@@ -169,3 +169,31 @@ def test_real_decode_raises(ray_session):
     ds = ray.data.from_arrow(t)
     with pytest.raises(Exception):  # NotImplementedError inside actor
         extract_image_features(ds, concurrency=1, use_real_decode=True).to_pandas()
+
+
+def test_tumbling_window(ray_session):
+    import ray.data
+    from raystack.ops.window import tumbling_window_agg
+    t = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([0, 30_000_000, 90_000_000, 10_000_000],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    got = tumbling_window_agg(ray.data.from_arrow(t), "ts", "k",
+                              window_sec=60).to_pandas()
+    got = got.sort_values(["k", "window_start"]).reset_index(drop=True)
+    assert got["n_events"].tolist() == [2, 1, 1]
+    assert got.loc[0, "min_ts"] == pd.Timestamp(0)
+
+
+def test_broadcast_and_semi_join(ray_session):
+    import ray.data
+    from raystack.ops.join import anti_join, broadcast_join, semi_join
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": list("wxyz")}))
+    small = pd.DataFrame({"k": [2, 4], "name": ["two", "four"]})
+    j = broadcast_join(big, small, on="k").to_pandas().sort_values("k")
+    assert j["name"].tolist() == ["two", "four"]
+    s = semi_join(big, [1, 3], on="k").to_pandas()
+    assert sorted(s["k"]) == [1, 3]
+    a = anti_join(big, [1, 3], on="k").to_pandas()
+    assert sorted(a["k"]) == [2, 4]
