@@ -7,6 +7,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .base import Codec, EncodedChunk, apply_validity, split_validity  # noqa: F401
+from .delta import ByteSplitCodec, DeltaBitpackCodec
 from .dictionary import DictionaryCodec
 from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
@@ -32,6 +33,10 @@ def get_codec(name: str) -> Codec:
         return RleCodec(values_codec=DictionaryCodec(values_codec=FsstCodec()))
     if name == "for_bitpack":
         return ForBitpackCodec()
+    if name == "delta_bitpack":
+        return DeltaBitpackCodec()
+    if name == "bytesplit":
+        return ByteSplitCodec()
     if name == "fsst":
         return FsstCodec()
     raise KeyError(f"unknown codec {name!r}")
@@ -43,4 +48,4 @@ def decode_blob(blob: bytes) -> pa.Array:
 
 
 ALL_CODECS = ["plain", "dict", "dict->fsst", "rle", "rle->dict",
-              "for_bitpack", "fsst"]
+              "for_bitpack", "delta_bitpack", "bytesplit", "fsst"]

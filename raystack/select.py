@@ -68,7 +68,8 @@ def _stats(sample: pa.Array) -> dict:
 def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
     """Candidate codecs for a type, pruned by sample stats when given."""
     if forbp.is_supported(t):
-        out = ["plain", "for_bitpack", "for_bitpack+z"]
+        out = ["plain", "for_bitpack", "for_bitpack+z", "delta_bitpack",
+               "delta_bitpack+z"]
         if stats is None or stats["distinct_ratio"] < 0.5:
             out.append("dict")
         if stats is None or stats["run_ratio"] < 0.5:
@@ -88,6 +89,8 @@ def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
             out += ["fsst", "fsst+z", "rle->dict"]
         return out
     out = ["plain", "plain+z"]
+    if pa.types.is_floating(t):
+        out.append("bytesplit")
     if stats is None or stats["distinct_ratio"] < 0.5:
         out.append("dict")
     if stats is None or stats["run_ratio"] < 0.5:

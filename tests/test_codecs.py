@@ -62,13 +62,15 @@ ALL_ARRAYS = list(_int_arrays()) + list(_string_arrays()) + list(_float_arrays()
 
 
 def _candidates(arr: pa.Array):
-    out = ["plain"]
+    out = ["plain", "plain+z"]
     if forbp.is_supported(arr.type):
-        out += ["for_bitpack", "dict", "rle"]
+        out += ["for_bitpack", "delta_bitpack", "delta_bitpack+z", "dict", "rle"]
     elif fsst.is_supported(arr.type):
-        out += ["dict", "dict->fsst", "rle", "rle->dict", "fsst"]
+        out += ["dict", "dict->fsst", "rle", "rle->dict", "fsst", "fsst+z"]
     else:
         out += ["dict", "rle"]
+        if pa.types.is_floating(arr.type):
+            out += ["bytesplit"]
     return out
 
 
