@@ -465,13 +465,19 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
 
 def decode_pages(pages_ds, columns: list[str] | None = None):
     """Encoded-pages Dataset → original-schema Dataset (bit-identical).
-    Groups by (part_key, page_idx); each group holds one page per column."""
+    Groups by (part_key, page_idx); each group holds one page per column.
+    Column pruning happens BEFORE the grouping shuffle so unwanted pages
+    never move."""
+    if columns:
+        want = pa.array(sorted(columns))
+        pages_ds = pages_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["column"], value_set=want)),
+            batch_format="pyarrow")
+
     def decode_group(group: pa.Table) -> pa.Table:
         cols, arrays = [], []
         order = {c.as_py(): i for i, c in enumerate(group["column"])}
         for name, i in order.items():
-            if columns and name not in columns:
-                continue
             blob = group["data"][i].as_py()
             chunk = EncodedChunk.from_bytes(blob)
             arrays.append(get_codec(chunk.codec).decode(chunk))
@@ -480,6 +486,42 @@ def decode_pages(pages_ds, columns: list[str] | None = None):
 
     return pages_ds.groupby(["part_key", "page_idx"]).map_groups(
         decode_group, batch_format="pyarrow")
+
+
+def verify_encoded(out_dir: str) -> dict:
+    """Checksum audit: recompute each stored page's CRC and XOR-combine per
+    partition against the manifest (metadata + data read, no decode).
+    Returns {'ok': [...part_keys], 'bad': [...part_keys], 'missing': [...]}."""
+    import ray.data
+
+    pages = ray.data.read_parquet(os.path.join(out_dir, "pages"),
+                                  columns=["part_key", "checksum", "data"])
+
+    def chk(t: pa.Table) -> pa.Table:
+        actual = np.array([_crc(d.as_py()) for d in t["data"]],
+                          dtype=np.int64)  # C-speed crc per page blob
+        return pa.table({"part_key": t["part_key"],
+                         "stored": t["checksum"],
+                         "actual": pa.array(actual)})
+
+    df = pages.map_batches(chk, batch_format="pyarrow").to_pandas()
+    agg = df.groupby("part_key").agg(
+        stored=("stored", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy().astype(np.uint32)))),
+        actual=("actual", lambda s: int(np.bitwise_xor.reduce(
+            s.to_numpy().astype(np.uint32)))),
+        page_match=("stored", "size"))
+    pagewise_ok = (df["stored"] == df["actual"]).groupby(df["part_key"]).all()
+    manifest = mf.load_manifest(out_dir)
+    ok, bad = [], []
+    for pk, row in agg.iterrows():
+        m = manifest.get(str(int(pk)))
+        if pagewise_ok.loc[pk] and m is not None and m["checksum"] == row["actual"]:
+            ok.append(int(pk))
+        else:
+            bad.append(int(pk))
+    missing = [int(k) for k in manifest if int(k) not in set(ok) | set(bad)]
+    return {"ok": sorted(ok), "bad": sorted(bad), "missing": sorted(missing)}
 
 
 def read_encoded(out_dir: str):

@@ -112,3 +112,32 @@ def test_tail_hash_distributes():
     assert len(np.unique(h % 16)) == 16
     # deterministic
     assert np.array_equal(h, pl._tail_hash(urls))
+
+
+def test_verify_encoded_detects_corruption(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc_v")
+    ds = read_aligned(web, add_filename=False)
+    pl.encode_partitioned(ds, out, num_partitions=4)
+    res = pl.verify_encoded(out)
+    assert res["bad"] == [] and res["missing"] == [] and len(res["ok"]) >= 2
+
+    # corrupt one page blob on disk → that partition must be flagged
+    victim = glob.glob(os.path.join(out, "pages", "**", "*.parquet"),
+                       recursive=True)[0]
+    t = pq.read_table(victim)
+    data = t["data"].to_pylist()
+    data[0] = data[0][:-1] + bytes([data[0][-1] ^ 0xFF])
+    t = t.set_column(t.schema.get_field_index("data"), "data",
+                     pa.array(data, type=pa.large_binary()))
+    pq.write_table(t, victim)
+    res2 = pl.verify_encoded(out)
+    assert len(res2["bad"]) == 1
+
+
+def test_decode_column_pruning(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc_p")
+    pl.encode_partitioned(read_aligned(web, add_filename=False), out,
+                          num_partitions=4)
+    dec = pl.decode_pages(pl.read_encoded(out), columns=["url", "lang"])
+    df = dec.to_pandas()
+    assert sorted(df.columns) == ["lang", "url"] and len(df) == 3000
