@@ -223,6 +223,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_id", "user_id"])
         return semi_join(ds, keys, on="user_id")
 
+    def sessionized_events(sf):
+        from raystack.ops.window import sessionize
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "user_id", "ts"])
+        return sessionize(ds, "ts", "user_id", "event_id", gap_sec=1800)
+
+    def roundtrip_embeddings(sf):
+        return _roundtrip(sf, "embeddings",
+                          ["vec_id", "embedding", "label"], "vec_id")
+
     def csv_ingest(sf):
         """Drifting CSV partitions (written from documents) → sniff dialect
         → aligned union (the reference's flagship CombinerCSV path)."""
@@ -344,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "distinct_langs": distinct_langs,
         "events_semi_join": events_semi_join,
+        "sessionized_events": sessionized_events,
+        "roundtrip_embeddings": roundtrip_embeddings,
         "csv_ingest": csv_ingest,
         "langid": langid,
         "quality": quality,
@@ -415,6 +427,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id FROM events WHERE user_id IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
         "csv_ingest": "SELECT doc_id, text, lang, n_chars FROM documents",
+        "sessionized_events": ("""
+            SELECT event_id, user_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)"""),
         "ann_topk": ("""
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 4),

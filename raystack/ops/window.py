@@ -47,3 +47,24 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, window_sec: int,
         aggs += [Min("min_val", alias_name="min_val"),
                  Max("max_val", alias_name="max_val")]
     return partials.groupby([key_col, "window_start"]).aggregate(*aggs)
+
+
+def sessionize(ds, ts_col: str, key_col: str, id_col: str,
+               gap_sec: int = 1800):
+    """Gap-based session ids per key: events of one key sorted by
+    (ts, id); a new session starts when the gap to the previous event
+    exceeds ``gap_sec``. One ``groupby(key).map_groups`` — the ordering
+    assumption (sort within group) is explicit here; the oracle is the
+    equivalent SQL window function. Returns (id_col, key_col, session_id
+    starting at 1 per key)."""
+    gap_us = gap_sec * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        epoch = g[ts_col].astype("int64")
+        new = (epoch.diff().isna() | (epoch.diff() > gap_us)).astype(np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "session_id": new.cumsum().to_numpy()})
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -57,8 +57,11 @@ def _stats(sample: pa.Array) -> dict:
     except Exception:
         distinct = n
     if len(sample) > 1:
-        neq = pc.not_equal(sample.slice(1), sample.slice(0, len(sample) - 1))
-        runs = 1 + int(np.asarray(pc.fill_null(neq, True)).sum())
+        try:
+            neq = pc.not_equal(sample.slice(1), sample.slice(0, len(sample) - 1))
+            runs = 1 + int(np.asarray(pc.fill_null(neq, True)).sum())
+        except Exception:  # nested types: no equality kernel → assume no runs
+            runs = len(sample)
     else:
         runs = len(sample)
     return {"distinct_ratio": distinct / n, "run_ratio": runs / n,

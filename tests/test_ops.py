@@ -197,3 +197,25 @@ def test_broadcast_and_semi_join(ray_session):
     assert sorted(s["k"]) == [1, 3]
     a = anti_join(big, [1, 3], on="k").to_pandas()
     assert sorted(a["k"]) == [2, 4]
+
+
+def test_sessionize(ray_session):
+    import ray.data
+    from raystack.ops.window import sessionize
+    t = pa.table({
+        "user": [1, 1, 1, 2],
+        "eid": [10, 11, 12, 20],
+        "ts": pa.array([0, 60_000_000, 4_000_000_000, 5],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    got = sessionize(ray.data.from_arrow(t), "ts", "user", "eid",
+                     gap_sec=1800).to_pandas().sort_values("eid")
+    assert got["session_id"].tolist() == [1, 1, 2, 1]
+
+
+def test_list_column_roundtrip(ray_session):
+    from raystack.codecs import decode_blob
+    from raystack.select import encode_auto
+    arr = pa.array([[1.0, 2.0], None, [], [3.5]], type=pa.list_(pa.float32()))
+    chunk = encode_auto(arr, "emb", 0)
+    assert decode_blob(chunk.to_bytes()).equals(arr)
