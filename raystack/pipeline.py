@@ -250,12 +250,17 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        resume: bool = False,
                        hot_hosts: dict[str, int] | None = None,
-                       source_paths: list[str] | None = None) -> dict:
+                       source_paths: list[str] | None = None,
+                       logger=None, collect_stats: bool = False) -> dict:
     """Full co-located encode: partition → (skip done) → groupby shuffle →
     per-partition encode with lineage → partitioned Parquet + manifest.
 
-    Returns the manifest summary. ``resume=True`` skips partitions already
-    recorded in ``out_dir``'s manifest (filtered before the shuffle)."""
+    Returns the manifest summary (plus ``stats`` — the per-stage Ray Data
+    execution breakdown — when ``collect_stats``). ``resume=True`` skips
+    partitions already recorded in ``out_dir``'s manifest (filtered before
+    the shuffle). ``logger`` gets ``send_log`` milestone events."""
+    from .log import get_logger
+    log = get_logger(logger)
     schema_names = ds.schema().names
     columns = columns or [c for c in schema_names if c not in ("part_key",)]
     has_prov = "filepath" in schema_names
@@ -285,12 +290,19 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         return _encode_table(group, pk, enc_cols + prov_cols, page_rows,
                              input_files=files)
 
+    log.send_log(f"encode_partitioned: {len(hot_hosts)} hot host(s) salted, "
+                 f"{num_partitions} partitions → {out_dir}")
     pages = keyed.groupby("part_key").map_groups(encode_group,
                                                  batch_format="pyarrow")
     # stream pages straight to partitioned storage (never materialized)
     pages.write_parquet(os.path.join(out_dir, "pages"),
                         partition_cols=["part_key"])
-    return _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols)
+    if collect_stats:
+        summary["stats"] = pages.stats()
+    log.send_log(f"encode_partitioned done: {summary['rows']} rows, "
+                 f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
+    return summary
 
 
 def _apply_resume(keyed, out_dir: str, resume: bool):
