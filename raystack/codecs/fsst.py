@@ -29,8 +29,9 @@ from .base import Codec, EncodedChunk, apply_validity, split_validity
 
 _LITERALS = 256
 _MAX_SYMBOL_LEN = 8
-_SAMPLE_BYTES = 1 << 16
+_SAMPLE_BYTES = 1 << 18
 _MIN_COUNT = 4
+_ROUNDS = 6
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +116,7 @@ class SymbolTable:
     # -- train ------------------------------------------------------------
     @classmethod
     def train(cls, sample: np.ndarray, max_symbols: int = 255,
-              rounds: int = 3, min_count: int = _MIN_COUNT) -> "SymbolTable":
+              rounds: int = _ROUNDS, min_count: int = _MIN_COUNT) -> "SymbolTable":
         tokens = sample.astype(np.uint16)
         merges: list[tuple[int, int]] = []
         round_sizes: list[int] = []
@@ -129,7 +130,9 @@ class SymbolTable:
             uniq, counts = np.unique(keys, return_counts=True)
             order = np.argsort(counts)[::-1]
             picked: list[tuple[int, int]] = []
-            for i in order:
+            # scan at most 8x the quota — beyond that the counts are too low
+            # to matter and the Python loop would walk millions of pairs
+            for i in order[:max(quota * 8, 256)]:
                 if counts[i] < min_count or len(picked) >= quota:
                     break
                 left = int(uniq[i] >> 16)
