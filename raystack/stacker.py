@@ -75,6 +75,17 @@ class Stacker:
     def is_column_present_common(self) -> pd.DataFrame:
         return self.is_column_present()[self.plan.columns_common]
 
+    def preview_select(self) -> list[str]:
+        """Final target column list after select/common/rename resolution
+        (reference preview_select semantics, old API)."""
+        return list(self.plan.target_columns)
+
+    def preview_rename(self) -> dict[str, dict[str, str]]:
+        """Per-file rename maps that will be applied (reference
+        preview_rename semantics)."""
+        return {os.path.basename(p): dict(m)
+                for p, m in self.plan.rename_by_file.items() if m}
+
     # -- previews (driver-side head reads) --------------------------------
     def _head_table(self, path: str, nrows: int) -> pa.Table:
         if self._is_csv:

@@ -141,3 +141,22 @@ def test_decode_column_pruning(ray_session, web, tmp_path):
     dec = pl.decode_pages(pl.read_encoded(out), columns=["url", "lang"])
     df = dec.to_pandas()
     assert sorted(df.columns) == ["lang", "url"] and len(df) == 3000
+
+
+def test_skew_bounded_partitions(ray_session):
+    """With salt-split, a host holding 80% of rows must not produce a
+    partition larger than ~3x the mean."""
+    import ray.data
+    urls = ([f"https://mega.com/p/{i}" for i in range(16000)]
+            + [f"https://site{i % 50}.org/p/{i}" for i in range(4000)])
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    P = 16
+    hot = pl.detect_hot_hosts(ds, num_partitions=P)
+    keyed = pl.add_partition_key(ds, num_partitions=P, hot_hosts=hot)
+    sizes = keyed.to_pandas().groupby("part_key").size()
+    mean = len(urls) / P
+    assert sizes.max() <= 3 * mean, f"max part {sizes.max()} vs mean {mean}"
+    # without salt the hot host collapses onto one partition
+    keyed0 = pl.add_partition_key(ds, num_partitions=P, hot_hosts={})
+    sizes0 = keyed0.to_pandas().groupby("part_key").size()
+    assert sizes0.max() >= 0.8 * 16000

@@ -101,3 +101,12 @@ def test_encoded_sink(ray_session, sales_extra, tmp_path):
     from raystack import pipeline as pl
     dec = pl.decode_pages(pl.read_encoded(str(tmp_path / "enc"))).to_pandas()
     assert len(dec) == 30
+
+
+def test_preview_select_rename(sales_extra, tmp_path):
+    st = Stacker(sales_extra, columns_select=["date", "profit2"])
+    assert st.preview_select() == ["date", "profit2"]
+    paths = make_sales_files(str(tmp_path / "r"), drift="rename")
+    st2 = Stacker(paths, columns_rename={"revenue": "sales"})
+    assert st2.preview_rename() == {"mar.parquet": {"revenue": "sales"}}
+    assert st2.preview_select() == ["date", "sales", "cost", "profit"]
