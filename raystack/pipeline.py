@@ -262,6 +262,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     from .log import get_logger
     log = get_logger(logger)
     schema_names = ds.schema().names
+    if url_col not in schema_names:
+        raise KeyError(f"partition key column {url_col!r} not in dataset "
+                       f"schema {schema_names}")
     columns = columns or [c for c in schema_names if c not in ("part_key",)]
     has_prov = "filepath" in schema_names
 

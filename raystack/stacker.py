@@ -213,8 +213,9 @@ class Stacker:
             url_col = "url" if "url" in self.plan.target_columns \
                 else self.plan.target_columns[0]
         # pruned hot-host pre-pass straight off the raw files when possible
-        src = self.fname_list if all(
-            url_col in s.names for s in self.plan.file_schemas.values()) else None
+        # (parquet only — the pre-pass reads with read_parquet)
+        src = self.fname_list if (not self._is_csv and all(
+            url_col in s.names for s in self.plan.file_schemas.values())) else None
         return encode_partitioned(self.dataset(), output_dir, url_col=url_col,
                                   num_partitions=num_partitions, resume=resume,
                                   source_paths=src)
