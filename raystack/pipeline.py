@@ -193,7 +193,14 @@ def _encode_table(table: pa.Table, part_key: int, columns: list[str],
             if codec_name is None:
                 codec_name = choose_codec(arr, column=col, part_key=part_key)
                 codec_by_col[col] = codec_name
-            blob = get_codec(codec_name).encode(arr).to_bytes()
+            try:
+                blob = get_codec(codec_name).encode(arr).to_bytes()
+            except Exception:
+                # a codec can pass on the sample yet fail on the full chunk
+                # (exotic type edge) — plain is the guaranteed floor
+                codec_name = "plain"
+                codec_by_col[col] = codec_name
+                blob = get_codec(codec_name).encode(arr).to_bytes()
             rows["part_key"].append(part_key)
             rows["page_idx"].append(page_idx)
             rows["column"].append(col)
