@@ -104,9 +104,9 @@ def run_bench(num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     out = os.path.join(CACHE, f"enc_{n_rows}_{num_cpus}")
 
-    # best of 2 repeats — the 1-core sandbox has high run-to-run variance
+    # best of 3 repeats — the 1-core sandbox has high run-to-run variance
     t_enc = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         ds = read_aligned(paths, columns_rename={"body": "text"},

@@ -89,9 +89,20 @@ def read_aligned(paths: list[str],
         # prune at the read: only source columns that land in the target
         needed = [c for c in avail
                   if rename.get(c, c) in set(plan.target_columns)]
+        kw = dict(read_kwargs)
+        if "override_num_blocks" not in kw:
+            # one block per file unless a file exceeds the target block size:
+            # tiny auto-split blocks multiply per-block exchange overhead in
+            # the downstream shuffle (measured ~1.8x on the encode pipeline)
+            import os as _os
+
+            from ray.data import DataContext
+            target = DataContext.get_current().target_max_block_size or (128 << 20)
+            gbytes = sum(_os.path.getsize(p) for p in group
+                         if _os.path.exists(p))
+            kw["override_num_blocks"] = max(len(group), -(-gbytes // target))
         ds = ray.data.read_parquet(group, columns=sorted(needed) or None,
-                                   include_paths=plan.add_filename,
-                                   **read_kwargs)
+                                   include_paths=plan.add_filename, **kw)
         parts.append(ds.map_batches(make_align_fn(plan, group[0]),
                                     batch_format="pyarrow"))
     out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
