@@ -64,10 +64,18 @@ def read_aligned(paths: list[str],
                  add_filename: bool = True,
                  apply_after_read: Callable | None = None,
                  plan: AlignPlan | None = None,
+                 ordered: bool = False,
                  **read_kwargs):
     """Build the aligned Dataset (lazy). ``apply_after_read`` mirrors the
     reference's per-chunk UDF hook (combine_csv.py:101-102): a pandas
-    DataFrame → DataFrame function applied after alignment."""
+    DataFrame → DataFrame function applied after alignment.
+
+    ``ordered=True`` reproduces the reference's global row order (sorted
+    file order × in-file row order, combine_csv.py:62): one read per file,
+    unioned in path order — pair with
+    ``DataContext.execution_options.preserve_order`` (see
+    ``Stacker.to_pandas(ordered=True)``). Default is the faster
+    schema-grouped layout with order-insensitive (keyed) semantics."""
     import ray.data
 
     if plan is None:
@@ -77,8 +85,10 @@ def read_aligned(paths: list[str],
                           add_filename=add_filename)
 
     want = set(paths)
+    groups = ([[p] for p in plan.paths if p in want] if ordered
+              else plan.schema_groups.values())
     parts = []
-    for group in plan.schema_groups.values():
+    for group in groups:
         # a caller may pass a pre-built plan with a subset of its files
         # (per-file aligned sinks) — read only the requested ones
         group = [p for p in group if p in want]

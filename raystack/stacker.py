@@ -129,8 +129,27 @@ class Stacker:
                             apply_after_read=self.apply_after_read,
                             **read_kwargs)
 
-    def to_pandas(self) -> pd.DataFrame:
-        return self.dataset().to_pandas()
+    def to_pandas(self, ordered: bool = False) -> pd.DataFrame:
+        """``ordered=True`` reproduces the reference's global row order
+        (sorted file order × in-file row order) via per-file reads +
+        ``preserve_order`` execution."""
+        if not ordered:
+            return self.dataset().to_pandas()
+        if self._is_csv:
+            # per-file sequential reads in path order keep CSV rows ordered
+            parts = [self._per_file_dataset(p).to_pandas()
+                     for p in self.fname_list]
+            return pd.concat(parts, ignore_index=True)
+        from ray.data import DataContext
+        opts = DataContext.get_current().execution_options
+        prev = opts.preserve_order
+        opts.preserve_order = True
+        try:
+            return read_aligned(self.fname_list, plan=self.plan, ordered=True,
+                                apply_after_read=self.apply_after_read
+                                ).to_pandas()
+        finally:
+            opts.preserve_order = prev
 
     def _per_file_dataset(self, path: str):
         """One input file read through the GLOBAL plan (unified schema)."""

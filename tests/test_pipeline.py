@@ -160,3 +160,14 @@ def test_skew_bounded_partitions(ray_session):
     keyed0 = pl.add_partition_key(ds, num_partitions=P, hot_hosts={})
     sizes0 = keyed0.to_pandas().groupby("part_key").size()
     assert sizes0.max() >= 0.8 * 16000
+
+
+def test_encode_streaming_roundtrip(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc_s")
+    ds = read_aligned(web, add_filename=True)
+    summary = pl.encode_streaming(ds, out, num_partitions=8)
+    assert summary["rows"] == 3000
+    got = _df_by_url(pl.decode_pages(pl.read_encoded(out)).to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
+    for col in ["url", "warc_ts", "html", "text", "lang"]:
+        assert got[col].tolist() == exp[col].tolist(), col

@@ -110,3 +110,13 @@ def test_preview_select_rename(sales_extra, tmp_path):
     st2 = Stacker(paths, columns_rename={"revenue": "sales"})
     assert st2.preview_rename() == {"mar.parquet": {"revenue": "sales"}}
     assert st2.preview_select() == ["date", "sales", "cost", "profit"]
+
+
+def test_to_pandas_ordered(ray_session, sales_extra):
+    st = Stacker(sales_extra, add_filename=False)
+    got = st.to_pandas(ordered=True)
+    exp = pd.concat([pq.read_table(p).to_pandas() for p in sorted(sales_extra)],
+                    ignore_index=True).reindex(
+        columns=["date", "sales", "cost", "profit", "profit2"])
+    assert got["date"].tolist() == exp["date"].tolist()
+    assert got["profit2"].fillna(-1).tolist() == exp["profit2"].fillna(-1).tolist()
