@@ -441,7 +441,7 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
                      source_paths: list[str] | None = None,
                      batch_size: int = 32768,
                      concurrency: int | tuple | None = None,
-                     sort_pages: bool = True) -> dict:
+                     sort_pages: bool = True, logger=None) -> dict:
     """Throughput-path encode: per-batch per-partition-segment encoding with
     NO row shuffle — the only exchange is an optional sort of the already-
     compressed pages (≈4× less volume than the input) so page files land
@@ -478,7 +478,12 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
         pages = pages.sort("part_key")  # compressed-volume exchange only
     pages.write_parquet(os.path.join(out_dir, "pages"),
                         partition_cols=["part_key"])
-    return _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols)
+    from .log import get_logger
+    get_logger(logger).send_log(
+        f"encode_streaming done: {summary['rows']} rows, "
+        f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
+    return summary
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Cluster entrypoint for the encode pipeline — `ray job submit` compatible:
+
+    ray job submit --working-dir . -- python scripts/run_encode.py \
+        --input /data/webtext --output /data/encoded --partitions 512
+
+On a driver-managed session it reuses the existing Ray; standalone it
+starts a local one. Prints one JSON summary line. ``--resume`` skips
+partitions already recorded in the output manifest (exact resume).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="directory of (drifting) parquet files, or a glob")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="0 = 2x cluster CPUs")
+    ap.add_argument("--mode", choices=["partitioned", "streaming"],
+                    default="partitioned")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--url-col", default="url")
+    ap.add_argument("--rename", default="",
+                    help="comma list old:new column renames (drift repair)")
+    ap.add_argument("--num-cpus", type=int, default=0,
+                    help="only for standalone local runs")
+    args = ap.parse_args()
+
+    import ray
+    if not ray.is_initialized():
+        kw = {"address": os.environ.get("RAY_ADDRESS", "local"),
+              "include_dashboard": False, "ignore_reinit_error": True,
+              "logging_level": "ERROR"}
+        if kw["address"] == "local" and args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from raystack import pipeline as pl
+    from raystack.align import read_aligned
+    from raystack.log import PrintLogger
+
+    paths = sorted(glob.glob(os.path.join(args.input, "*.parquet"))
+                   or [p for p in glob.glob(args.input) if os.path.isfile(p)])
+    if not paths:
+        raise SystemExit(f"no parquet files under {args.input}")
+    renames = dict(p.split(":") for p in args.rename.split(",") if ":" in p)
+    num_partitions = args.partitions or max(
+        8, 2 * int(ray.cluster_resources().get("CPU", 4)))
+
+    t0 = time.perf_counter()
+    ds = read_aligned(paths, columns_rename=renames or None,
+                      add_filename=True)
+    fn = (pl.encode_partitioned if args.mode == "partitioned"
+          else pl.encode_streaming)
+    summary = fn(ds, args.output, url_col=args.url_col,
+                 num_partitions=num_partitions, resume=args.resume,
+                 source_paths=paths, logger=PrintLogger())
+    summary["wall_sec"] = round(time.perf_counter() - t0, 3)
+    summary["mode"] = args.mode
+    summary["input_files"] = len(paths)
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
