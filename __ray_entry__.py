@@ -223,6 +223,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_id", "user_id"])
         return semi_join(ds, keys, on="user_id")
 
+    def column_stats(sf):
+        from raystack.ops.colstats import column_stats as cs
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
+        return cs(ds, with_distinct=False)
+
+    def column_stats_sketch(sf):
+        from raystack.ops.colstats import column_stats as cs
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
+        return cs(ds, with_distinct=True)
+
     def sessionized_events(sf):
         from raystack.ops.window import sessionize
         ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
@@ -354,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "distinct_langs": distinct_langs,
         "events_semi_join": events_semi_join,
+        "column_stats": column_stats,
+        "column_stats_sketch": column_stats_sketch,
         "sessionized_events": sessionized_events,
         "roundtrip_embeddings": roundtrip_embeddings,
         "csv_ingest": csv_ingest,
@@ -427,6 +439,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id FROM events WHERE user_id IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
         "csv_ingest": "SELECT doc_id, text, lang, n_chars FROM documents",
+        "column_stats": (" UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"count({c}) AS n_valid, CAST(min({c}) AS VARCHAR) AS min_v, "
+            f"CAST(max({c}) AS VARCHAR) AS max_v FROM documents"
+            for c in ["doc_id", "text", "lang", "source", "n_chars"])),
         "sessionized_events": ("""
             SELECT event_id, user_id,
                    sum(CASE WHEN prev_ts IS NULL

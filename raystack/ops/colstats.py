@@ -1,0 +1,111 @@
+"""Per-column statistics operator (SURVEY.md §2.5 graft addition): exact
+row/valid counts and min/max plus a mergeable KMV (k-minimum-values)
+distinct-count sketch — partial per batch inside ``map_batches``, merged in
+one tiny ``groupby(column)`` reduce. The sketch is the classic
+Bar-Yossef et al. KMV estimator: keep the k smallest 64-bit value hashes;
+``D ≈ (k-1) / U_(k)`` with U_(k) the k-th smallest hash scaled to [0,1);
+partials merge by union + re-truncation, so the shuffle moves at most
+k hashes per column per block."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import (flatten_column, row_valid_mask, splitmix64, tail_hash8,
+                      window_hashes)
+
+_K = 256
+_MAXU = float(2**64)
+
+
+def _value_hashes(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit hash per (valid) value."""
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        data, starts, lengths = flatten_column(arr)
+        h = window_hashes(data)
+        valid = row_valid_mask(starts, lengths, len(data), 8)
+        hv = np.where(valid, h, np.uint64(0))
+        if len(hv):
+            x = np.bitwise_xor.reduceat(hv, np.minimum(starts, len(hv) - 1))
+            x = x.astype(np.uint64)
+            x[np.maximum(lengths - 7, 0) == 0] = np.uint64(0)
+        else:
+            x = np.zeros(len(starts), dtype=np.uint64)
+        # short values (<8 bytes) have no shingle window — fold the actual
+        # tail bytes in so they still hash distinctly
+        x ^= tail_hash8(data, starts, lengths)
+        return splitmix64(x ^ splitmix64(lengths.astype(np.uint64)))
+    if pa.types.is_floating(t):
+        v = np.asarray(pc.fill_null(arr, 0.0))
+        view = np.uint64 if t == pa.float64() else np.uint32
+        return splitmix64(v.view(view).astype(np.uint64))
+    # ints / temporal / bool
+    from ..codecs.forbp import _to_int64
+    v = _to_int64(pc.fill_null(arr, 0) if arr.null_count else arr)
+    return splitmix64(v.view(np.uint64))
+
+
+def _kmv(hashes: np.ndarray, k: int = _K) -> np.ndarray:
+    u = np.unique(hashes)
+    return u[:k]
+
+
+def kmv_estimate(kmv: np.ndarray, k: int = _K) -> int:
+    if len(kmv) < k:
+        return int(len(kmv))  # exact below k
+    return int((k - 1) / (float(kmv[k - 1]) / _MAXU))
+
+
+def column_stats(ds, columns: list[str] | None = None, k: int = _K,
+                 with_distinct: bool = True):
+    """One row per column: (column, n_rows, n_valid, min_v, max_v[,
+    distinct_est]). min/max carried as strings for a uniform schema."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for name in (columns or t.schema.names):
+            arr = t[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            n = len(arr)
+            nv = n - arr.null_count
+            try:
+                mm = pc.min_max(arr)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            except Exception:
+                mn = mx = None
+            # keep NATIVE values through the merge — stringified numbers
+            # would compare lexically ("100" < "20")
+            row = {"column": name, "n_rows": n, "n_valid": nv,
+                   "min_raw": mn, "max_raw": mx}
+            if with_distinct:
+                valid = arr.drop_null() if arr.null_count else arr
+                h = _value_hashes(valid) if len(valid) else \
+                    np.zeros(0, dtype=np.uint64)
+                row["kmv"] = _kmv(h, k).tolist()
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        mins = [m for m in g["min_raw"] if m is not None]
+        maxs = [m for m in g["max_raw"] if m is not None]
+        out = {"column": g["column"].iloc[0],
+               "n_rows": int(g["n_rows"].sum()),
+               "n_valid": int(g["n_valid"].sum()),
+               "min_v": str(min(mins)) if mins else "",
+               "max_v": str(max(maxs)) if maxs else ""}
+        if with_distinct:
+            allh = np.concatenate([np.asarray(x, dtype=np.uint64)
+                                   for x in g["kmv"]]) if len(g) else \
+                np.zeros(0, dtype=np.uint64)
+            out["distinct_est"] = kmv_estimate(_kmv(allh, k), k)
+        return pd.DataFrame([out])
+
+    return partials.groupby("column").map_groups(merge, batch_format="pandas")

@@ -62,6 +62,29 @@ def window_hashes(data: np.ndarray, window: int = 8) -> np.ndarray:
     return splitmix64(h)
 
 
+def tail_hash8(data: np.ndarray, starts: np.ndarray,
+               lengths: np.ndarray) -> np.ndarray:
+    """Per-row hash of the last ≤8 bytes (covers values shorter than the
+    8-byte shingle window). Fully vectorized gather."""
+    n = len(starts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = starts + lengths
+    take = np.minimum(lengths, 8).astype(np.int64)
+    out = np.zeros((n, 8), dtype=np.uint8)
+    total = int(take.sum())
+    if total:
+        off = np.concatenate([[0], np.cumsum(take)[:-1]])
+        pos = np.arange(total) - np.repeat(off, take)
+        idx = np.repeat(ends - take, take) + pos
+        rows = np.repeat(np.arange(n), take)
+        out[rows, pos] = data[idx]
+    # salt so an 8-byte value's tail hash differs from its (identical-input)
+    # shingle window hash — otherwise x ^ tail self-cancels to 0
+    return splitmix64(out.view(np.uint64).ravel()
+                      ^ np.uint64(0xA0761D6478BD642F))
+
+
 def row_valid_mask(starts: np.ndarray, lengths: np.ndarray, total: int,
                    window: int) -> np.ndarray:
     """Vectorized version of the window-validity mask (no per-row loop)."""

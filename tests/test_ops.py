@@ -219,3 +219,27 @@ def test_list_column_roundtrip(ray_session):
     arr = pa.array([[1.0, 2.0], None, [], [3.5]], type=pa.list_(pa.float32()))
     chunk = encode_auto(arr, "emb", 0)
     assert decode_blob(chunk.to_bytes()).equals(arr)
+
+
+def test_column_stats(ray_session, docs):
+    from raystack.ops.colstats import column_stats
+    got = column_stats(docs).to_pandas().set_index("column")
+    assert got.loc["doc_id", "n_rows"] == 500
+    assert got.loc["doc_id", "n_valid"] == 500
+    assert got.loc["doc_id", "min_v"] == "0" and got.loc["doc_id", "max_v"] == "499"
+    # exact below k: 5 distinct langs
+    assert got.loc["lang", "distinct_est"] == 5
+    # estimate within 15% for 500 distinct texts (KMV k=256)
+    est = got.loc["text", "distinct_est"]
+    assert 0.8 * 500 <= est <= 1.25 * 500, est
+
+
+def test_kmv_merge_accuracy(ray_session):
+    import ray.data
+    from raystack.ops.colstats import column_stats
+    t = pa.table({"v": pa.array([f"val-{i % 3000}" for i in range(20000)])})
+    # many blocks → sketch must merge across partials
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = column_stats(ds, columns=["v"]).to_pandas()
+    est = got["distinct_est"].iloc[0]
+    assert 0.75 * 3000 <= est <= 1.3 * 3000, est
