@@ -243,3 +243,14 @@ def test_kmv_merge_accuracy(ray_session):
     got = column_stats(ds, columns=["v"]).to_pandas()
     est = got["distinct_est"].iloc[0]
     assert 0.75 * 3000 <= est <= 1.3 * 3000, est
+
+
+def test_exact_dedup_by_hash(ray_session):
+    import ray.data
+    from raystack.ops.dedup import exact_dedup_by_hash
+    t = pa.table({"doc_id": [5, 1, 2, 3, 4],
+                  "text": ["aaaa aaaa", "aaaa aaaa", "bbbb bbbb",
+                           "bbbb bbbb", "cc"]})
+    kept = exact_dedup_by_hash(ray.data.from_arrow(t), "text", "doc_id"
+                               ).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 4]
