@@ -128,13 +128,16 @@ def run_bench(num_cpus: int) -> dict:
 
     # throughput path: per-batch segment encode, pages-only exchange
     out_s = os.path.join(CACHE, f"encs_{n_rows}_{num_cpus}")
-    shutil.rmtree(out_s, ignore_errors=True)
-    t0 = time.perf_counter()
-    pl.encode_streaming(
-        read_aligned(paths, columns_rename={"body": "text"},
-                     add_filename=True),
-        out_s, num_partitions=32, source_paths=paths)
-    queries["webtext_encode_streaming"] = round(time.perf_counter() - t0, 3)
+    t_s = float("inf")
+    for _ in range(2):
+        shutil.rmtree(out_s, ignore_errors=True)
+        t0 = time.perf_counter()
+        pl.encode_streaming(
+            read_aligned(paths, columns_rename={"body": "text"},
+                         add_filename=True),
+            out_s, num_partitions=32, source_paths=paths)
+        t_s = min(t_s, time.perf_counter() - t0)
+    queries["webtext_encode_streaming"] = round(t_s, 3)
 
     # secondary pipelines over the driver testdata
     t0 = time.perf_counter()
