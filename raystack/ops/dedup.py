@@ -163,6 +163,58 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda t: t.rename_columns([id_col, "dup_of"]), batch_format="pyarrow")
 
 
+def verify_pairs_jaccard(ds, pairs, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         threshold: float = 0.7, window: int = 8):
+    """Exact n-gram Jaccard verification of candidate duplicate pairs.
+
+    ``pairs``: pandas DataFrame (id_col, dup_of) — e.g. the output of
+    :func:`minhash_lsh_dedup` (whose signature-agreement score is itself an
+    unbiased Jaccard *estimate*; this pass makes it exact). Only docs that
+    appear in a pair are touched: their char-``window``-gram hash sets are
+    built vectorized per batch (tiny fraction of the corpus), gathered, and
+    each pair's true Jaccard is computed set-wise. Returns the pairs with
+    a ``jaccard`` column, filtered to ≥ threshold."""
+    import pandas as pd
+    import ray
+
+    wanted = sorted(set(pairs[id_col]) | set(pairs["dup_of"]))
+    if not wanted:
+        return pairs.assign(jaccard=pd.Series(dtype=float))
+    ref = ray.put(pa.array(wanted))
+
+    def shingle_sets(t: pa.Table) -> pd.DataFrame:
+        keep = t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
+        if keep.num_rows == 0:
+            return pd.DataFrame({id_col: [], "shingles": []})
+        data, starts, lengths = flatten_column(keep[text_col])
+        h = window_hashes(data, window)
+        valid = row_valid_mask(starts, lengths, len(data), window)
+        rows_ids = np.asarray(keep[id_col])
+        bounds = np.concatenate([starts, [len(data)]])
+        out_ids, out_sets = [], []
+        for i, rid in enumerate(rows_ids):  # only candidate docs — few
+            seg = h[bounds[i]:bounds[i + 1]]
+            seg = seg[valid[bounds[i]:bounds[i + 1]]]
+            out_ids.append(int(rid))
+            out_sets.append(np.unique(seg))
+        return pd.DataFrame({id_col: out_ids, "shingles": out_sets})
+
+    sets_df = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
+    lookup = dict(zip(sets_df[id_col], sets_df["shingles"]))
+    jac = []
+    for a, b in zip(pairs[id_col], pairs["dup_of"]):
+        sa, sb = lookup.get(a), lookup.get(b)
+        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
+            jac.append(0.0)
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac.append(inter / union if union else 0.0)
+    out = pairs.assign(jaccard=jac)
+    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

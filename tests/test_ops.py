@@ -254,3 +254,22 @@ def test_exact_dedup_by_hash(ray_session):
     kept = exact_dedup_by_hash(ray.data.from_arrow(t), "text", "doc_id"
                                ).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 2, 4]
+
+
+def test_verify_pairs_jaccard(ray_session):
+    import ray.data
+    from raystack.ops.dedup import minhash_lsh_dedup, verify_pairs_jaccard
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet green forest while birds sing") * 3
+    near = base.replace("quiet", "silent")
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [base, near, "totally unrelated short stuff"]})
+    ds = ray.data.from_arrow(t)
+    pairs = minhash_lsh_dedup(ds, sim_threshold=0.4).to_pandas()
+    assert len(pairs) >= 1
+    verified = verify_pairs_jaccard(ds, pairs, threshold=0.7)
+    assert set(verified["doc_id"]) <= {2}
+    assert (verified["jaccard"] > 0.7).all()
+    # a strict threshold rejects everything
+    none = verify_pairs_jaccard(ds, pairs, threshold=0.999)
+    assert len(none) == 0

@@ -136,3 +136,20 @@ def test_webtext_generator_deterministic():
     assert a.equals(b)
     c = make_webtext(100, seed=8, file_index=1)
     assert not a.equals(c)
+
+
+def test_type_promotion_across_files(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"k": pa.array([1, 2], pa.int32()),
+                             "v": pa.array([1.5, 2.5], pa.float32())}),
+                   str(tmp_path / "a.parquet"))
+    pq.write_table(pa.table({"k": pa.array([3], pa.int64()),
+                             "v": pa.array([9.9], pa.float64())}),
+                   str(tmp_path / "b.parquet"))
+    paths = [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")]
+    plan = build_plan(paths)
+    assert plan.unified_schema.field("k").type == pa.int64()
+    assert plan.unified_schema.field("v").type == pa.float64()
+    got = read_aligned(paths, add_filename=False).to_pandas()
+    assert sorted(got["k"]) == [1, 2, 3]
