@@ -280,6 +280,95 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# cluster resolution + corpus-level composition
+# ---------------------------------------------------------------------------
+
+def resolve_clusters(pairs, id_col: str = "doc_id"):
+    """Union-find over candidate pairs → (id, keep_id) with keep_id = the
+    minimum id of each connected component. Driver-side — valid when the
+    pair set is small relative to the corpus (the usual case after LSH +
+    verification; see :func:`propagate_labels` for the distributed path)."""
+    import pandas as pd
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs[id_col], pairs["dup_of"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in set(pairs[id_col]) | set(pairs["dup_of"])]
+    return pd.DataFrame(rows, columns=[id_col, "keep_id"])
+
+
+def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
+    """Distributed min-label propagation over the duplicate-pair edge set:
+    each round, every node's label becomes the min label among itself and
+    its neighbors (symmetrized edges → groupby(node).min). Converges in
+    O(component diameter) rounds; each round shuffles only (node, label)
+    pairs. Use when the pair set itself is too large for the driver."""
+    import ray.data
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        b = t["dup_of"].combine_chunks() if isinstance(t["dup_of"], pa.ChunkedArray) else t["dup_of"]
+        return pa.table({"node": pa.concat_arrays([a.cast(pa.int64()),
+                                                   b.cast(pa.int64())]),
+                         "nbr": pa.concat_arrays([b.cast(pa.int64()),
+                                                  a.cast(pa.int64())])})
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow")
+    # labels: node -> current min known label (start: min neighbor vs self)
+    labels = edges.groupby("node").min("nbr").map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "label": pc.min_element_wise(t["node"],
+                                                         t["min(nbr)"])}),
+        batch_format="pyarrow")
+    for _ in range(max_iter):
+        joined = edges.join(labels, join_type="inner", num_partitions=8,
+                            on=("node",))
+        # neighbor's view: nbr learns node's label
+        prop = joined.map_batches(
+            lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
+            batch_format="pyarrow")
+        new_labels = labels.union(prop).groupby("node").min("label") \
+            .map_batches(lambda t: pa.table({"node": t["node"],
+                                             "label": t["min(label)"]}),
+                         batch_format="pyarrow")
+        new_df = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        old_df = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = ray.data.from_arrow(pa.Table.from_pandas(
+            new_df, preserve_index=False))  # arrow blocks: union partners match
+        if new_df.equals(old_df):
+            break
+    return labels
+
+
+def dedup_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
+                 sim_threshold: float = 0.7, exact_jaccard: bool = True):
+    """End-to-end near-dedup: LSH candidates → (optional) exact Jaccard
+    verification → union-find clusters → anti-join drop of non-keepers.
+    Returns (filtered_ds, clusters DataFrame)."""
+    from .join import anti_join
+    pairs = minhash_lsh_dedup(ds, text_col, id_col,
+                              sim_threshold=sim_threshold).to_pandas()
+    if exact_jaccard and len(pairs):
+        pairs = verify_pairs_jaccard(ds, pairs, text_col, id_col,
+                                     threshold=sim_threshold)
+    if not len(pairs):
+        import pandas as pd
+        return ds, pd.DataFrame({id_col: [], "keep_id": []})
+    clusters = resolve_clusters(pairs, id_col)
+    drop = clusters[clusters[id_col] != clusters["keep_id"]][id_col].tolist()
+    return anti_join(ds, drop, on=id_col), clusters
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

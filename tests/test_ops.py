@@ -273,3 +273,30 @@ def test_verify_pairs_jaccard(ray_session):
     # a strict threshold rejects everything
     none = verify_pairs_jaccard(ds, pairs, threshold=0.999)
     assert len(none) == 0
+
+
+def test_resolve_clusters_and_dedup_corpus(ray_session):
+    import ray.data
+    from raystack.ops.dedup import dedup_corpus, resolve_clusters
+    pairs = pd.DataFrame({"doc_id": [2, 3, 5], "dup_of": [1, 2, 4]})
+    cl = resolve_clusters(pairs).set_index("doc_id")["keep_id"]
+    assert cl[3] == 1 and cl[2] == 1 and cl[5] == 4  # transitive 3->2->1
+    base = ("many shared words build a long duplicated paragraph here that "
+            "goes on and on with plenty of shingles to hash") * 3
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [base, base + " tail", "something else entirely ok"]})
+    ds = ray.data.from_arrow(t)
+    filtered, clusters = dedup_corpus(ds, sim_threshold=0.5)
+    kept = sorted(filtered.to_pandas()["doc_id"])
+    assert 1 in kept and 3 in kept and 2 not in kept
+
+
+def test_propagate_labels(ray_session):
+    import ray.data
+    from raystack.ops.dedup import propagate_labels
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3, 5], pa.int64()),
+        "dup_of": pa.array([1, 2, 4], pa.int64())}))
+    labels = propagate_labels(pairs).to_pandas().set_index("node")["label"]
+    assert labels[3] == 1 and labels[2] == 1 and labels[1] == 1
+    assert labels[5] == 4 and labels[4] == 4
