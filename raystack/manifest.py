@@ -54,6 +54,29 @@ def completed_part_keys(out_dir: str) -> set[int]:
     return {int(k) for k in load_manifest(out_dir)}
 
 
+_CONFIG_FILE = "config.json"
+
+
+def save_config(out_dir: str, cfg: dict) -> None:
+    """Persist the partitioning config (url_col, num_partitions, hot_hosts)
+    next to the manifest so readers can route point lookups to the right
+    partition without a scan."""
+    os.makedirs(os.path.join(out_dir, _MANIFEST_DIR), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(out_dir, _MANIFEST_DIR),
+                               suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(cfg, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST_DIR, _CONFIG_FILE))
+
+
+def load_config(out_dir: str) -> dict:
+    p = os.path.join(out_dir, _MANIFEST_DIR, _CONFIG_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
 def manifest_summary(out_dir: str) -> dict:
     m = load_manifest(out_dir)
     return {

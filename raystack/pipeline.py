@@ -51,6 +51,7 @@ PAGES_SCHEMA = pa.schema([
     ("enc_bytes", pa.int64()),
     ("checksum", pa.int64()),
     ("input_files", pa.string()),  # JSON list; lineage (empty when unknown)
+    ("encode_ms", pa.int64()),     # wall ms spent encoding this call's pages
     ("data", pa.large_binary()),
 ])
 
@@ -139,31 +140,40 @@ def detect_hot_hosts(ds, url_col: str = "url", num_partitions: int = 32,
     return hot
 
 
+def compute_part_keys(urls: pa.Array | pa.ChunkedArray, num_partitions: int,
+                      hot_hosts: dict[str, int] | None = None) -> np.ndarray:
+    """Pure keying math: hash(host) % P with hot-host salt-split via the
+    url tail hash. Deterministic per value — used by the encode keyer AND
+    by point lookups (:func:`lookup_rows`) to route straight to partitions."""
+    hot_hosts = hot_hosts or {}
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    hosts = _host_of(urls)
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    denc = pc.dictionary_encode(hosts)
+    uniq = denc.dictionary.to_pylist()
+    codes = np.asarray(denc.indices)
+    base = _stable_hash_strings(uniq) % num_partitions
+    keys = base[codes]
+    hot_idx = [i for i, h in enumerate(uniq) if h in hot_hosts]
+    if hot_idx:
+        mask = np.isin(codes, hot_idx)
+        if mask.any():
+            salts = np.array([hot_hosts[uniq[c]] for c in codes[mask]])
+            sub = _tail_hash(urls)[mask]
+            keys = keys.copy()
+            keys[mask] = (base[codes[mask]] + sub % salts * 7919) % num_partitions
+    return keys
+
+
 def add_partition_key(ds, url_col: str = "url", num_partitions: int = 32,
                       hot_hosts: dict[str, int] | None = None):
     """Append int64 ``part_key`` = hash(host) % P, with hot hosts salt-split
     by a per-row secondary hash (explicit skew handling, SURVEY.md §2.10)."""
-    hot_hosts = hot_hosts or {}
 
     def keyer(batch: pa.Table) -> pa.Table:
-        hosts = _host_of(batch[url_col])
-        if isinstance(hosts, pa.ChunkedArray):
-            hosts = hosts.combine_chunks()
-        denc = pc.dictionary_encode(hosts)
-        uniq = denc.dictionary.to_pylist()
-        codes = np.asarray(denc.indices)
-        base = _stable_hash_strings(uniq) % num_partitions
-        keys = base[codes]
-        # salt-split hot hosts: vectorized secondary hash over the url tail
-        hot_idx = [i for i, h in enumerate(uniq) if h in hot_hosts]
-        if hot_idx:
-            mask = np.isin(codes, hot_idx)
-            if mask.any():
-                urls = batch[url_col].combine_chunks()
-                salts = np.array([hot_hosts[uniq[c]] for c in codes[mask]])
-                sub = _tail_hash(urls)[mask]
-                keys = keys.copy()
-                keys[mask] = (base[codes[mask]] + sub % salts * 7919) % num_partitions
+        keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts)
         return batch.append_column("part_key", pa.array(keys, type=pa.int64()))
 
     return ds.map_batches(keyer, batch_format="pyarrow")
@@ -180,6 +190,8 @@ def _encode_table(table: pa.Table, part_key: int, columns: list[str],
     """Encode one co-located table into pages rows (pure, deterministic).
     ``codec_cache`` (column → codec) lets a caller reuse choices across
     partitions/segments (streaming path); default = choose per partition."""
+    import time as _time
+    t_start = _time.perf_counter()
     rows = {name: [] for name in PAGES_SCHEMA.names}
     n = table.num_rows
     page_idx = first_page_idx
@@ -210,8 +222,11 @@ def _encode_table(table: pa.Table, part_key: int, columns: list[str],
             rows["enc_bytes"].append(len(blob))
             rows["checksum"].append(_crc(blob))
             rows["input_files"].append(input_files)
+            rows["encode_ms"].append(0)
             rows["data"].append(blob)
         page_idx += 1
+    ms = int((_time.perf_counter() - t_start) * 1000)
+    rows["encode_ms"] = [ms] * len(rows["encode_ms"])
     return pa.table(rows, schema=PAGES_SCHEMA)
 
 
@@ -302,6 +317,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
 
     log.send_log(f"encode_partitioned: {len(hot_hosts)} hot host(s) salted, "
                  f"{num_partitions} partitions → {out_dir}")
+    mf.save_config(out_dir, {"url_col": url_col,
+                             "num_partitions": num_partitions,
+                             "hot_hosts": hot_hosts})
     pages = keyed.groupby("part_key").map_groups(encode_group,
                                                  batch_format="pyarrow")
     # stream pages straight to partitioned storage (never materialized)
@@ -357,7 +375,8 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
     meta_ds = ray.data.read_parquet(
         os.path.join(out_dir, "pages"),
         columns=["part_key", "page_idx", "column", "codec", "nrows",
-                 "raw_bytes", "enc_bytes", "checksum", "input_files"])
+                 "raw_bytes", "enc_bytes", "checksum", "input_files",
+                 "encode_ms"])
 
     def summarize(g):  # pandas group → one manifest row
         first = g[g["page_idx"] == g["page_idx"].min()]
@@ -371,6 +390,7 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
             "checksum": int(np.bitwise_xor.reduce(
                 g["checksum"].to_numpy().astype(np.uint32))),
             "input_files": first["input_files"].iloc[0],
+            "encode_ms": int(g.drop_duplicates(["page_idx"])["encode_ms"].sum()),
         }])
 
     summary = meta_ds.groupby("part_key").map_groups(
@@ -382,6 +402,7 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
             "encoded_bytes": int(r.encoded_bytes), "pages": int(r.pages),
             "codecs": json.loads(r.codecs), "checksum": int(r.checksum),
             "input_files": json.loads(r.input_files) if r.input_files else [],
+            "encode_ms": int(getattr(r, "encode_ms", 0)),
         }
     mf.update_manifest(out_dir, rows)
     return mf.manifest_summary(out_dir)
@@ -462,6 +483,9 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
             hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
     keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
     keyed = _apply_resume(keyed, out_dir, resume)
+    mf.save_config(out_dir, {"url_col": url_col,
+                             "num_partitions": num_partitions,
+                             "hot_hosts": hot_hosts})
 
     enc_cols = [c for c in columns if c not in ("part_key", "filepath", "filename")]
     prov_cols = [c for c in ("filepath", "filename") if c in columns]
@@ -554,3 +578,48 @@ def verify_encoded(out_dir: str) -> dict:
 def read_encoded(out_dir: str):
     import ray.data
     return ray.data.read_parquet(os.path.join(out_dir, "pages"))
+
+
+def lookup_rows(out_dir: str, values: list[str],
+                columns: list[str] | None = None):
+    """Point lookup over the encoded layout: route each query value through
+    the SAME partition-key math the encoder used (config persisted in the
+    manifest dir), read ONLY those partitions' page files, decode, filter.
+    Touches hash(|values|) partitions instead of the whole dataset — the
+    random-access payoff of the partitioned layout."""
+    import ray.data
+
+    cfg = mf.load_config(out_dir)
+    if not cfg:
+        raise FileNotFoundError(f"no partitioning config under {out_dir}")
+    url_col = cfg["url_col"]
+    keys = np.unique(compute_part_keys(
+        pa.array(values, type=pa.string()), cfg["num_partitions"],
+        cfg.get("hot_hosts") or {}))
+    parts = []
+    for k in keys:
+        d = os.path.join(out_dir, "pages", f"part_key={int(k)}")
+        if not os.path.isdir(d):
+            continue
+        ds = ray.data.read_parquet(d)
+
+        def ensure_key(t: pa.Table, _k=int(k)) -> pa.Table:
+            if "part_key" in t.schema.names:  # hive path already recovered it
+                return t.set_column(
+                    t.schema.get_field_index("part_key"), "part_key",
+                    pc.cast(t["part_key"], pa.int64()))
+            return t.append_column("part_key",
+                                   pa.array([_k] * t.num_rows, pa.int64()))
+
+        parts.append(ds.map_batches(ensure_key, batch_format="pyarrow"))
+    if not parts:
+        return None
+    pages = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    want_cols = columns
+    if want_cols is not None and url_col not in want_cols:
+        want_cols = [url_col, *want_cols]
+    decoded = decode_pages(pages, columns=want_cols)
+    vals = pa.array(values, type=pa.string())
+    return decoded.map_batches(
+        lambda t: t.filter(pc.is_in(t[url_col], value_set=vals)),
+        batch_format="pyarrow")

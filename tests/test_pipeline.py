@@ -171,3 +171,16 @@ def test_encode_streaming_roundtrip(ray_session, web, tmp_path):
     exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
     for col in ["url", "warc_ts", "html", "text", "lang"]:
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_lookup_rows_partition_pruned(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc_l")
+    pl.encode_partitioned(read_aligned(web, add_filename=False), out,
+                          num_partitions=8)
+    all_urls = read_aligned(web, add_filename=False).to_pandas()["url"]
+    targets = [all_urls.iloc[0], all_urls.iloc[1500], all_urls.iloc[2999]]
+    got = pl.lookup_rows(out, targets).to_pandas()
+    assert sorted(got["url"]) == sorted(targets)
+    # miss: unknown url finds nothing but doesn't error
+    miss = pl.lookup_rows(out, ["https://nowhere.example/xyz"])
+    assert miss is None or len(miss.to_pandas()) == 0
