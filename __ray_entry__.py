@@ -223,6 +223,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_id", "user_id"])
         return semi_join(ds, keys, on="user_id")
 
+    def props_extract(sf):
+        """Vectorized JSON-ish field extraction from the events props
+        column (one regex kernel per batch)."""
+        import pyarrow.compute as pc
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "props"])
+
+        def fn(t: pa.Table) -> pa.Table:
+            ex = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
+            v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+            return pa.table({"event_id": t["event_id"], "k_value": v})
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
     def column_stats(sf):
         from raystack.ops.colstats import column_stats as cs
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
@@ -364,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "distinct_langs": distinct_langs,
         "events_semi_join": events_semi_join,
+        "props_extract": props_extract,
         "column_stats": column_stats,
         "column_stats_sketch": column_stats_sketch,
         "sessionized_events": sessionized_events,
@@ -439,6 +454,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id FROM events WHERE user_id IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
         "csv_ingest": "SELECT doc_id, text, lang, n_chars FROM documents",
+        "props_extract": ("SELECT event_id, CAST(regexp_extract(props, "
+                          "'\"k\": (\\d+)', 1) AS BIGINT) AS k_value "
+                          "FROM events"),
         "column_stats": (" UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
             f"count({c}) AS n_valid, CAST(min({c}) AS VARCHAR) AS min_v, "

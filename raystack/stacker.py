@@ -165,15 +165,21 @@ class Stacker:
         self.dataset().write_parquet(output_dir, **write_kwargs)
         return output_dir
 
-    def to_parquet_align(self, output_dir: str, prefix: str = "raystack-") -> list[str]:
+    def to_parquet_align(self, output_dir: str, prefix: str = "raystack-",
+                         if_exists: str = "replace") -> list[str]:
         """One cleaned output file per input file, all on the unified schema
-        (reference to_parquet_align semantics, combine_csv.py:459-484)."""
+        (reference to_parquet_align semantics, combine_csv.py:459-484).
+        ``if_exists='skip'`` keeps existing outputs (file-level resume, the
+        reference's convert_xls.py:238-245 semantics)."""
         os.makedirs(output_dir, exist_ok=True)
         outs = []
         for p in self.fname_list:
-            sub = self._per_file_dataset(p)
             out = os.path.join(output_dir,
                                prefix + os.path.basename(p))
+            if if_exists == "skip" and os.path.exists(out):
+                outs.append(out)
+                continue
+            sub = self._per_file_dataset(p)
             # single file per input: small per-file writes via pyarrow
             pq.write_table(pa.Table.from_pandas(sub.to_pandas(),
                                                 preserve_index=False), out)
@@ -184,15 +190,19 @@ class Stacker:
         self.dataset().write_csv(output_dir, **write_kwargs)
         return output_dir
 
-    def to_csv_align(self, output_dir: str, prefix: str = "raystack-") -> list[str]:
+    def to_csv_align(self, output_dir: str, prefix: str = "raystack-",
+                     if_exists: str = "replace") -> list[str]:
         """One cleaned CSV per input file on the unified schema
         (reference to_csv_align, combine_csv.py:406-434)."""
         os.makedirs(output_dir, exist_ok=True)
         outs = []
         for p in self.fname_list:
-            sub = self._per_file_dataset(p)
             base = os.path.splitext(os.path.basename(p))[0]
             out = os.path.join(output_dir, prefix + base + ".csv")
+            if if_exists == "skip" and os.path.exists(out):
+                outs.append(out)
+                continue
+            sub = self._per_file_dataset(p)
             sub.to_pandas().to_csv(out, index=False)
             outs.append(out)
         return outs

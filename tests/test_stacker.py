@@ -120,3 +120,12 @@ def test_to_pandas_ordered(ray_session, sales_extra):
         columns=["date", "sales", "cost", "profit", "profit2"])
     assert got["date"].tolist() == exp["date"].tolist()
     assert got["profit2"].fillna(-1).tolist() == exp["profit2"].fillna(-1).tolist()
+
+
+def test_align_sinks_if_exists_skip(ray_session, sales_extra, tmp_path):
+    st = Stacker(sales_extra, add_filename=False)
+    outs = st.to_parquet_align(str(tmp_path / "a"))
+    mtimes = {p: os.path.getmtime(p) for p in outs}
+    outs2 = st.to_parquet_align(str(tmp_path / "a"), if_exists="skip")
+    assert outs2 == outs
+    assert all(os.path.getmtime(p) == mtimes[p] for p in outs2)  # untouched
