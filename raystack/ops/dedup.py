@@ -84,7 +84,7 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       bands: int = 8, sim_threshold: float = 0.7,
-                      max_bucket: int = 256):
+                      max_bucket: int = 256, slim_shuffle: bool = False):
     """Near-duplicate detection: returns (id, dup_of) pairs where ``id``
     should be dropped in favor of ``dup_of`` (min id of its duplicate set).
 
@@ -93,38 +93,49 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     Buckets larger than ``max_bucket`` are truncated (logged via column).
     """
     rows_per_band = _N_PERM // bands
-    sigs = minhash_signatures(ds, text_col, id_col)
+    # signatures are ~270 B/doc — a small fraction of the corpus; pin them
+    # so the two passes below don't re-shingle the text (spills if huge)
+    sigs = minhash_signatures(ds, text_col, id_col).materialize()
 
-    def explode(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col])
-        sig = np.stack(t["sig"].to_pandas().to_numpy())  # (n, P) int64
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
-        n = len(ids)
+    def _band_buckets(sig: np.ndarray) -> list[np.ndarray]:
+        out = []
         for b in range(bands):
             seg = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-            bucket = splitmix64(
-                np.bitwise_xor.reduce(seg.view(np.uint64) * _PERM_A[:rows_per_band],
-                                      axis=1))
-            out_id.append(ids)
-            out_band.append(np.full(n, b, dtype=np.int64))
-            out_bucket.append(bucket.view(np.int64))
-        return pa.table({
-            id_col: np.concatenate(out_id),
-            "band": np.concatenate(out_band),
-            "bucket": np.concatenate(out_bucket),
-            "sig": pa.concat_arrays([t["sig"].combine_chunks()
-                                     if isinstance(t["sig"], pa.ChunkedArray)
-                                     else t["sig"]] * bands),
-        })
+            out.append(splitmix64(np.bitwise_xor.reduce(
+                seg.view(np.uint64) * _PERM_A[:rows_per_band],
+                axis=1)).view(np.int64))
+        return out
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow")
+    def explode(t: pa.Table, with_sig: bool) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        sig = np.stack(t["sig"].to_pandas().to_numpy())  # (n, P) int64
+        buckets = _band_buckets(sig)
+        n = len(ids)
+        cols = {
+            id_col: np.concatenate([ids] * bands),
+            "band": np.concatenate([np.full(n, b, dtype=np.int64)
+                                    for b in range(bands)]),
+            "bucket": np.concatenate(buckets),
+        }
+        out = pa.table(cols)
+        if with_sig:
+            sig_arr = t["sig"].combine_chunks() \
+                if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+            out = out.append_column("sig", pa.concat_arrays([sig_arr] * bands))
+        return out
 
-    # two-pass candidate pruning: an aggregate-only groupby finds buckets
-    # with ≥2 members (cheap — no group materialization), then only those
-    # rows reach the per-group verification. With mostly-unique corpora the
-    # verified set is a tiny fraction of the input, so the expensive
-    # map_groups never sees millions of singleton buckets.
-    counts = exploded.groupby(["band", "bucket"]).count().to_pandas()
+    # pass 1: when slim_shuffle, explode WITHOUT signatures — 24 bytes/row
+    # through the bucket-count shuffle instead of the signature payload
+    # (~10x lighter; worth it when the corpus is large). Small corpora pay
+    # less by carrying the sigs once.
+    slim = sigs.map_batches(lambda t: explode(t, not slim_shuffle),
+                            batch_format="pyarrow")
+
+    # aggregate-only groupby finds buckets with ≥2 members; with mostly-
+    # unique corpora the candidate set is a tiny fraction of the input.
+    # project to the key columns first so the count shuffle never moves sigs
+    counts = slim.select_columns(["band", "bucket"]) \
+        .groupby(["band", "bucket"]).count().to_pandas()
     hot = counts[counts["count()"] >= 2]
     if len(hot) == 0:
         import ray.data
@@ -140,7 +151,12 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             pc.cast(t["bucket"], pa.int64()))
         return t.filter(pc.is_in(k, value_set=hot_keys))
 
-    candidates_only = exploded.map_batches(keep_hot, batch_format="pyarrow")
+    if slim_shuffle:
+        # pass 2: re-explode WITH signatures, only for candidate rows
+        candidates_only = sigs.map_batches(
+            lambda t: keep_hot(explode(t, True)), batch_format="pyarrow")
+    else:
+        candidates_only = slim.map_batches(keep_hot, batch_format="pyarrow")
 
     def candidates(g) -> "pd.DataFrame":  # pandas group: one (band, bucket)
         import pandas as pd
