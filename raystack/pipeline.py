@@ -260,7 +260,9 @@ def encode_batches(ds, columns: list[str] | None = None,
     if concurrency is None:
         import ray
         n = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, n))
+        # leave ≥2 CPUs for the read/write/shuffle stages — an actor pool
+        # that reserves every CPU starves them and the pipeline deadlocks
+        concurrency = (1, max(2, n - 2))
     return ds.map_batches(BatchEncoder, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"columns": columns,
@@ -492,7 +494,9 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
     if concurrency is None:
         import ray
         n = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, n))
+        # headroom for read/sort/write stages (see encode_batches note) —
+        # a fixed pool of ALL cpus deadlocks the downstream pages sort
+        concurrency = (1, max(2, n - 2))
     pages = keyed.map_batches(
         SplitEncoder, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
