@@ -365,20 +365,36 @@ def _apply_resume(keyed, out_dir: str, resume: bool):
     return keyed
 
 
+_DRIVER_MANIFEST_MAX_FILES = 512
+
+
 def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
     """Lineage/manifest from a metadata-only read-back of what actually
     landed (pruned — no ``data`` column), reduced to one row per partition;
-    only #partitions rows ever reach the driver."""
+    only #partitions rows ever reach the driver. Small outputs (≤512 page
+    files) read the metadata directly with pyarrow on the driver — the Ray
+    fan-out costs more than the read at that size; big outputs keep the
+    distributed aggregation."""
+    import glob as _glob
     import json
 
     import ray.data
     from pandas import DataFrame as pd_DataFrame
 
-    meta_ds = ray.data.read_parquet(
-        os.path.join(out_dir, "pages"),
-        columns=["part_key", "page_idx", "column", "codec", "nrows",
+    meta_cols = ["part_key", "page_idx", "column", "codec", "nrows",
                  "raw_bytes", "enc_bytes", "checksum", "input_files",
-                 "encode_ms"])
+                 "encode_ms"]
+    page_files = _glob.glob(os.path.join(out_dir, "pages", "**", "*.parquet"),
+                            recursive=True)
+    small = len(page_files) <= _DRIVER_MANIFEST_MAX_FILES
+    if small:
+        import pyarrow.dataset as _pads
+        meta_pdf = _pads.dataset(os.path.join(out_dir, "pages"),
+                                 partitioning="hive") \
+            .to_table(columns=meta_cols).to_pandas()
+    else:
+        meta_ds = ray.data.read_parquet(os.path.join(out_dir, "pages"),
+                                        columns=meta_cols)
 
     def summarize(g):  # pandas group → one manifest row
         first = g[g["page_idx"] == g["page_idx"].min()]
@@ -395,8 +411,15 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
             "encode_ms": int(g.drop_duplicates(["page_idx"])["encode_ms"].sum()),
         }])
 
-    summary = meta_ds.groupby("part_key").map_groups(
-        summarize, batch_format="pandas").to_pandas()
+    if small:
+        import pandas as _pd
+        summary = _pd.concat([summarize(g) for _, g in
+                              meta_pdf.groupby("part_key")],
+                             ignore_index=True) if len(meta_pdf) else \
+            pd_DataFrame(columns=["part_key"])
+    else:
+        summary = meta_ds.groupby("part_key").map_groups(
+            summarize, batch_format="pandas").to_pandas()
     rows = {}
     for r in summary.itertuples(index=False):
         rows[str(int(r.part_key))] = {

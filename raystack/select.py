@@ -30,6 +30,7 @@ from .codecs.base import EncodedChunk
 _SAMPLE_ROWS = 512
 _SAMPLE_MAX_BYTES = 128 * 1024
 _HYSTERESIS = 0.95  # non-plain must beat plain by ≥5%
+_SLOW_HYSTERESIS = 0.90  # full-column FSST must beat the best fast codec by ≥10%
 
 
 def _stable_seed(*parts: str | int) -> int:
@@ -124,6 +125,16 @@ def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> st
         return "plain"
     plain_cost = est.get("plain", float("inf"))
     best = min(est, key=est.get)  # type: ignore[arg-type]
+    # speed-aware hysteresis: full-column FSST encodes ~20x slower than the
+    # buffer-level codecs; only pick it when the size win is decisive
+    # (> 10%), not sampling noise
+    slow = {"fsst", "fsst+z"}
+    if best in slow:
+        fast = {k: v for k, v in est.items() if k not in slow}
+        if fast:
+            best_fast = min(fast, key=fast.get)  # type: ignore[arg-type]
+            if est[best] > _SLOW_HYSTERESIS * fast[best_fast]:
+                best = best_fast
     if best != "plain" and est[best] > _HYSTERESIS * plain_cost:
         return "plain"
     return best
