@@ -16,7 +16,8 @@ Two encode shapes, both emitting the same encoded-pages table:
 
 Pages schema:
   (part_key:int64, page_idx:int64, column:string, codec:string, nrows:int64,
-   raw_bytes:int64, enc_bytes:int64, checksum:int64, data:large_binary)
+   raw_bytes:int64, enc_bytes:int64, checksum:int64, input_files:string,
+   encode_ms:int64, data:large_binary)
 
 Decode (:func:`decode_pages`) groups pages by (part_key, page_idx) and
 rebuilds original-schema batches — bit-identical (tests/test_pipeline.py).

@@ -75,6 +75,14 @@ class Stacker:
     def is_column_present_common(self) -> pd.DataFrame:
         return self.is_column_present()[self.plan.columns_common]
 
+    def sniff_results(self) -> dict:
+        """The reference's sniff_columns result surface
+        (combine_csv.py:174-177): column sets + presence + order report."""
+        return {**self.columns(),
+                "is_all_equal": self.is_all_equal(),
+                "df_columns_present": self.is_column_present(),
+                "files": [os.path.basename(p) for p in self.fname_list]}
+
     def preview_select(self) -> list[str]:
         """Final target column list after select/common/rename resolution
         (reference preview_select semantics, old API)."""
