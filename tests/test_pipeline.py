@@ -184,3 +184,13 @@ def test_lookup_rows_partition_pruned(ray_session, web, tmp_path):
     # miss: unknown url finds nothing but doesn't error
     miss = pl.lookup_rows(out, ["https://nowhere.example/xyz"])
     assert miss is None or len(miss.to_pandas()) == 0
+
+
+def test_encode_partitioned_column_subset(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc_sub")
+    ds = read_aligned(web, add_filename=False)
+    pl.encode_partitioned(ds, out, num_partitions=4,
+                          columns=["url", "lang"])
+    dec = pl.decode_pages(pl.read_encoded(out)).to_pandas()
+    assert sorted(dec.columns) == ["lang", "url"]
+    assert len(dec) == 3000
