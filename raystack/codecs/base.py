@@ -135,7 +135,9 @@ def split_validity(arr: pa.Array) -> tuple[bytes, pa.Array]:
     elif (pa.types.is_integer(t) or pa.types.is_temporal(t) or pa.types.is_boolean(t)):
         fill = pa.scalar(0, type=t) if not pa.types.is_boolean(t) else pa.scalar(False)
         if pa.types.is_temporal(t):
-            fill = pa.array([0], type=pa.int64()).cast(t)[0]
+            # 32-bit temporal types (date32/time32) reject an int64 cast
+            src = pa.int32() if t.bit_width == 32 else pa.int64()
+            fill = pa.array([0], type=src).cast(t)[0]
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         fill = pa.scalar("", type=t)
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):

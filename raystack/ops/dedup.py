@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .hashing import (flatten_column, min_hash_per_row, row_valid_mask,
-                      splitmix64, window_hashes)
+                      splitmix64, tail_hash8, window_hashes)
 
 _U64 = np.uint64
 
@@ -65,9 +65,13 @@ def _signatures_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
     data, starts, lengths = flatten_column(t[text_col])
     h = window_hashes(data)
     valid = row_valid_mask(starts, lengths, len(data), 8)
+    # rows shorter than the shingle window are seeded from their tail hash
+    # per permutation — distinct short docs no longer share the sentinel
+    # signature (they'd otherwise all be marked near-duplicates)
+    tail = tail_hash8(data, starts, lengths)
     sig = np.stack([
         min_hash_per_row(h, starts, lengths, valid, int(_PERM_A[k]),
-                         int(_PERM_B[k]))
+                         int(_PERM_B[k]), tail=tail)
         for k in range(_N_PERM)], axis=1)  # (rows, N_PERM)
     return pa.table({
         id_col: t[id_col].combine_chunks()

@@ -99,16 +99,27 @@ def row_valid_mask(starts: np.ndarray, lengths: np.ndarray, total: int,
 
 def min_hash_per_row(h: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
                      valid: np.ndarray, a: int, b: int,
-                     window: int = 8) -> np.ndarray:
-    """min over each row's valid window hashes of (h*a+b); rows with no
-    valid window (shorter than the shingle) → MAX sentinel."""
+                     window: int = 8,
+                     tail: np.ndarray | None = None) -> np.ndarray:
+    """min over each row's valid window hashes of (h*a+b). Rows with no
+    valid window (shorter than the shingle) are seeded from their per-row
+    ``tail`` hash (tail_hash8) permuted by (a, b) — so distinct short docs
+    get distinct signatures while identical short docs still agree exactly.
+    Without a ``tail``, shingle-less rows fall back to the MAX sentinel
+    (legacy behavior: all short docs collide)."""
     counts = np.maximum(lengths - window + 1, 0)
+    if tail is not None:
+        with np.errstate(over="ignore"):
+            short_fill = splitmix64(tail * _U64(a) + _U64(b))
+    else:
+        short_fill = np.full(len(starts), _MAXU64, dtype=np.uint64)
     if len(h) == 0:
-        return np.full(len(starts), _MAXU64, dtype=np.uint64)
+        return short_fill.astype(np.uint64, copy=True)
     with np.errstate(over="ignore"):
         ph = h * _U64(a) + _U64(b)
     ph = np.where(valid, ph, _MAXU64)
     mins = np.minimum.reduceat(ph, np.minimum(starts, len(ph) - 1))
     mins = mins.astype(np.uint64)
-    mins[counts == 0] = _MAXU64  # reduceat artifacts on empty segments
+    none = counts == 0  # reduceat artifacts on empty segments
+    mins[none] = short_fill[none]
     return mins

@@ -11,7 +11,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import flatten_column, splitmix64, window_hashes, row_valid_mask
+from .hashing import (flatten_column, splitmix64, tail_hash8, window_hashes,
+                      row_valid_mask)
 
 _U64 = np.uint64
 
@@ -74,12 +75,18 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         h = window_hashes(data)
         valid = row_valid_mask(starts, lengths, len(data), 8)
         hv = np.where(valid, h, _U64(0))
+        # rows too short for an 8-byte window get their content folded in
+        # via the tail hash — otherwise every short doc's fingerprint would
+        # depend only on its length ('cat' vs 'dog' collide)
+        no_window = np.maximum(lengths - 7, 0) == 0
         if len(hv):
             x = np.bitwise_xor.reduceat(hv, np.minimum(starts, len(hv) - 1))
             x = x.astype(np.uint64)
-            x[np.maximum(lengths - 7, 0) == 0] = _U64(0)
         else:
             x = np.zeros(len(starts), dtype=np.uint64)
+        if no_window.any():
+            tail = tail_hash8(data, starts, lengths)
+            x[no_window] = tail[no_window]
         fp = splitmix64(x ^ splitmix64(lengths.astype(np.uint64)))
         return t.append_column(out_col, pa.array(fp.view(np.int64)))
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -244,11 +244,21 @@ class BatchEncoder:
         self.codec_cache: dict[str, str] = {}  # per-actor, amortizes selection
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({n: [] for n in PAGES_SCHEMA.names},
+                            schema=PAGES_SCHEMA)
         cols = self.columns or [c for c in batch.schema.names if c != "part_key"]
-        # content-derived pseudo partition key → idempotent retries
+        # content-derived pseudo partition key → idempotent retries; the
+        # first+last+rows 62-bit scheme (same as SplitEncoder) so two
+        # batches sharing a first value and row count can't collide and get
+        # silently merged by decode_pages' (part_key, page_idx) grouping
         key_src = batch[cols[0]].combine_chunks()
-        h = _crc(key_src.slice(0, 1).to_string().encode()) ^ batch.num_rows
-        return _encode_table(batch, int(h) % (1 << 62), cols, self.page_rows,
+        first_val = key_src[0].as_py()
+        last_val = key_src[-1].as_py()
+        h = ((_crc(repr(first_val).encode()) << 31)
+             ^ (_crc(repr(last_val).encode()) << 1)
+             ^ batch.num_rows) & ((1 << 62) - 1)
+        return _encode_table(batch, int(h), cols, self.page_rows,
                              codec_cache=self.codec_cache)
 
 
@@ -458,6 +468,11 @@ class SplitEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
+        if batch.num_rows == 0:
+            # a resume filter can drop every row of a block; the per-segment
+            # loop below would IndexError on keys[0]/seg[col][0]
+            return pa.table({n: [] for n in PAGES_SCHEMA.names},
+                            schema=PAGES_SCHEMA)
         keys = np.asarray(batch["part_key"])
         order = np.argsort(keys, kind="stable")
         tbl = batch.take(pa.array(order))
@@ -480,8 +495,7 @@ class SplitEncoder:
             out.append(_encode_table(seg, pk, cols, self.page_rows,
                                      first_page_idx=base, input_files=files,
                                      codec_cache=self.codec_cache))
-        return pa.concat_tables(out) if out else _encode_table(
-            tbl, 0, cols, self.page_rows, codec_cache=self.codec_cache)
+        return pa.concat_tables(out)
 
 
 def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,

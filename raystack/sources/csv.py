@@ -79,15 +79,20 @@ def sniff_dialect(path: str, nlines: int = _NLINES) -> CsvDialect:
         if d:
             votes[d] = votes.get(d, 0) + 1
     if not votes:
+        # delimiter-free file → single column; the leading-disagreement scan
+        # would count EVERY line as junk (and silently drop data), so skip it
+        # (the reference raises IOError here, sniffer.py:107-117 — we accept
+        # the file as one column instead, which is strictly more useful)
         delim = ","
+        skiprows = 0
     else:
         delim = max(votes, key=votes.get)  # type: ignore[arg-type]
-    # skiprows: leading run of lines whose delimiter disagrees (junk/titles)
-    skiprows = 0
-    for d in per_line:
-        if d == delim:
-            break
-        skiprows += 1
+        # skiprows: leading run of lines whose delimiter disagrees (junk)
+        skiprows = 0
+        for d in per_line:
+            if d == delim:
+                break
+            skiprows += 1
     data_lines = lines[skiprows:]
     # no header iff every sampled row has a numeric-looking cell
     def has_numeric(line: str) -> bool:

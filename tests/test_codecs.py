@@ -133,3 +133,19 @@ def test_chunk_serialization_stable():
     c1 = get_codec("for_bitpack").encode(arr)
     c2 = EncodedChunk.from_bytes(c1.to_bytes())
     assert c2.codec == c1.codec and c2.meta == c1.meta and c2.buffers == c1.buffers
+
+
+@pytest.mark.parametrize("typ", [pa.date32(), pa.time32("s"),
+                                 pa.date64(), pa.time64("us")])
+def test_nullable_temporal_all_codecs(typ):
+    # ADVICE r1: nullable date32/time32 crashed split_validity's null fill
+    arr = pa.array([1, None, 3, None, 5], type=pa.int32() if typ.bit_width == 32
+                   else pa.int64()).cast(typ)
+    for name in ALL_CODECS:
+        codec = get_codec(name)
+        try:
+            chunk = codec.encode(arr)
+        except (ValueError, TypeError, NotImplementedError):
+            continue  # codec legitimately doesn't support the type
+        dec = codec.decode(EncodedChunk.from_bytes(chunk.to_bytes()))
+        assert arrays_bit_identical(arr, dec), (name, typ)

@@ -300,3 +300,31 @@ def test_propagate_labels(ray_session):
     labels = propagate_labels(pairs).to_pandas().set_index("node")["label"]
     assert labels[3] == 1 and labels[2] == 1 and labels[1] == 1
     assert labels[5] == 4 and labels[4] == 4
+
+
+def test_short_doc_fingerprints_distinct(ray_session):
+    # ADVICE r1: docs shorter than the 8-byte window used to fingerprint by
+    # length only ('cat' and 'dog' collided) — tail hash now folds content in
+    import ray.data
+    from raystack.ops.text import add_fingerprint
+    t = pa.table({"text": ["cat", "dog", "cat", "", "a", "b"]})
+    fp = add_fingerprint(ray.data.from_arrow(t)).to_pandas()["fingerprint"]
+    assert fp[0] != fp[1]          # distinct short docs differ
+    assert fp[0] == fp[2]          # identical short docs agree
+    assert len({fp[3], fp[4], fp[5]}) == 3
+
+
+def test_short_doc_minhash_not_sentinel(ray_session):
+    # ADVICE r1: all sub-8-byte docs shared the all-MAXU64 sentinel signature
+    import ray.data
+    from raystack.ops.dedup import minhash_signatures, minhash_lsh_dedup
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["cat", "dog", "cat", "mouse"]})
+    sigs = minhash_signatures(ray.data.from_arrow(t)).to_pandas()
+    s = {r.doc_id: tuple(r.sig) for r in sigs.itertuples()}
+    assert s[1] != s[2]      # cat vs dog differ
+    assert s[1] == s[3]      # identical short docs agree exactly
+    assert s[2] != s[4]
+    pairs = minhash_lsh_dedup(ray.data.from_arrow(t)).to_pandas()
+    # only the true duplicate pair (3 dup of 1) may appear
+    assert set(pairs["doc_id"]) <= {3}
