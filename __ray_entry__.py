@@ -71,9 +71,8 @@ def entry() -> Any:
     shutil.rmtree(out, ignore_errors=True)
     ds = _aligned(sf_dir, add_filename=True)
     pl.encode_partitioned(ds, out, url_col="source", num_partitions=4)
-    decoded = pl.decode_pages(pl.read_encoded(out),
-                              columns=["doc_id", "text", "lang", "source",
-                                       "n_chars"])
+    decoded = pl.decode_dir(out, columns=["doc_id", "text", "lang", "source",
+                                          "n_chars"])
     return decoded
 
 
@@ -138,9 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         shutil.rmtree(out, ignore_errors=True)
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
         pl.encode_partitioned(ds, out, url_col="source", num_partitions=4)
-        return pl.decode_pages(pl.read_encoded(out),
-                               columns=["doc_id", "text", "lang", "source",
-                                        "n_chars"])
+        return pl.decode_dir(out, columns=["doc_id", "text", "lang",
+                                           "source", "n_chars"])
 
     def docs_by_lang(sf):
         from ray.data.aggregate import Count, Sum
@@ -414,9 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds.select_columns(["url", "warc_ts", "html", "text", "lang"]) \
             .write_parquet(snap)
         pl.encode_partitioned(ds, out, num_partitions=8)
-        return pl.decode_pages(pl.read_encoded(out),
-                               columns=["url", "warc_ts", "html", "text",
-                                        "lang"])
+        return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
+                                           "lang"])
 
     def multimodal_features(sf):
         from raystack.ops.multimodal import extract_image_features

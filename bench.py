@@ -144,7 +144,7 @@ def run_bench(num_cpus: int) -> dict:
 
     if not headline_only:
         t0 = time.perf_counter()
-        n_dec = pl.decode_pages(pl.read_encoded(out)).count()
+        n_dec = pl.decode_dir(out).count()
         queries["webtext_decode"] = round(time.perf_counter() - t0, 3)
         assert n_dec == n_rows, (n_dec, n_rows)
 

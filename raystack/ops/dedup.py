@@ -123,9 +123,15 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         }
         out = pa.table(cols)
         if with_sig:
-            sig_arr = t["sig"].combine_chunks() \
-                if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
-            out = out.append_column("sig", pa.concat_arrays([sig_arr] * bands))
+            # serialize each row's signature to one binary blob (8·P bytes):
+            # Acero's hash join (the distributed candidate filter) supports
+            # binary payload columns but not list<int64>
+            flat = sig.astype("<i8").tobytes()
+            offsets = pa.array(np.arange(n + 1, dtype=np.int32) * sig.shape[1] * 8)
+            sig_bin = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, offsets.buffers()[1], pa.py_buffer(flat)])
+            out = out.append_column("sig", pa.concat_arrays([sig_bin] * bands))
         return out
 
     # pass 1: when slim_shuffle, explode WITHOUT signatures — 24 bytes/row
@@ -137,30 +143,31 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     # aggregate-only groupby finds buckets with ≥2 members; with mostly-
     # unique corpora the candidate set is a tiny fraction of the input.
-    # project to the key columns first so the count shuffle never moves sigs
+    # Fully distributed: project to the key columns (the count shuffle never
+    # moves sigs), filter counts ≥2, and inner-join the exploded rows
+    # against that hot-key set — no driver collection, no broadcast of an
+    # unbounded key list (the round-1 scale-killer).
     counts = slim.select_columns(["band", "bucket"]) \
-        .groupby(["band", "bucket"]).count().to_pandas()
-    hot = counts[counts["count()"] >= 2]
-    if len(hot) == 0:
+        .groupby(["band", "bucket"]).count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], 2))
+                   .select(["band", "bucket"]),
+        batch_format="pyarrow").materialize()  # small: one row per dup bucket
+    if hot.count() == 0:
         import ray.data
         return ray.data.from_arrow(pa.table(
             {id_col: pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    hot_keys = pa.array((hot["band"].to_numpy().astype(np.int64) << 48)
-                        ^ hot["bucket"].to_numpy().astype(np.int64))
-
-    def keep_hot(t: pa.Table) -> pa.Table:
-        k = pc.bit_wise_xor(
-            pc.shift_left(pc.cast(t["band"], pa.int64()), 48),
-            pc.cast(t["bucket"], pa.int64()))
-        return t.filter(pc.is_in(k, value_set=hot_keys))
 
     if slim_shuffle:
         # pass 2: re-explode WITH signatures, only for candidate rows
-        candidates_only = sigs.map_batches(
-            lambda t: keep_hot(explode(t, True)), batch_format="pyarrow")
+        with_sig = sigs.map_batches(lambda t: explode(t, True),
+                                    batch_format="pyarrow")
     else:
-        candidates_only = slim.map_batches(keep_hot, batch_format="pyarrow")
+        with_sig = slim
+    candidates_only = with_sig.join(hot, join_type="inner",
+                                    num_partitions=16,
+                                    on=("band", "bucket"))
 
     def candidates(g) -> "pd.DataFrame":  # pandas group: one (band, bucket)
         import pandas as pd
@@ -168,7 +175,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             return pd.DataFrame({id_col: [], "dup_of": []})
         g = g.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())  # (n, P)
+        sig = np.stack([np.frombuffer(b, dtype=np.int64)
+                        for b in g["sig"]])  # (n, P), tiny candidate groups
         anchor = sig[0]
         agree = (sig == anchor).mean(axis=1)
         dup = agree >= sim_threshold
@@ -284,18 +292,21 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                              "dup_of": first[dup]})
 
     prefixed = sh.map_batches(add_prefix, batch_format="pyarrow")
-    # same two-pass pruning as minhash: only prefixes with ≥2 members reach
-    # the per-group verdict stage
-    counts = prefixed.groupby("prefix").count().to_pandas()
-    hot = pa.array(counts[counts["count()"] >= 2]["prefix"].to_numpy())
-    if len(hot) == 0:
+    # same two-pass pruning as minhash, distributed end-to-end: only
+    # prefixes with ≥2 members reach the per-group verdict stage, selected
+    # via a hash semi-join instead of a driver-collected broadcast set
+    counts = prefixed.select_columns(["prefix"]).groupby("prefix").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["count()"], 2))
+                   .select(["prefix"]),
+        batch_format="pyarrow").materialize()  # small: one row per dup prefix
+    if hot.count() == 0:
         import ray.data
         return ray.data.from_arrow(pa.table(
             {id_col: pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    return (prefixed.map_batches(
-                lambda t: t.filter(pc.is_in(t["prefix"], value_set=hot)),
-                batch_format="pyarrow")
+    return (prefixed.join(hot, join_type="inner", num_partitions=8,
+                          on=("prefix",))
             .groupby("prefix").map_groups(verdicts, batch_format="pandas"))
 
 
@@ -331,8 +342,10 @@ def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
     each round, every node's label becomes the min label among itself and
     its neighbors (symmetrized edges → groupby(node).min). Converges in
     O(component diameter) rounds; each round shuffles only (node, label)
-    pairs. Use when the pair set itself is too large for the driver."""
-    import ray.data
+    pairs. Labels stay a Dataset throughout — the convergence check is a
+    distributed sum aggregate (labels only ever decrease, so the label sum
+    strictly decreases until the fixpoint); the driver sees one scalar per
+    round, never the label table."""
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
@@ -342,13 +355,15 @@ def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
                          "nbr": pa.concat_arrays([b.cast(pa.int64()),
                                                   a.cast(pa.int64())])})
 
-    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow")
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow") \
+        .materialize()  # reused every round; pairs only, not documents
     # labels: node -> current min known label (start: min neighbor vs self)
     labels = edges.groupby("node").min("nbr").map_batches(
         lambda t: pa.table({"node": t["node"],
                             "label": pc.min_element_wise(t["node"],
                                                          t["min(nbr)"])}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    prev_sum = labels.sum("label")
     for _ in range(max_iter):
         joined = edges.join(labels, join_type="inner", num_partitions=8,
                             on=("node",))
@@ -356,16 +371,17 @@ def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
         prop = joined.map_batches(
             lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
             batch_format="pyarrow")
-        new_labels = labels.union(prop).groupby("node").min("label") \
+        # repartition coalesces the aggregate's empty schema-less blocks,
+        # which Acero's join rejects on the build side
+        labels = labels.union(prop).groupby("node").min("label") \
             .map_batches(lambda t: pa.table({"node": t["node"],
                                              "label": t["min(label)"]}),
-                         batch_format="pyarrow")
-        new_df = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
-        old_df = labels.to_pandas().sort_values("node").reset_index(drop=True)
-        labels = ray.data.from_arrow(pa.Table.from_pandas(
-            new_df, preserve_index=False))  # arrow blocks: union partners match
-        if new_df.equals(old_df):
+                         batch_format="pyarrow") \
+            .repartition(8).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 

@@ -58,6 +58,34 @@ PAGES_SCHEMA = pa.schema([
 
 DEFAULT_PAGE_ROWS = 65536
 
+#: target per-partition Arrow bytes (middle of the 128-512 MB guidance —
+#: one map_groups task's working set)
+TARGET_PARTITION_BYTES = 256 << 20
+#: parquet-on-disk → in-memory Arrow expansion heuristic (measured ~3-4×
+#: on the webtext corpus)
+_PARQUET_EXPANSION = 4
+
+
+def auto_partitions(ds=None, source_paths: list[str] | None = None,
+                    target_bytes: int = TARGET_PARTITION_BYTES) -> int:
+    """Derive ``num_partitions`` so one partition ≈ ``target_bytes`` of
+    Arrow data (fits one encode task). Estimation is metadata-only: on-disk
+    bytes of the source files × an expansion factor — never executes the
+    dataset. Falls back to 32 when no size signal exists. At 100 TB this
+    yields ~1.6M partitions of 256 MB instead of 32 partitions of 3 TB."""
+    paths = list(source_paths) if source_paths else None
+    if not paths and ds is not None:
+        try:
+            paths = ds.input_files()
+        except Exception:
+            paths = None
+    if paths:
+        raw = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+        if raw > 0:
+            return max(8, int(np.ceil(raw * _PARQUET_EXPANSION
+                                      / target_bytes)))
+    return 32
+
 
 def _crc(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
@@ -281,7 +309,7 @@ def encode_batches(ds, columns: list[str] | None = None,
 
 
 def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
-                       url_col: str = "url", num_partitions: int = 32,
+                       url_col: str = "url", num_partitions: int | None = None,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        resume: bool = False,
                        hot_hosts: dict[str, int] | None = None,
@@ -302,6 +330,8 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        f"schema {schema_names}")
     columns = columns or [c for c in schema_names if c not in ("part_key",)]
     has_prov = "filepath" in schema_names
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds, source_paths)
 
     if hot_hosts is None:
         if source_paths:
@@ -499,7 +529,7 @@ class SplitEncoder:
 
 
 def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
-                     url_col: str = "url", num_partitions: int = 32,
+                     url_col: str = "url", num_partitions: int | None = None,
                      page_rows: int = DEFAULT_PAGE_ROWS,
                      resume: bool = False,
                      hot_hosts: dict[str, int] | None = None,
@@ -517,6 +547,8 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
     schema_names = ds.schema().names
     columns = columns or [c for c in schema_names if c not in ("part_key",)]
     has_prov = "filepath" in schema_names
+    if num_partitions is None:
+        num_partitions = auto_partitions(ds, source_paths)
 
     if hot_hosts is None:
         if source_paths:
@@ -596,6 +628,67 @@ def decode_pages(pages_ds, columns: list[str] | None = None):
         decode_group, batch_format="pyarrow")
 
 
+def _decode_partition_dir(dir_path: str,
+                          columns: list[str] | None = None) -> pa.Table:
+    """Decode every page group inside one ``part_key=`` directory locally:
+    read the partition's page files (pruned to the wanted columns), sort by
+    page_idx in-memory, slice each page group, decode. Pure function run
+    inside one Ray task; memory is bounded by the partition size the
+    encoder targeted (128-512 MB)."""
+    import pyarrow.dataset as pads
+    t = pads.dataset(dir_path).to_table(
+        columns=["page_idx", "column", "data"])
+    if columns:
+        t = t.filter(pc.is_in(t["column"],
+                              value_set=pa.array(sorted(columns))))
+    if t.num_rows == 0:
+        return pa.table({})
+    idx = np.asarray(t["page_idx"])
+    order = np.argsort(idx, kind="stable")
+    t = t.take(pa.array(order))
+    idx = idx[order]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(idx)) + 1,
+                             [len(idx)]])
+    out = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        group = t.slice(int(lo), int(hi - lo))
+        cols, arrays = [], []
+        seen = {c.as_py(): i for i, c in enumerate(group["column"])}
+        for name, i in seen.items():
+            chunk = EncodedChunk.from_bytes(group["data"][i].as_py())
+            arrays.append(get_codec(chunk.codec).decode(chunk))
+            cols.append(name)
+        out.append(pa.table(arrays, names=cols))
+    return pa.concat_tables(out, promote_options="default")
+
+
+def decode_dir(out_dir: str, columns: list[str] | None = None):
+    """Partition-local decode of an encoded layout on disk: one task per
+    ``part_key=`` directory, each decoding its own page groups — NO
+    all-to-all (a page group never spans part_key directories, by
+    construction of both encode paths). This replaces the global
+    groupby(part_key, page_idx) shuffle :func:`decode_pages` needs for
+    in-memory pages datasets; at 100 TB the decode plan is a pure task
+    fan-out with parallelism = num_partitions."""
+    import ray.data
+    pages_root = os.path.join(out_dir, "pages")
+    dirs = sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key="))
+    if not dirs:
+        raise FileNotFoundError(f"no part_key= dirs under {pages_root}")
+
+    def decode_one(batch: dict) -> pa.Table:
+        parts = [_decode_partition_dir(os.path.join(pages_root, str(d)),
+                                       columns)
+                 for d in batch["dir"]]
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts, promote_options="default") \
+            if parts else pa.table({})
+
+    return ray.data.from_items([{"dir": d} for d in dirs]) \
+        .map_batches(decode_one, batch_size=1, batch_format="numpy")
+
+
 def verify_encoded(out_dir: str) -> dict:
     """Checksum audit: recompute each stored page's CRC and XOR-combine per
     partition against the manifest (metadata + data read, no decode).
@@ -605,26 +698,39 @@ def verify_encoded(out_dir: str) -> dict:
     pages = ray.data.read_parquet(os.path.join(out_dir, "pages"),
                                   columns=["part_key", "checksum", "data"])
 
-    def chk(t: pa.Table) -> pa.Table:
+    def chk(t: pa.Table):
+        """Per-batch partial reduce: page-level CRCs fold into per-partition
+        XORs + mismatch counts INSIDE the task, so the driver receives
+        O(#partitions × #blocks) tiny rows, never one row per page."""
+        import pandas as pd
         actual = np.array([_crc(d.as_py()) for d in t["data"]],
                           dtype=np.int64)  # C-speed crc per page blob
-        return pa.table({"part_key": t["part_key"],
-                         "stored": t["checksum"],
-                         "actual": pa.array(actual)})
+        df = pd.DataFrame({"part_key": np.asarray(t["part_key"]),
+                           "stored": np.asarray(t["checksum"]),
+                           "actual": actual})
+        xor = lambda s: int(np.bitwise_xor.reduce(  # noqa: E731
+            s.to_numpy().astype(np.uint32)))
+        g = df.groupby("part_key")
+        return pd.DataFrame({
+            "stored": g["stored"].apply(xor),
+            "actual": g["actual"].apply(xor),
+            "mismatches": (df["stored"] != df["actual"])
+            .groupby(df["part_key"]).sum(),
+        }).reset_index()
 
-    df = pages.map_batches(chk, batch_format="pyarrow").to_pandas()
-    agg = df.groupby("part_key").agg(
+    partials = pages.map_batches(chk, batch_format="pyarrow").to_pandas()
+    agg = partials.groupby("part_key").agg(
         stored=("stored", lambda s: int(np.bitwise_xor.reduce(
             s.to_numpy().astype(np.uint32)))),
         actual=("actual", lambda s: int(np.bitwise_xor.reduce(
             s.to_numpy().astype(np.uint32)))),
-        page_match=("stored", "size"))
-    pagewise_ok = (df["stored"] == df["actual"]).groupby(df["part_key"]).all()
+        mismatches=("mismatches", "sum"))
     manifest = mf.load_manifest(out_dir)
     ok, bad = [], []
     for pk, row in agg.iterrows():
         m = manifest.get(str(int(pk)))
-        if pagewise_ok.loc[pk] and m is not None and m["checksum"] == row["actual"]:
+        if (row["mismatches"] == 0 and m is not None
+                and m["checksum"] == row["actual"]):
             ok.append(int(pk))
         else:
             bad.append(int(pk))
@@ -653,29 +759,26 @@ def lookup_rows(out_dir: str, values: list[str],
     keys = np.unique(compute_part_keys(
         pa.array(values, type=pa.string()), cfg["num_partitions"],
         cfg.get("hot_hosts") or {}))
-    parts = []
-    for k in keys:
-        d = os.path.join(out_dir, "pages", f"part_key={int(k)}")
-        if not os.path.isdir(d):
-            continue
-        ds = ray.data.read_parquet(d)
-
-        def ensure_key(t: pa.Table, _k=int(k)) -> pa.Table:
-            if "part_key" in t.schema.names:  # hive path already recovered it
-                return t.set_column(
-                    t.schema.get_field_index("part_key"), "part_key",
-                    pc.cast(t["part_key"], pa.int64()))
-            return t.append_column("part_key",
-                                   pa.array([_k] * t.num_rows, pa.int64()))
-
-        parts.append(ds.map_batches(ensure_key, batch_format="pyarrow"))
-    if not parts:
+    dirs = [os.path.join(out_dir, "pages", f"part_key={int(k)}")
+            for k in keys]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
         return None
-    pages = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     want_cols = columns
     if want_cols is not None and url_col not in want_cols:
         want_cols = [url_col, *want_cols]
-    decoded = decode_pages(pages, columns=want_cols)
+
+    # partition-local decode of ONLY the routed dirs — no shuffle, one task
+    # per touched partition
+    def decode_one(batch: dict) -> pa.Table:
+        parts = [_decode_partition_dir(str(d), want_cols)
+                 for d in batch["dir"]]
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts, promote_options="default") \
+            if parts else pa.table({})
+
+    decoded = ray.data.from_items([{"dir": d} for d in dirs]) \
+        .map_batches(decode_one, batch_size=1, batch_format="numpy")
     vals = pa.array(values, type=pa.string())
     return decoded.map_batches(
         lambda t: t.filter(pc.is_in(t[url_col], value_set=vals)),

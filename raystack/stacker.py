@@ -188,9 +188,21 @@ class Stacker:
                 outs.append(out)
                 continue
             sub = self._per_file_dataset(p)
-            # single file per input: small per-file writes via pyarrow
-            pq.write_table(pa.Table.from_pandas(sub.to_pandas(),
-                                                preserve_index=False), out)
+            # stream batches into one ParquetWriter per input file — the
+            # reference's out-of-core semantics (combine_csv.py:459-484);
+            # a drifting 50 GB input never materializes on the driver
+            writer = None
+            for batch in sub.iter_batches(batch_format="pyarrow",
+                                          batch_size=65536):
+                t = pa.Table.from_batches([batch]) \
+                    if isinstance(batch, pa.RecordBatch) else batch
+                if writer is None:
+                    writer = pq.ParquetWriter(out, t.schema)
+                writer.write_table(t)
+            if writer is None:
+                pq.write_table(self.plan.output_schema.empty_table(), out)
+            else:
+                writer.close()
             outs.append(out)
         return outs
 
@@ -211,7 +223,17 @@ class Stacker:
                 outs.append(out)
                 continue
             sub = self._per_file_dataset(p)
-            sub.to_pandas().to_csv(out, index=False)
+            # chunked append to one CSV per input (streamed, header once —
+            # reference to_csv_align's open-handle semantics)
+            first = True
+            with open(out, "w", newline="") as f:
+                for batch in sub.iter_batches(batch_format="pandas",
+                                              batch_size=65536):
+                    batch.to_csv(f, index=False, header=first)
+                    first = False
+                if first:
+                    pd.DataFrame(columns=self.plan.target_columns) \
+                        .to_csv(f, index=False)
             outs.append(out)
         return outs
 
