@@ -59,12 +59,10 @@ def output_filename(fname: str, sheet_name: str, output_dir: str | None = None
     return os.path.join(output_dir, out) if output_dir else out
 
 
-def convert_excel(fname: str, *args, **kwargs):  # pragma: no cover
-    """Workbook → CSV conversion needs an Excel reader; gated."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "Excel conversion needs openpyxl/xlrd; not installed in this "
-            "container. parse_header_range/collapse_multi_header implement "
-            "the pure prep logic.") from e
+def convert_excel(fname: str, sheet_name=0, output_dir: str | None = None,
+                  if_exists: str = "replace", **kwargs) -> str:
+    """Workbook sheet → CSV via the stdlib OOXML reader
+    (:mod:`raystack.sources.xlsx` — no openpyxl needed for .xlsx)."""
+    from .xlsx import XLStoBase
+    return XLStoBase(if_exists=if_exists, output_dir=output_dir) \
+        .convert_single(fname, sheet_name, **kwargs)

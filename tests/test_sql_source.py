@@ -1,0 +1,73 @@
+"""Executing SQL source/sink tests over stdlib sqlite3 (the reference's
+S4/K6 paths, combine_csv.py:506-550 + utils.py:17-65, exercised end-to-end
+without sqlalchemy)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ddl_sqlite_dialect():
+    import pyarrow as pa
+    from raystack.sources.sql import schema_to_ddl
+    ddl = schema_to_ddl(pa.schema([("a", pa.int64()), ("b", pa.string()),
+                                   ("c", pa.float64())]),
+                        "t", dialect="sqlite")
+    assert '"a" INTEGER' in ddl and '"b" TEXT' in ddl and '"c" REAL' in ddl
+
+
+def test_sqlite_write_read_roundtrip(ray_session, tmp_path):
+    import ray.data
+    from raystack.sources.sql import read_sql_table, write_sql_combine
+    uri = f"sqlite:///{tmp_path}/t.db"
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "n_chars"])
+    write_sql_combine(ds, uri, "docs", if_exists="replace")
+    back = read_sql_table("docs", uri).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "n_chars"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(exp)
+    assert back["text"].equals(exp["text"])
+    assert back["n_chars"].equals(exp["n_chars"])
+
+
+def test_sqlite_if_exists_modes(ray_session, tmp_path):
+    import ray.data
+    from raystack.sources.sql import read_sql_query, write_sql_combine
+    uri = f"sqlite:///{tmp_path}/m.db"
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "lang"]).limit(50)
+    write_sql_combine(ds, uri, "d", if_exists="replace")
+    with pytest.raises(Exception):  # table exists
+        write_sql_combine(ds, uri, "d", if_exists="fail")
+    write_sql_combine(ds, uri, "d", if_exists="append")
+    n = read_sql_query("SELECT count(*) AS n FROM d", uri).to_pandas()
+    assert int(n["n"][0]) == 100
+
+
+def test_stacker_sql_sink(ray_session, tmp_path):
+    """The reference's to_sql_combine flow through the Stacker facade."""
+    import numpy as np
+    import pyarrow as pa
+    from raystack.sources.sql import read_sql_query
+    from raystack.stacker import Stacker
+    paths = []
+    for i in range(2):
+        t = pa.table({"a": np.arange(5) + i * 5,
+                      "b": [f"r{i}{j}" for j in range(5)]})
+        p = str(tmp_path / f"in{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    st = Stacker(paths, add_filename=False)
+    ddl = st.to_sql_combine(table_name="stacked", return_create_sql=True)
+    assert "CREATE TABLE" in ddl
+    uri = f"sqlite:///{tmp_path}/s.db"
+    st.to_sql_combine(uri=uri, table_name="stacked")
+    back = read_sql_query("SELECT * FROM stacked ORDER BY a", uri).to_pandas()
+    assert back["a"].tolist() == list(range(10))

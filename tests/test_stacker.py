@@ -90,8 +90,16 @@ def test_excel_pure_logic():
                                   "flat"])
     assert cols == ["Year 2011", "sales", "flat"]
     assert output_filename("/x/y/book.xlsx", "Sheet1") == "book-Sheet1.csv"
-    with pytest.raises(NotImplementedError):
-        convert_excel("nope.xlsx")
+    # conversion is now un-gated via the stdlib OOXML reader
+    import pandas as pd
+    import tempfile
+    from raystack.sources.xlsx import write_xlsx
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "book.xlsx")
+        write_xlsx(p, {"Sheet1": [["a", "b"], [1, 2], [3, 4]]})
+        out = convert_excel(p, sheet_name="Sheet1")
+        got = pd.read_csv(out)
+        assert got["a"].tolist() == [1, 3]
 
 
 def test_encoded_sink(ray_session, sales_extra, tmp_path):
