@@ -86,6 +86,12 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
                           batch_format="pyarrow")
 
 
+#: hot-key sets up to this size are broadcast (one filter map, no join
+#: shuffle); bigger sets go through the distributed hash semi-join. The
+#: driver hop is only ever taken when the count is KNOWN to be bounded.
+_BROADCAST_LIMIT = 65536
+
+
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       bands: int = 8, sim_threshold: float = 0.7,
                       max_bucket: int = 256, slim_shuffle: bool = False):
@@ -153,7 +159,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda t: t.filter(pc.greater_equal(t["count()"], 2))
                    .select(["band", "bucket"]),
         batch_format="pyarrow").materialize()  # small: one row per dup bucket
-    if hot.count() == 0:
+    n_hot = hot.count()
+    if n_hot == 0:
         import ray.data
         return ray.data.from_arrow(pa.table(
             {id_col: pa.array([], pa.int64()),
@@ -165,9 +172,25 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                     batch_format="pyarrow")
     else:
         with_sig = slim
-    candidates_only = with_sig.join(hot, join_type="inner",
-                                    num_partitions=16,
-                                    on=("band", "bucket"))
+    if n_hot <= _BROADCAST_LIMIT:
+        # provably-small hot set → broadcast filter (no join shuffle); the
+        # count gate keeps driver memory bounded on any corpus
+        hp = hot.to_pandas()
+        hot_keys = pa.array((hp["band"].to_numpy().astype(np.int64) << 48)
+                            ^ hp["bucket"].to_numpy().astype(np.int64))
+
+        def keep_hot(t: pa.Table) -> pa.Table:
+            k = pc.bit_wise_xor(
+                pc.shift_left(pc.cast(t["band"], pa.int64()), 48),
+                pc.cast(t["bucket"], pa.int64()))
+            return t.filter(pc.is_in(k, value_set=hot_keys))
+
+        candidates_only = with_sig.map_batches(keep_hot,
+                                               batch_format="pyarrow")
+    else:
+        candidates_only = with_sig.join(hot, join_type="inner",
+                                        num_partitions=16,
+                                        on=("band", "bucket"))
 
     def candidates(g) -> "pd.DataFrame":  # pandas group: one (band, bucket)
         import pandas as pd
@@ -300,14 +323,21 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda t: t.filter(pc.greater_equal(t["count()"], 2))
                    .select(["prefix"]),
         batch_format="pyarrow").materialize()  # small: one row per dup prefix
-    if hot.count() == 0:
+    n_hot = hot.count()
+    if n_hot == 0:
         import ray.data
         return ray.data.from_arrow(pa.table(
             {id_col: pa.array([], pa.int64()),
              "dup_of": pa.array([], pa.int64())}))
-    return (prefixed.join(hot, join_type="inner", num_partitions=8,
-                          on=("prefix",))
-            .groupby("prefix").map_groups(verdicts, batch_format="pandas"))
+    if n_hot <= _BROADCAST_LIMIT:
+        hot_set = pa.array(hot.to_pandas()["prefix"].to_numpy())
+        cand = prefixed.map_batches(
+            lambda t: t.filter(pc.is_in(t["prefix"], value_set=hot_set)),
+            batch_format="pyarrow")
+    else:
+        cand = prefixed.join(hot, join_type="inner", num_partitions=8,
+                             on=("prefix",))
+    return cand.groupby("prefix").map_groups(verdicts, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

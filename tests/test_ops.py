@@ -357,3 +357,20 @@ def test_ivf_trained_centroids(ray_session):
                     n_probe=16).to_pandas()
     assert full.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         exact.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_minhash_join_path_matches_broadcast(ray_session, monkeypatch):
+    # the distributed hash-join candidate filter (taken when the hot-key
+    # set exceeds the broadcast limit) must agree with the broadcast path
+    import ray.data
+    from raystack.ops import dedup
+    base = ("shared words build a long duplicated paragraph that goes on "
+            "with plenty of shingles to hash repeatedly ") * 3
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [base, base + " tail", "something else wholly"]})
+    ds = ray.data.from_arrow(t)
+    want = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
+    got = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        want.sort_values("doc_id").reset_index(drop=True))
