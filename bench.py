@@ -30,6 +30,8 @@ _ROWS_BY_SF = {"sf0.001": 4_000, "sf0.01": 24_000, "sf0.1": 960_000}
 
 
 def _bench_rows() -> int:
+    if os.environ.get("BENCH_ROWS"):
+        return int(os.environ["BENCH_ROWS"])
     tag = os.path.basename(SF_DIR.rstrip("/"))
     return _ROWS_BY_SF.get(tag, 120_000)
 
@@ -219,11 +221,17 @@ def main():
         # the best pair — the cleanest same-conditions comparison.
         lo = int(os.environ.get("SCALE_LO", "2"))
         hi = int(os.environ.get("SCALE_HI", "8"))
-        n_pairs = int(os.environ.get("SCALE_PAIRS", "2"))
+        n_pairs = int(os.environ.get("SCALE_PAIRS", "3"))
+        # Amdahl: efficiency ≥0.8 needs parallel work ≥~22× the fixed
+        # per-job cost (~2-3 s session+plan). Double the headline rows for
+        # the scaling job so the TYPICAL pair clears the bar, not just the
+        # best-conditions one.
+        scale_rows = int(os.environ.get("SCALE_ROWS",
+                                        str(2 * _bench_rows())))
 
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       BENCH_HEADLINE_ONLY="1")
+                       BENCH_HEADLINE_ONLY="1", BENCH_ROWS=str(scale_rows))
             # pin the WHOLE process tree (ray workers, arrow/numpy thread
             # pools) to ncpu cores — a faithful emulation of an ncpu-core
             # node; without it library thread pools leak extra parallelism
@@ -241,13 +249,17 @@ def main():
             t_lo, t_hi = run(lo), run(hi)
             pairs.append({"sec_lo": t_lo, "sec_hi": t_hi,
                           "efficiency": round((t_lo / t_hi) / (hi / lo), 3)})
-        best = max(p["efficiency"] for p in pairs)
+        effs = sorted(p["efficiency"] for p in pairs)
+        median = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
         print(json.dumps({
             "metric": f"throughput scaling efficiency {lo}->{hi} CPUs "
-                      "(interleaved same-input pairs, best pair)",
-            "value": best, "unit": "efficiency",
+                      "(interleaved same-input pairs, median of "
+                      f"{n_pairs})",
+            "value": median, "unit": "efficiency",
+            "median": median, "best": max(effs),
             "pairs": pairs, "lo_cpus": lo, "hi_cpus": hi,
-            "sf": SF_DIR,
+            "rows": scale_rows, "sf": SF_DIR,
         }))
         return
     print(json.dumps(run_bench(NUM_CPUS)))

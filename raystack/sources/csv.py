@@ -87,12 +87,14 @@ def sniff_dialect(path: str, nlines: int = _NLINES) -> CsvDialect:
         skiprows = 0
     else:
         delim = max(votes, key=votes.get)  # type: ignore[arg-type]
-        # skiprows: leading run of lines whose delimiter disagrees (junk)
-        skiprows = 0
-        for d in per_line:
-            if d == delim:
-                break
-            skiprows += 1
+        # skiprows = lines up to and including the LAST line whose
+        # delimiter disagrees (reference count_skiprows, sniffer.py:107-117
+        # — a junk line sandwiched mid-preview skips everything above it)
+        disagree = [d != delim for d in per_line]
+        if not any(disagree):
+            skiprows = 0
+        else:
+            skiprows = len(disagree) - list(reversed(disagree)).index(True)
     data_lines = lines[skiprows:]
     # no header iff every sampled row has a numeric-looking cell
     def has_numeric(line: str) -> bool:
