@@ -137,3 +137,26 @@ def test_align_sinks_if_exists_skip(ray_session, sales_extra, tmp_path):
     outs2 = st.to_parquet_align(str(tmp_path / "a"), if_exists="skip")
     assert outs2 == outs
     assert all(os.path.getmtime(p) == mtimes[p] for p in outs2)  # untouched
+
+
+def test_dir_sync(tmp_path):
+    """S5 sync semantics (reference sync.py:61-164) over filesystem roots."""
+    from raystack.sources.sync import DirSync, FTPSync
+    remote = tmp_path / "remote"
+    (remote / "sub").mkdir(parents=True)
+    (remote / "a.csv").write_text("x")
+    (remote / "sub" / "b.csv").write_text("yy")
+    local = tmp_path / "local"
+    local.mkdir()
+    (local / "a.csv").write_text("x")  # already present
+    s = DirSync(str(remote), str(local))
+    missing, total = s.get_files_for_sync()
+    assert missing == {os.path.join("sub", "b.csv")}
+    assert total == 2
+    copied = s.sync()
+    assert len(copied) == 1 and os.path.exists(copied[0])
+    assert s.sync() == []  # idempotent
+    # flat (non-recursive) listing parity
+    assert s.get_all_files(subdirs=False, remote=True) == ["a.csv"]
+    with pytest.raises(NotImplementedError):
+        FTPSync("h", "u", "p", "/d")
