@@ -90,6 +90,36 @@ def read_sql_table(table_name: str, uri: str, **read_kwargs):
     return read_sql_query(f"SELECT * FROM {table_name}", uri, **read_kwargs)
 
 
+def pd_to_sql(df, uri: str, table_name: str, if_exists: str = "fail") -> str:
+    """Standalone DataFrame → DB bulk loader (reference pd_to_psql /
+    pd_to_mysql, utils.py:69-151: create table from the frame's schema,
+    then one bulk insert). sqlite:/// executes natively; server dialects
+    need their drivers."""
+    import pyarrow as pa
+    factory = _connection_factory(uri)
+    schema = pa.Schema.from_pandas(df, preserve_index=False)
+    dialect = "sqlite" if uri.startswith("sqlite://") else "postgres"
+    conn = factory()
+    try:
+        cur = conn.cursor()
+        if if_exists == "replace":
+            cur.execute(f"DROP TABLE IF EXISTS {table_name}")
+        ddl = schema_to_ddl(schema, table_name, dialect=dialect)
+        if if_exists == "append":
+            ddl = ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS", 1)
+        cur.execute(ddl.rstrip(";\n "))
+        cur.executemany(
+            f"INSERT INTO {table_name} VALUES "
+            f"({', '.join(['?'] * len(df.columns))})",
+            [tuple(None if v != v else v for v in row) if any(
+                isinstance(v, float) for v in row) else tuple(row)
+             for row in df.itertuples(index=False, name=None)])
+        conn.commit()
+    finally:
+        conn.close()
+    return table_name
+
+
 def write_sql_combine(ds, uri: str, table_name: str,
                       if_exists: str = "fail") -> str:
     """Aligned Dataset → SQL table: create the table from the unified

@@ -71,3 +71,19 @@ def test_stacker_sql_sink(ray_session, tmp_path):
     st.to_sql_combine(uri=uri, table_name="stacked")
     back = read_sql_query("SELECT * FROM stacked ORDER BY a", uri).to_pandas()
     assert back["a"].tolist() == list(range(10))
+
+
+def test_pd_to_sql_bulk_loader(tmp_path):
+    """K11-family parity: standalone DataFrame bulk load (reference
+    pd_to_psql semantics on the sqlite backend)."""
+    from raystack.sources.sql import pd_to_sql, _connection_factory
+    uri = f"sqlite:///{tmp_path}/bulk.db"
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", None],
+                       "c": [1.5, float("nan"), 3.0]})
+    pd_to_sql(df, uri, "t", if_exists="replace")
+    conn = _connection_factory(uri)()
+    rows = conn.execute("SELECT * FROM t ORDER BY a").fetchall()
+    conn.close()
+    assert rows[0] == (1, "x", 1.5)
+    assert rows[1][1] == "y" and rows[1][2] is None  # NaN -> NULL
+    assert rows[2] == (3, None, 3.0)
