@@ -122,20 +122,32 @@ def run_bench(num_cpus: int) -> dict:
         .map_batches(_warm).count()
 
     queries: dict[str, float] = {}
-    out = os.path.join(CACHE, f"enc_{n_rows}_{num_cpus}")
+    # encode outputs default to the cache dir; scaling runs point this at
+    # tmpfs (/dev/shm) — this box's disk writes ~46 MB/s fsync'd, a
+    # non-scaling shared resource that would corrupt the CPU-scaling
+    # measurement (a real cluster's storage bandwidth scales with nodes)
+    out_root = os.environ.get("BENCH_OUT_DIR", CACHE)
+    out = os.path.join(out_root, f"enc_{n_rows}_{num_cpus}")
     headline_only = bool(os.environ.get("BENCH_HEADLINE_ONLY"))
     repeats = 2 if headline_only else 3
 
     # best of 3 repeats — the shared sandbox has high run-to-run variance
     t_enc = float("inf")
+    web_cols = ["url", "warc_ts", "html", "text", "lang",
+                "filepath", "filename"]
     for _ in range(repeats):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
+        # keyer+packer fused into the read/align tasks (post_align) so the
+        # uncompressed table never crosses the object store; the shuffle
+        # moves zstd-packed segments only
         ds = read_aligned(paths, columns_rename={"body": "text"},
-                          add_filename=True)
+                          add_filename=True,
+                          post_align=pl.make_keyer_pack("url", 32,
+                                                        hot_hosts))
         # fixed partition count across parallelism levels: the scaling runs
         # compare identical work graphs, isolating worker-pool scaling
-        pl.encode_partitioned(ds, out, num_partitions=32,
+        pl.encode_partitioned(ds, out, columns=web_cols, num_partitions=32,
                               hot_hosts=hot_hosts)
         t_enc = min(t_enc, time.perf_counter() - t0)
     queries["webtext_encode"] = round(t_enc, 3)
@@ -231,7 +243,9 @@ def main():
 
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                       BENCH_HEADLINE_ONLY="1", BENCH_ROWS=str(scale_rows))
+                       BENCH_HEADLINE_ONLY="1", BENCH_ROWS=str(scale_rows),
+                       BENCH_OUT_DIR=os.environ.get(
+                           "BENCH_OUT_DIR", "/dev/shm/raystack_bench"))
             # pin the WHOLE process tree (ray workers, arrow/numpy thread
             # pools) to ncpu cores — a faithful emulation of an ncpu-core
             # node; without it library thread pools leak extra parallelism

@@ -65,6 +65,7 @@ def read_aligned(paths: list[str],
                  apply_after_read: Callable | None = None,
                  plan: AlignPlan | None = None,
                  ordered: bool = False,
+                 post_align: Callable[[pa.Table], pa.Table] | None = None,
                  **read_kwargs):
     """Build the aligned Dataset (lazy). ``apply_after_read`` mirrors the
     reference's per-chunk UDF hook (combine_csv.py:101-102): a pandas
@@ -75,7 +76,14 @@ def read_aligned(paths: list[str],
     unioned in path order — pair with
     ``DataContext.execution_options.preserve_order`` (see
     ``Stacker.to_pandas(ordered=True)``). Default is the faster
-    schema-grouped layout with order-insensitive (keyed) semantics."""
+    schema-grouped layout with order-insensitive (keyed) semantics.
+
+    ``post_align`` is applied per branch BEFORE the union so Ray fuses it
+    into the read task chain — a downstream ``map_batches`` placed after
+    the union cannot fuse across it, and every batch would cross the
+    object store once more (measured: the encode pipeline's keyer+pack
+    stage moves the full uncompressed table through plasma without
+    this)."""
     import ray.data
 
     if plan is None:
@@ -113,8 +121,11 @@ def read_aligned(paths: list[str],
             kw["override_num_blocks"] = max(len(group), -(-gbytes // target))
         ds = ray.data.read_parquet(group, columns=sorted(needed) or None,
                                    include_paths=plan.add_filename, **kw)
-        parts.append(ds.map_batches(make_align_fn(plan, group[0]),
-                                    batch_format="pyarrow"))
+        branch = ds.map_batches(make_align_fn(plan, group[0]),
+                                batch_format="pyarrow")
+        if post_align is not None:
+            branch = branch.map_batches(post_align, batch_format="pyarrow")
+        parts.append(branch)
     out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     if apply_after_read is not None:
         out = out.map_batches(apply_after_read, batch_format="pandas")

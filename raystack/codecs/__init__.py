@@ -13,10 +13,12 @@ from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
 from .plain import PlainCodec
 from .rle import RleCodec
-from .zwrap import ZlibWrapCodec
+from .zwrap import ZlibWrapCodec, ZstdWrapCodec
 
 
 def get_codec(name: str) -> Codec:
+    if name.endswith("+zs"):
+        return ZstdWrapCodec(get_codec(name[:-3]))
     if name.endswith("+z"):
         return ZlibWrapCodec(get_codec(name[:-2]))
     if name == "plain":
@@ -48,4 +50,5 @@ def decode_blob(blob: bytes) -> pa.Array:
 
 
 ALL_CODECS = ["plain", "dict", "dict->fsst", "rle", "rle->dict",
-              "for_bitpack", "delta_bitpack", "bytesplit", "fsst"]
+              "for_bitpack", "delta_bitpack", "bytesplit", "fsst",
+              "plain+zs", "dict+zs", "fsst+zs", "plain+z"]

@@ -208,6 +208,53 @@ def add_partition_key(ds, url_col: str = "url", num_partitions: int = 32,
     return ds.map_batches(keyer, batch_format="pyarrow")
 
 
+def pack_segments(batch: pa.Table) -> pa.Table:
+    """Shuffle compression: slice a keyed batch into per-part_key segments
+    and ship each as ONE zstd-compressed Arrow IPC blob. The sort then moves
+    ~4× fewer bytes (html/text compress well) and a few rows per block
+    instead of every row — the all-to-all stops being memory-bandwidth
+    bound. Co-location semantics are unchanged: the group stage decompresses
+    and concatenates before building dictionaries."""
+    if batch.num_rows == 0:
+        return pa.table({"part_key": pa.array([], pa.int64()),
+                         "seg": pa.array([], pa.large_binary())})
+    keys = np.asarray(batch["part_key"])
+    order = np.argsort(keys, kind="stable")
+    tbl = batch.take(pa.array(order))
+    keys = keys[order]
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                             [len(keys)]])
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    out_keys, blobs = [], []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        seg = tbl.slice(int(lo), int(hi - lo)).combine_chunks()
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, seg.schema, options=opts) as w:
+            w.write_table(seg)
+        out_keys.append(int(keys[lo]))
+        blobs.append(sink.getvalue().to_pybytes())
+    return pa.table({"part_key": pa.array(out_keys, pa.int64()),
+                     "seg": pa.array(blobs, pa.large_binary())})
+
+
+def make_keyer_pack(url_col: str = "url", num_partitions: int = 32,
+                    hot_hosts: dict[str, int] | None = None):
+    """Fused keyer + segment packer for :func:`encode_partitioned`. Pass
+    the result as ``read_aligned(post_align=...)`` so it fuses INTO the
+    read/align task chain (a map placed after the union can't fuse across
+    it, and the full uncompressed table would cross the object store once
+    more); then call ``encode_partitioned(ds, ..., columns=[...])`` — the
+    pre-packed input is detected by its (part_key, seg) schema."""
+
+    def keyer_pack(batch: pa.Table) -> pa.Table:
+        keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts)
+        keyed = batch.append_column("part_key",
+                                    pa.array(keys, type=pa.int64()))
+        return pack_segments(keyed)
+
+    return keyer_pack
+
+
 # ---------------------------------------------------------------------------
 # encoding
 # ---------------------------------------------------------------------------
@@ -325,23 +372,35 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     from .log import get_logger
     log = get_logger(logger)
     schema_names = ds.schema().names
-    if url_col not in schema_names:
-        raise KeyError(f"partition key column {url_col!r} not in dataset "
-                       f"schema {schema_names}")
-    columns = columns or [c for c in schema_names if c not in ("part_key",)]
-    has_prov = "filepath" in schema_names
-    if num_partitions is None:
-        num_partitions = auto_partitions(ds, source_paths)
-
-    if hot_hosts is None:
-        if source_paths:
-            # pruned pre-pass: read ONLY the key column from the raw files
-            import ray.data
-            url_ds = ray.data.read_parquet(source_paths, columns=[url_col])
-            hot_hosts = detect_hot_hosts(url_ds, url_col, num_partitions)
-        else:
-            hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
-    keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
+    pre_packed = set(schema_names) == {"part_key", "seg"}
+    if pre_packed:
+        if columns is None:
+            raise ValueError("encode_partitioned on a pre-packed dataset "
+                             "(make_keyer_pack) needs an explicit columns=")
+        if num_partitions is None:
+            num_partitions = auto_partitions(ds, source_paths)
+        hot_hosts = hot_hosts or {}
+        keyed = ds
+    else:
+        if url_col not in schema_names:
+            raise KeyError(f"partition key column {url_col!r} not in dataset "
+                           f"schema {schema_names}")
+        columns = columns or [c for c in schema_names
+                              if c not in ("part_key",)]
+        if num_partitions is None:
+            num_partitions = auto_partitions(ds, source_paths)
+        if hot_hosts is None:
+            if source_paths:
+                # pruned pre-pass: read ONLY the key column from raw files
+                import ray.data
+                url_ds = ray.data.read_parquet(source_paths,
+                                               columns=[url_col])
+                hot_hosts = detect_hot_hosts(url_ds, url_col, num_partitions)
+            else:
+                hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
+        keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
+        keyed = keyed.map_batches(pack_segments, batch_format="pyarrow")
+    has_prov = "filepath" in columns or "filename" in columns
 
     keyed = _apply_resume(keyed, out_dir, resume)
 
@@ -352,10 +411,13 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
 
     def encode_group(group: pa.Table) -> pa.Table:
         pk = int(group["part_key"][0].as_py())
+        tables = [pa.ipc.open_stream(pa.BufferReader(b.as_py())).read_all()
+                  for b in group["seg"]]
+        full = pa.concat_tables(tables, promote_options="default")
         files = ""
         if has_prov:
-            files = json.dumps(sorted(set(group["filename"].to_pylist())))
-        return _encode_table(group, pk, enc_cols + prov_cols, page_rows,
+            files = json.dumps(sorted(set(full["filename"].to_pylist())))
+        return _encode_table(full, pk, enc_cols + prov_cols, page_rows,
                              input_files=files)
 
     log.send_log(f"encode_partitioned: {len(hot_hosts)} hot host(s) salted, "

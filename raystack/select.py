@@ -72,27 +72,27 @@ def _stats(sample: pa.Array) -> dict:
 def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
     """Candidate codecs for a type, pruned by sample stats when given."""
     if forbp.is_supported(t):
-        out = ["plain", "for_bitpack", "for_bitpack+z", "delta_bitpack",
-               "delta_bitpack+z"]
+        out = ["plain", "for_bitpack", "for_bitpack+zs", "delta_bitpack",
+               "delta_bitpack+zs"]
         if stats is None or stats["distinct_ratio"] < 0.5:
             out.append("dict")
         if stats is None or stats["run_ratio"] < 0.5:
             out.append("rle")
         return out
     if fsst.is_supported(t):
-        out = ["plain", "plain+z"]
+        out = ["plain", "plain+zs"]
         low_card = stats is None or stats["distinct_ratio"] < 0.5
         wide = stats is None or stats["avg_bytes"] >= 8
         if low_card:
-            out += ["dict", "dict+z", "dict->fsst"]
+            out += ["dict", "dict+zs", "dict->fsst"]
             if stats is not None and stats["run_ratio"] < 0.5:
                 out.append("rle->dict")
         if wide and not (stats is not None and low_card):
-            out += ["fsst+z"]
+            out += ["fsst+zs"]
         if stats is None:
-            out += ["fsst", "fsst+z", "rle->dict"]
+            out += ["fsst", "fsst+zs", "rle->dict"]
         return out
-    out = ["plain", "plain+z"]
+    out = ["plain", "plain+zs"]
     if pa.types.is_floating(t):
         out.append("bytesplit")
     if stats is None or stats["distinct_ratio"] < 0.5:
@@ -128,7 +128,7 @@ def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> st
     # speed-aware hysteresis: full-column FSST encodes ~20x slower than the
     # buffer-level codecs; only pick it when the size win is decisive
     # (> 10%), not sampling noise
-    slow = {"fsst", "fsst+z"}
+    slow = {"fsst", "fsst+z", "fsst+zs"}
     if best in slow:
         fast = {k: v for k, v in est.items() if k not in slow}
         if fast:

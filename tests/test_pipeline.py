@@ -260,3 +260,25 @@ def test_auto_partitions_sizing(ray_session, web, tmp_path):
     summary = pl.encode_partitioned(ds, out)  # num_partitions omitted
     assert summary["rows"] == 3000
     assert mf.load_config(out)["num_partitions"] == 8
+
+
+def test_fused_keyer_pack_matches_plain_path(ray_session, web, tmp_path):
+    # the fused read→align→key→pack pipeline (shuffle compression) must
+    # produce the same decoded table and manifest as the unfused path
+    import ray.data
+    out_a = str(tmp_path / "plain_path")
+    out_b = str(tmp_path / "fused_path")
+    ds = ray.data.read_parquet(web)
+    pl.encode_partitioned(ds, out_a, num_partitions=4, hot_hosts={})
+    fused = read_aligned(web, add_filename=False,
+                         post_align=pl.make_keyer_pack("url", 4, {}))
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    pl.encode_partitioned(fused, out_b, columns=cols, num_partitions=4,
+                          hot_hosts={})
+    a = _df_by_url(pl.decode_dir(out_a).to_pandas())
+    b = _df_by_url(pl.decode_dir(out_b).to_pandas())
+    for c in cols:
+        assert a[c].equals(b[c]), c
+    sa = mf.manifest_summary(out_a)
+    sb = mf.manifest_summary(out_b)
+    assert sa["rows"] == sb["rows"] == 3000
