@@ -415,6 +415,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
                                            "lang"])
 
+    def webtext_lookup(sf):
+        """Random access over the encoded layout written by webtext_encode:
+        route 3 urls through the persisted partition config, read ONLY the
+        touched part_key dirs, decode, filter. The oracle reads the same
+        rows from the aligned snapshot."""
+        from raystack import pipeline as pl
+        scale = 2000 if "0.001" in sf else 6000
+        out = os.path.join(_SCRATCH, f"webtext_{scale}") + "_enc"
+        snap = os.path.join(_SCRATCH, "webtext_snap")
+        if not os.path.isdir(out):  # tolerate standalone invocation order
+            queries()["webtext_encode"](sf).count()
+        import duckdb
+        targets = [r[0] for r in duckdb.sql(
+            f"SELECT url FROM read_parquet('{snap}/*.parquet') "
+            "ORDER BY url LIMIT 3").fetchall()]
+        got = pl.lookup_rows(out, targets, columns=["text", "lang"])
+        return got.select_columns(["url", "text", "lang"])
+
     def multimodal_features(sf):
         from raystack.ops.multimodal import extract_image_features
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -487,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
+        "webtext_lookup": webtext_lookup,
         "multimodal_features": multimodal_features,
         "multimodal_dims": multimodal_dims,
     }
@@ -660,6 +679,12 @@ def oracle_sql() -> dict[str, str]:
         "webtext_encode": (
             "SELECT url, warc_ts, html, text, lang FROM "
             f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
+        "webtext_lookup": (
+            "SELECT url, text, lang FROM "
+            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet') "
+            "WHERE url IN (SELECT url FROM "
+            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet') "
+            "ORDER BY url LIMIT 3)"),
         "ann_topk": ann_sql,
         "ivf_topk": ann_sql,  # full probe ⇒ IVF result is exactly brute force
     }

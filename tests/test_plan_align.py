@@ -153,3 +153,23 @@ def test_type_promotion_across_files(ray_session, tmp_path):
     assert plan.unified_schema.field("v").type == pa.float64()
     got = read_aligned(paths, add_filename=False).to_pandas()
     assert sorted(got["k"]) == [1, 2, 3]
+
+
+def test_unified_read_matches_grouped(ray_session, tmp_path):
+    # the single-read path-routed align (unified_read=True) must produce
+    # the same table as the default schema-grouped union layout
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raystack.align import read_aligned
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": [1, 2], "y": ["u", "v"]}), p1)
+    pq.write_table(pa.table({"x": [3, 4], "z": [1.5, 2.5]}), p2)
+    kw = dict(add_filename=True)
+    a = read_aligned([p1, p2], **kw).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    b = read_aligned([p1, p2], unified_read=True, **kw).to_pandas() \
+        .sort_values("x").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert a[c].fillna("∅").tolist() == b[c].fillna("∅").tolist(), c
