@@ -374,3 +374,20 @@ def test_minhash_join_path_matches_broadcast(ray_session, monkeypatch):
     got = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
     assert got.sort_values("doc_id").reset_index(drop=True).equals(
         want.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_minhash_slim_shuffle_matches_default(ray_session):
+    # slim_shuffle re-explodes with signatures only for candidate rows —
+    # results must equal the default (sig-carrying) path
+    import ray.data
+    from raystack.ops.dedup import minhash_lsh_dedup
+    base = ("many common words build one long duplicated paragraph that "
+            "keeps going with lots of shingles to hash ") * 3
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": [base, base + " tail", "other text entirely here",
+                           base.replace("common", "shared")]})
+    ds = ray.data.from_arrow(t)
+    a = minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
+    b = minhash_lsh_dedup(ds, sim_threshold=0.5, slim_shuffle=True).to_pandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True))
