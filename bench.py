@@ -148,20 +148,36 @@ def run_bench(num_cpus: int) -> dict:
     for _ in range(repeats):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
-        # keyer+packer fused into the read/align tasks (post_align) so the
-        # uncompressed table never crosses the object store; the shuffle
-        # moves zstd-packed segments only
-        ds = read_aligned(paths, columns_rename={"body": "text"},
-                          add_filename=True,
-                          post_align=pl.make_keyer_pack(
-                              "url", n_parts, host_map=host_map))
-        # fixed partition count across parallelism levels: the scaling runs
-        # compare identical work graphs, isolating worker-pool scaling
-        pl.encode_partitioned(ds, out, columns=web_cols,
-                              num_partitions=n_parts,
-                              host_map=host_map, pre_packed=True)
+        # headline: the deterministic raw-task exchange (one object per
+        # (map, partition); perfectly even reduce granularity — measured
+        # ~1.7x faster than the sampled-sort groupby at 8 CPUs). The
+        # partition count is fixed across parallelism levels so scaling
+        # runs compare identical work graphs.
+        pl.encode_partitioned_tasks(paths, out,
+                                    columns_rename={"body": "text"},
+                                    num_partitions=n_parts,
+                                    host_map=host_map)
         t_enc = min(t_enc, time.perf_counter() - t0)
     queries["webtext_encode"] = round(t_enc, 3)
+
+    if not headline_only:
+        # Dataset-API groupby path (keyer+packer fused into the read/align
+        # tasks; zstd-packed segment shuffle) kept as a tracked secondary
+        out_g = os.path.join(out_root, f"encg_{n_rows}_{num_cpus}")
+        t_g = float("inf")
+        for _ in range(2):
+            shutil.rmtree(out_g, ignore_errors=True)
+            t0 = time.perf_counter()
+            ds = read_aligned(paths, columns_rename={"body": "text"},
+                              add_filename=True,
+                              post_align=pl.make_keyer_pack(
+                                  "url", n_parts, host_map=host_map))
+            pl.encode_partitioned(ds, out_g, columns=web_cols,
+                                  num_partitions=n_parts,
+                                  host_map=host_map, pre_packed=True)
+            t_g = min(t_g, time.perf_counter() - t0)
+        queries["webtext_encode_groupby"] = round(t_g, 3)
+        shutil.rmtree(out_g, ignore_errors=True)
     encoded_bytes = sum(
         os.path.getsize(p)
         for p in glob.glob(os.path.join(out, "pages", "**", "*.parquet"),

@@ -310,3 +310,75 @@ def test_plan_host_partitions_balances(ray_session):
     other = pl.compute_part_keys(pa.array(["https://unseen.xyz/a"]), P,
                                  host_map=hm)
     assert 0 <= other[0] < P
+
+
+def test_encode_partitioned_tasks_roundtrip(ray_session, web, tmp_path):
+    # the raw-task deterministic exchange must produce the same decoded
+    # relation and manifest totals as the Dataset groupby path
+    out_t = str(tmp_path / "enc_tasks")
+    out_g = str(tmp_path / "enc_gby")
+    s_t = pl.encode_partitioned_tasks(list(web), out_t, num_partitions=8)
+    s_g = pl.encode_partitioned(read_aligned(web, add_filename=True), out_g,
+                                num_partitions=8)
+    assert s_t["rows"] == s_g["rows"] == 3000
+    got = _df_by_url(pl.decode_dir(out_t).to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
+    for col in ["url", "warc_ts", "html", "text", "lang", "filename"]:
+        assert got[col].tolist() == exp[col].tolist(), col
+    # same partition assignment (same keying math) → same per-partition rows
+    mt, mg = mf.load_manifest(out_t), mf.load_manifest(out_g)
+    assert {k: v["rows"] for k, v in mt.items()} == \
+        {k: v["rows"] for k, v in mg.items()}
+    # lineage present
+    for row in mt.values():
+        assert row["input_files"] and row["codecs"]
+
+
+def test_encode_tasks_multi_file_maps(ray_session, web, tmp_path):
+    # map_bytes huge -> one map task covering all files (the MSEG
+    # length-prefixed multi-blob slot format)
+    out = str(tmp_path / "enc_mseg")
+    s = pl.encode_partitioned_tasks(list(web), out, num_partitions=4,
+                                    map_bytes=1 << 40)
+    assert s["rows"] == 3000
+    got = _df_by_url(pl.decode_dir(out).to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["html"].tolist() == exp["html"].tolist()
+
+
+def test_encode_tasks_single_partition(ray_session, web, tmp_path):
+    # num_partitions=1 exercises the num_returns=1 (single-ref) edge
+    out = str(tmp_path / "enc_p1")
+    s = pl.encode_partitioned_tasks(list(web), out, num_partitions=1)
+    assert s["rows"] == 3000
+    assert pl.decode_dir(out).count() == 3000
+
+
+def test_encode_tasks_resume(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc_tres")
+    pl.encode_partitioned_tasks(list(web), out, num_partitions=8)
+    m1 = mf.load_manifest(out)
+    # wipe two partitions from the manifest; resume must re-encode ONLY them
+    import os as _os
+    done = sorted(m1, key=int)
+    redo = set(done[:2])
+    mf_path = _os.path.join(out, "_manifest", "manifest.json")
+    mm = json.load(open(mf_path))
+    for k in redo:
+        del mm[k]
+    json.dump(mm, open(mf_path, "w"))
+    import time as _time
+    mtimes = {d: _os.path.getmtime(_os.path.join(out, "pages", d))
+              for d in _os.listdir(_os.path.join(out, "pages"))}
+    _time.sleep(0.05)
+    s = pl.encode_partitioned_tasks(list(web), out, num_partitions=8,
+                                    resume=True)
+    m2 = mf.load_manifest(out)
+    assert m1.keys() == m2.keys()
+    assert s["rows"] == 3000
+    for d, old in mtimes.items():
+        k = d.split("=", 1)[1]
+        changed = _os.path.getmtime(_os.path.join(out, "pages", d)) != old
+        assert changed == (k in redo), (d, changed)
+    assert pl.decode_dir(out).count() == 3000
