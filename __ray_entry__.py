@@ -415,6 +415,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
                                            "lang"])
 
+    def webtext_encode_tasks(sf):
+        """Same flagship relation through the raw-task deterministic
+        exchange (`pipeline.encode_partitioned_tasks`) — the driver's
+        oracle proves the two exchange implementations agree."""
+        from raystack import pipeline as pl
+        from raystack.gen import write_webtext
+        scale = 2000 if "0.001" in sf else 6000
+        base = os.path.join(_SCRATCH, f"webtext_{scale}")
+        out = base + "_enct"
+        shutil.rmtree(out, ignore_errors=True)
+        paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
+        snap = os.path.join(_SCRATCH, "webtext_snap")
+        if not os.path.isdir(snap):
+            from raystack.align import read_aligned
+            read_aligned(paths, columns_rename={"body": "text"},
+                         add_filename=True) \
+                .select_columns(["url", "warc_ts", "html", "text", "lang"]) \
+                .write_parquet(snap)
+        pl.encode_partitioned_tasks(paths, out,
+                                    columns_rename={"body": "text"},
+                                    num_partitions=8)
+        return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
+                                           "lang"])
+
     def webtext_lookup(sf):
         """Random access over the encoded layout written by webtext_encode:
         route 3 urls through the persisted partition config, read ONLY the
@@ -505,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
+        "webtext_encode_tasks": webtext_encode_tasks,
         "webtext_lookup": webtext_lookup,
         "multimodal_features": multimodal_features,
         "multimodal_dims": multimodal_dims,
@@ -677,6 +702,9 @@ def oracle_sql() -> dict[str, str]:
             "((strlen(text) * 9973) % 65536) % 1080 + 16 AS height, "
             "CAST(3 AS BIGINT) AS channels FROM documents"),
         "webtext_encode": (
+            "SELECT url, warc_ts, html, text, lang FROM "
+            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
+        "webtext_encode_tasks": (
             "SELECT url, warc_ts, html, text, lang FROM "
             f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
         "webtext_lookup": (
