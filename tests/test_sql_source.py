@@ -87,3 +87,99 @@ def test_pd_to_sql_bulk_loader(tmp_path):
     assert rows[0] == (1, "x", 1.5)
     assert rows[1][1] == "y" and rows[1][2] is None  # NaN -> NULL
     assert rows[2] == (3, None, 3.0)
+
+
+class _FakeCursor:
+    """DBAPI2 cursor recording statements + COPY payloads (stands in for
+    psycopg2/mysql/pymssql cursors absent from this container)."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def execute(self, sql, *a):
+        self.log.append(("execute", sql))
+
+    def copy_expert(self, sql, buf):
+        self.log.append(("copy", sql, buf.read()))
+
+
+class _FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        return _FakeCursor(self.log)
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+def test_pd_to_psql_native_copy(tmp_path):
+    # reference utils.py:69-112: header-less CSV buffer, null='', COPY,
+    # table created from the frame's schema honoring if_exists
+    from raystack.sources.sql import pd_to_psql
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", None]})
+    log = []
+    assert pd_to_psql(df, "postgresql+psycopg2://u:p@h/db", "T",
+                      if_exists="replace", _factory=lambda: _FakeConn(log))
+    kinds = [e[0] for e in log]
+    assert kinds == ["execute", "execute", "copy", "commit", "close"]
+    assert log[0][1] == "DROP TABLE IF EXISTS t"        # lower-cased name
+    assert log[1][1].startswith("CREATE TABLE t")
+    copy_sql, payload = log[2][1], log[2][2]
+    assert copy_sql == ("COPY t FROM STDIN WITH "
+                        "(FORMAT csv, DELIMITER ',', NULL '')")
+    assert payload == "1,x\n2,\n"                        # no header, '' null
+
+
+def test_pd_to_mysql_load_data(tmp_path):
+    from raystack.sources.sql import pd_to_mysql
+    df = pd.DataFrame({"a": [1, 2], "b": ["x", None]})
+    log = []
+    tmpfile = str(tmp_path / "stage.csv")
+    staged = {}
+
+    class SnoopCursor(_FakeCursor):
+        def execute(self, sql, *a):
+            if sql.startswith("LOAD DATA"):
+                staged["csv"] = open(tmpfile).read()
+            super().execute(sql, *a)
+
+    class SnoopConn(_FakeConn):
+        def cursor(self):
+            return SnoopCursor(self.log)
+
+    assert pd_to_mysql(df, "mysql+mysqlconnector://u:p@h/db", "T",
+                       if_exists="append", tmpfile=tmpfile,
+                       _factory=lambda: SnoopConn(log))
+    create, load = log[0][1], log[1][1]
+    assert create.startswith("CREATE TABLE IF NOT EXISTS t")
+    assert load == (f"LOAD DATA LOCAL INFILE '{tmpfile}' INTO TABLE t "
+                    "FIELDS TERMINATED BY ',' LINES TERMINATED BY '\n' "
+                    "IGNORE 1 LINES;")
+    assert staged["csv"] == "a,b\n1,x\n2,\\N\n"          # header + \N nulls
+    assert not os.path.exists(tmpfile)                   # cleaned up
+
+
+def test_pd_to_mssql_bulk_insert(tmp_path):
+    from raystack.sources.sql import pd_to_mssql
+    df = pd.DataFrame({"a": [1]})
+    log = []
+    tmpfile = str(tmp_path / "stage.csv")
+    assert pd_to_mssql(df, "mssql+pymssql://u:p@h/db", "T",
+                       schema_name="DBO", tmpfile=tmpfile,
+                       _factory=lambda: _FakeConn(log))
+    assert log[0][1].startswith("CREATE TABLE dbo.t")
+    assert log[1][1] == f"BULK INSERT dbo.t FROM '{tmpfile}';"
+
+
+def test_pd_to_loaders_uri_validation():
+    from raystack.sources.sql import pd_to_mysql, pd_to_psql
+    df = pd.DataFrame({"a": [1]})
+    with pytest.raises(ValueError, match="psycopg2"):
+        pd_to_psql(df, "postgresql://u:p@h/db", "t")
+    with pytest.raises(ValueError, match="mysqlconnector"):
+        pd_to_mysql(df, "mysql://u:p@h/db", "t")
