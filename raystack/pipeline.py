@@ -768,8 +768,16 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              "num_partitions": num_partitions,
                              "hot_hosts": hot_hosts,
                              "host_map": host_map})
-    groups = _group_files([p for p in plan.paths if p in set(source_paths)],
-                          map_bytes)
+    use_paths = [p for p in plan.paths if p in set(source_paths)]
+    # map granularity: cap at map_bytes but never group so coarsely that
+    # the map wave can't fill the cluster (~2 tasks per CPU); small jobs
+    # on big clusters otherwise collapse to a handful of map tasks
+    total_b = sum(os.path.getsize(p) for p in use_paths if os.path.exists(p))
+    ncpu = int(ray.cluster_resources().get("CPU", 8) or 8)
+    eff_map_bytes = max(16 << 20, min(map_bytes,
+                                      total_b // max(1, 2 * ncpu) or
+                                      map_bytes))
+    groups = _group_files(use_paths, eff_map_bytes)
     log.send_log(f"encode_partitioned_tasks: {len(groups)} map task(s) → "
                  f"{num_partitions} partitions → {out_dir}")
 
