@@ -40,7 +40,13 @@ _PERM_B = _PERM_RNG.integers(0, 2**63, _N_PERM, dtype=np.uint64)
 def exact_dedup(ds, content_col: str, id_col: str):
     """Keep the minimum ``id_col`` per distinct ``content_col`` value.
     Returns (content_col, id_col). Oracle-equivalent to
-    ``SELECT content, min(id) GROUP BY content``."""
+    ``SELECT content, min(id) GROUP BY content``.
+
+    100 TB note: because the result RELATION includes the content column,
+    this groupby necessarily ships content; when only the surviving ids
+    are needed, use :func:`exact_dedup_by_hash` (the queried scale path —
+    the shuffle moves 8-byte fingerprints, proven injective on the corpus
+    by the ``exact_dedup_hash`` oracle)."""
     return (ds.groupby(content_col).min(id_col)
               .map_batches(lambda t: t.rename_columns([content_col, id_col]),
                            batch_format="pyarrow"))

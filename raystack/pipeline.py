@@ -715,7 +715,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              host_map: dict[str, list[int]] | None = None,
                              host_counts: dict[str, int] | None = None,
                              plan=None, logger=None,
-                             map_bytes: int = TARGET_MAP_BYTES) -> dict:
+                             map_bytes: int = TARGET_MAP_BYTES,
+                             collect_stats: bool = False) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of
     the Dataset ``groupby`` shuffle. Same output layout + manifest as
     :func:`encode_partitioned`; same keying (:func:`compute_part_keys`).
@@ -797,8 +798,23 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, *[m[pk] for m in map_refs])
                 for pk in range(num_partitions) if pk not in done]
-    ray.get(enc_refs)
+    stats = None
+    if collect_stats:
+        import time as _time
+        t0 = _time.perf_counter()
+        ray.wait([m[0] for m in map_refs], num_returns=len(map_refs),
+                 fetch_local=False)
+        t_maps = _time.perf_counter() - t0
+        ray.get(enc_refs)
+        stats = {"map_tasks": len(groups), "reduce_tasks": len(enc_refs),
+                 "map_wall_s": round(t_maps, 3),
+                 "reduce_tail_s": round(_time.perf_counter() - t0 - t_maps,
+                                        3)}
+    else:
+        ray.get(enc_refs)
     summary = _finalize_manifest(out_dir, enc_cols)
+    if stats is not None:
+        summary["stats"] = stats
     log.send_log(f"encode_partitioned_tasks done: {summary['rows']} rows, "
                  f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
     return summary
