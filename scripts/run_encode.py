@@ -27,8 +27,12 @@ def main():
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=0,
                     help="0 = 2x cluster CPUs")
-    ap.add_argument("--mode", choices=["partitioned", "streaming"],
-                    default="partitioned")
+    ap.add_argument("--mode", choices=["tasks", "partitioned", "streaming"],
+                    default="tasks",
+                    help="tasks = deterministic raw-task exchange "
+                         "(fastest, even reduce granularity); partitioned "
+                         "= Dataset groupby shuffle; streaming = per-batch "
+                         "pages, no co-location")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--rename", default="",
@@ -61,13 +65,19 @@ def main():
         8, 2 * int(ray.cluster_resources().get("CPU", 4)))
 
     t0 = time.perf_counter()
-    ds = read_aligned(paths, columns_rename=renames or None,
-                      add_filename=True)
-    fn = (pl.encode_partitioned if args.mode == "partitioned"
-          else pl.encode_streaming)
-    summary = fn(ds, args.output, url_col=args.url_col,
-                 num_partitions=num_partitions, resume=args.resume,
-                 source_paths=paths, logger=PrintLogger())
+    if args.mode == "tasks":
+        summary = pl.encode_partitioned_tasks(
+            paths, args.output, columns_rename=renames or None,
+            url_col=args.url_col, num_partitions=num_partitions,
+            resume=args.resume, logger=PrintLogger(), collect_stats=True)
+    else:
+        ds = read_aligned(paths, columns_rename=renames or None,
+                          add_filename=True)
+        fn = (pl.encode_partitioned if args.mode == "partitioned"
+              else pl.encode_streaming)
+        summary = fn(ds, args.output, url_col=args.url_col,
+                     num_partitions=num_partitions, resume=args.resume,
+                     source_paths=paths, logger=PrintLogger())
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["mode"] = args.mode
     summary["input_files"] = len(paths)
