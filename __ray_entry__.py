@@ -350,6 +350,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return minhash_lsh_dedup(ds)
 
+    def jaccard_pairs(sf):
+        """Exact n-gram Jaccard (window=8) over the near-duplicate pairs:
+        the LSH candidates get their true set similarity. The window
+        hash is a bijection on the 8-byte window (uint64 view →
+        splitmix64), so distinct-hash counts equal distinct-substring
+        counts exactly and the SQL mirror (distinct substr 8-grams,
+        double division) reproduces the float bit-for-bit on this ASCII
+        corpus."""
+        import pandas as pd
+        from raystack.ops.dedup import minhash_lsh_dedup, verify_pairs_jaccard
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        pairs = minhash_lsh_dedup(ds).to_pandas()
+        out = verify_pairs_jaccard(ds, pairs, threshold=0.0)
+        return out[["doc_id", "dup_of", "jaccard"]]
+
     def simhash_sigs(sf):
         from raystack.ops.dedup import simhash
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -525,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints,
         "fingerprint_dups": fingerprint_dups,
         "minhash_dedup": minhash_dedup,
+        "jaccard_pairs": jaccard_pairs,
         "simhash_sigs": simhash_sigs,
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
@@ -675,6 +692,44 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dups": ("SELECT doc_id + 1000000 AS doc_id, "
                              "doc_id AS dup_of FROM documents "
                              "WHERE doc_id < 20"),
+        "jaccard_pairs": ("""
+            WITH RECURSIVE edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM documents a JOIN documents b
+                ON b.text = a.text || ' dup' OR a.text = b.text || ' dup'),
+            reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e
+                ON r.v = e.u WHERE e.v <> r.u),
+            prs AS (
+              SELECT u AS doc_id, min(v) AS dup_of FROM reach
+              GROUP BY u HAVING min(v) < u),
+            docs AS (
+              SELECT DISTINCT d.doc_id, d.text FROM documents d
+              WHERE d.doc_id IN (SELECT doc_id FROM prs
+                                 UNION SELECT dup_of FROM prs)),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(text, i, 8) AS g
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(
+                               1, greatest(length(text) - 7, 0))) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+              SELECT p.doc_id, p.dup_of, count(*) AS i
+              FROM prs p
+              JOIN grams a ON a.doc_id = p.doc_id
+              JOIN grams b ON b.doc_id = p.dup_of AND b.g = a.g
+              GROUP BY p.doc_id, p.dup_of)
+            SELECT p.doc_id, p.dup_of,
+                   CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard
+            FROM prs p
+            JOIN sizes sa ON sa.doc_id = p.doc_id
+            JOIN sizes sb ON sb.doc_id = p.dup_of
+            LEFT JOIN inter i ON i.doc_id = p.doc_id
+                             AND i.dup_of = p.dup_of"""),
         "minhash_dedup": ("""
             WITH RECURSIVE edges AS (
               SELECT a.doc_id AS u, b.doc_id AS v
