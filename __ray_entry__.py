@@ -486,7 +486,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "mime": pa.array(["text/plain"] * t.num_rows),
                 "meta": pa.array(["{}"] * t.num_rows)})
         media = ds.map_batches(to_media, batch_format="pyarrow")
-        return extract_image_features(media, concurrency=2)
+        feats = extract_image_features(media, concurrency=2)
+
+        def flatten(t: pa.Table) -> pa.Table:
+            # list<float64> features -> 16 scalar columns so the driver's
+            # DuckDB oracle (per-bin conditional counts / length, double
+            # division) compares value-for-value
+            f = np.asarray(t["features"].combine_chunks().values) \
+                .reshape(-1, 16)
+            cols = {"media_id": t["media_id"], "width": t["width"],
+                    "height": t["height"], "channels": t["channels"]}
+            for b in range(16):
+                cols[f"f{b:02d}"] = pa.array(f[:, b])
+            return pa.table(cols)
+        return feats.map_batches(flatten, batch_format="pyarrow")
 
     def multimodal_dims(sf):
         """Oracle-checkable slice of the multimodal stage: the deterministic
@@ -579,6 +592,107 @@ def _langid_oracle() -> str:
         f"c AS (SELECT doc_id, {counts} FROM s) "
         f"SELECT doc_id, CASE WHEN greatest({all_c}) = 0 THEN 'und' "
         + " ".join(cases) + f" ELSE '{langs[-1]}' END AS lang_pred FROM c")
+
+
+# --- bit-exact SQL mirrors of the hashing kernels ------------------------
+# splitmix64's wrapping uint64 multiply is expressed with HUGEINT modular
+# arithmetic (split 32-bit halves so intermediates stay under 2^127); XOR
+# and shifts go through UBIGINT. These let DuckDB reproduce the engine's
+# window-hash-derived values bit-for-bit on the ASCII corpus.
+
+_M64 = "18446744073709551616"   # 2**64
+_SM_C1 = "13787848793156543929"  # 0xBF58476D1CE4E5B9
+_SM_C2 = "10723151780598845931"  # 0x94D049BB133111EB
+
+
+def _sql_xor64(a, b):
+    return (f"CAST(xor(CAST({a} AS UBIGINT), CAST({b} AS UBIGINT)) "
+            "AS HUGEINT)")
+
+
+def _sql_shr(x, n):
+    return f"CAST(CAST({x} AS UBIGINT) >> {n} AS HUGEINT)"
+
+
+def _sql_mulmod(x, c):
+    return (f"((({x}) % 4294967296) * {c} "
+            f"+ (((({x}) // 4294967296) * {c}) % 4294967296) "
+            f"* 4294967296) % {_M64}")
+
+
+def _sql_splitmix_stages(p, src):
+    """CTE chain applying splitmix64 to column ``x`` of ``src`` (keyed by
+    doc_id); result in ``{p}e``."""
+    return f"""
+        {p}a AS (SELECT doc_id, {_sql_xor64('x', _sql_shr('x', 30))} AS x
+                 FROM {src}),
+        {p}b AS (SELECT doc_id, {_sql_mulmod('x', _SM_C1)} AS x FROM {p}a),
+        {p}c AS (SELECT doc_id, {_sql_xor64('x', _sql_shr('x', 27))} AS x
+                 FROM {p}b),
+        {p}d AS (SELECT doc_id, {_sql_mulmod('x', _SM_C2)} AS x FROM {p}c),
+        {p}e AS (SELECT doc_id, {_sql_xor64('x', _sql_shr('x', 31))} AS x
+                 FROM {p}d)"""
+
+
+def _sql_window_hashes() -> str:
+    """CTEs producing ``we(doc_id, x)``: the splitmix64 hash of every valid
+    8-byte window (little-endian uint64 of the substring bytes), mirroring
+    ``ops.hashing.window_hashes``."""
+    le64 = " + ".join(
+        f"CAST(ascii(substr(g, {j}, 1)) AS HUGEINT) * {256 ** (j - 1)}"
+        for j in range(1, 9))
+    return f"""
+        grams AS (
+          SELECT doc_id, substr(text, i, 8) AS g
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, greatest(length(text) - 7, 0))) AS i
+                FROM documents)),
+        wvals AS (SELECT doc_id, CAST({le64} AS HUGEINT) AS x FROM grams),
+        {_sql_splitmix_stages('w', 'wvals')}"""
+
+
+def _sql_int64_view(expr: str) -> str:
+    """uint64 HUGEINT → the engine's int64 reinterpretation."""
+    return (f"CAST({expr} - CASE WHEN {expr} >= 9223372036854775808 "
+            f"THEN CAST({_M64} AS HUGEINT) ELSE 0 END AS BIGINT)")
+
+
+def _fingerprint_sql() -> str:
+    """SQL mirror of ``ops.text.add_fingerprint``: per-doc XOR of window
+    hashes, mixed with splitmix64(length), then splitmix64."""
+    return f"""
+        WITH {_sql_window_hashes()},
+        xr AS (SELECT doc_id,
+                      CAST(bit_xor(CAST(x AS UBIGINT)) AS HUGEINT) AS x
+               FROM we GROUP BY doc_id),
+        lvals AS (SELECT doc_id, CAST(length(text) AS HUGEINT) AS x
+                  FROM documents),
+        {_sql_splitmix_stages('l', 'lvals')},
+        mixed AS (
+          SELECT x1.doc_id, {_sql_xor64('x1.x', 'x2.x')} AS x
+          FROM xr x1 JOIN le x2 ON x1.doc_id = x2.doc_id),
+        {_sql_splitmix_stages('f', 'mixed')}
+        SELECT doc_id, {_sql_int64_view('x')} AS fingerprint FROM fe"""
+
+
+def _simhash_sql() -> str:
+    """SQL mirror of ``ops.dedup.simhash``: per-bit ±1 sums over window
+    hashes, sign → bit. The engine's unpackbits is MSB-first per
+    little-endian byte, so output bit j reads source bit
+    (j//8)*8 + 7 - j%8."""
+    terms = []
+    for j in range(64):
+        s = (j // 8) * 8 + 7 - (j % 8)
+        terms.append(
+            f"CASE WHEN SUM(CASE WHEN (CAST(x AS UBIGINT) >> {s}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN CAST({2 ** j} AS HUGEINT) "
+            "ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+        WITH {_sql_window_hashes()},
+        sums AS (SELECT doc_id, {total} AS x FROM we GROUP BY doc_id)
+        SELECT doc_id, {_sql_int64_view('x')} AS simhash FROM sums"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -730,6 +844,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.dup_of
             LEFT JOIN inter i ON i.doc_id = p.doc_id
                              AND i.dup_of = p.dup_of"""),
+        "fingerprints": _fingerprint_sql(),
+        "simhash_sigs": _simhash_sql(),
         "minhash_dedup": ("""
             WITH RECURSIVE edges AS (
               SELECT a.doc_id AS u, b.doc_id AS v
@@ -751,6 +867,51 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(max({c}) AS VARCHAR) AS max_v, "
             f"count(DISTINCT {c}) AS distinct_est FROM documents"
             for c in ["doc_id", "text", "lang", "source", "n_chars"])),
+        "multimodal_features": ("""
+            WITH chars AS (
+              SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS b
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text))) AS i
+                    FROM documents)),
+            hist AS (SELECT doc_id,
+              SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
+              SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
+              SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
+              SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3,
+              SUM(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS c4,
+              SUM(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS c5,
+              SUM(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS c6,
+              SUM(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS c7,
+              SUM(CASE WHEN b = 8 THEN 1 ELSE 0 END) AS c8,
+              SUM(CASE WHEN b = 9 THEN 1 ELSE 0 END) AS c9,
+              SUM(CASE WHEN b = 10 THEN 1 ELSE 0 END) AS c10,
+              SUM(CASE WHEN b = 11 THEN 1 ELSE 0 END) AS c11,
+              SUM(CASE WHEN b = 12 THEN 1 ELSE 0 END) AS c12,
+              SUM(CASE WHEN b = 13 THEN 1 ELSE 0 END) AS c13,
+              SUM(CASE WHEN b = 14 THEN 1 ELSE 0 END) AS c14,
+              SUM(CASE WHEN b = 15 THEN 1 ELSE 0 END) AS c15
+              FROM chars GROUP BY doc_id)
+            SELECT d.doc_id AS media_id,
+              ((length(d.text) * 40503) % 65536) % 1920 + 16 AS width,
+              ((length(d.text) * 9973) % 65536) % 1080 + 16 AS height,
+              CAST(3 AS BIGINT) AS channels,
+              CAST(coalesce(h.c0, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f00,
+              CAST(coalesce(h.c1, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f01,
+              CAST(coalesce(h.c2, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f02,
+              CAST(coalesce(h.c3, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f03,
+              CAST(coalesce(h.c4, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f04,
+              CAST(coalesce(h.c5, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f05,
+              CAST(coalesce(h.c6, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f06,
+              CAST(coalesce(h.c7, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f07,
+              CAST(coalesce(h.c8, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f08,
+              CAST(coalesce(h.c9, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f09,
+              CAST(coalesce(h.c10, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f10,
+              CAST(coalesce(h.c11, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f11,
+              CAST(coalesce(h.c12, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f12,
+              CAST(coalesce(h.c13, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f13,
+              CAST(coalesce(h.c14, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f14,
+              CAST(coalesce(h.c15, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f15
+            FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id"""),
         "multimodal_dims": (
             "SELECT doc_id AS media_id, "
             "((strlen(text) * 40503) % 65536) % 1920 + 16 AS width, "
