@@ -584,23 +584,46 @@ def _pack_dense(keyed: pa.Table, num_partitions: int,
     return out
 
 
+def _read_map_file(p: str, plan, dialect=None) -> pa.Table:
+    """One file → pruned Arrow table for the task-exchange map side.
+    Parquet reads only the needed columns; CSV reads with the sniffed
+    dialect + the plan's unified per-column types (same options as
+    ``sources.csv.read_aligned_csv``) so per-file inference can't drift."""
+    rename = plan.rename_by_file[p]
+    avail = set(plan.file_schemas[p].names)
+    target = set(plan.target_columns)
+    needed = sorted(c for c in avail if rename.get(c, c) in target)
+    if dialect is None:
+        import pyarrow.parquet as pq
+        return pq.read_table(p, columns=needed or None)
+    from .sources.csv import _csv_options
+    g_schema = plan.file_schemas[p]
+    target_types = {}
+    for f in g_schema:
+        tgt = rename.get(f.name, f.name)
+        if tgt in plan.unified_schema.names:
+            target_types[f.name] = plan.unified_schema.field(tgt).type
+    column_names = None if dialect.has_header else list(g_schema.names)
+    read_opts, parse_opts, convert_opts = _csv_options(
+        dialect, column_names=column_names, column_types=target_types)
+    from pyarrow import csv as pacsv
+    t = pacsv.read_csv(p, read_options=read_opts, parse_options=parse_opts,
+                       convert_options=convert_opts)
+    return t.select([c for c in t.schema.names if c in needed]) \
+        if needed else t
+
+
 def _map_pack_files(file_group: list[str], plan, num_partitions: int,
                     url_col: str, hot_hosts: dict | None, host_map: dict | None,
-                    skip: frozenset) -> list[bytes]:
+                    skip: frozenset, dialect=None) -> list[bytes]:
     """Map side of the task exchange: read (column-pruned) → align → key →
     per-partition zstd segments. Runs as one Ray task per file group; the
     scheduler sees ``num_partitions`` separate return objects so each
     reducer pulls only its own bytes."""
-    import pyarrow.parquet as pq
-
     from .align import make_align_fn
-    target = set(plan.target_columns)
     packed: list[list[bytes]] = []
     for p in file_group:
-        rename = plan.rename_by_file[p]
-        avail = set(plan.file_schemas[p].names)
-        needed = sorted(c for c in avail if rename.get(c, c) in target)
-        t = pq.read_table(p, columns=needed or None)
+        t = _read_map_file(p, plan, dialect)
         if plan.add_filename:
             t = t.append_column("path", pa.array([p] * t.num_rows,
                                                  pa.string()))
@@ -632,9 +655,9 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
 
 
 def _map_pack_single(file_group, plan, num_partitions, url_col,
-                     hot_hosts, host_map, skip) -> bytes:
+                     hot_hosts, host_map, skip, dialect=None) -> bytes:
     return _map_pack_files(file_group, plan, num_partitions, url_col,
-                           hot_hosts, host_map, skip)[0]
+                           hot_hosts, host_map, skip, dialect)[0]
 
 
 def _unpack_segment(blob: bytes) -> list[pa.Table]:
@@ -714,7 +737,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              hot_hosts: dict[str, int] | None = None,
                              host_map: dict[str, list[int]] | None = None,
                              host_counts: dict[str, int] | None = None,
-                             plan=None, logger=None,
+                             plan=None, dialect=None, logger=None,
                              map_bytes: int = TARGET_MAP_BYTES,
                              collect_stats: bool = False) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of
@@ -743,16 +766,29 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     from .log import get_logger
     from .plan import build_plan
     log = get_logger(logger)
+    is_csv = any(p.endswith((".csv", ".txt", ".tsv")) for p in source_paths)
     if plan is None:
-        plan = build_plan(source_paths, columns_select=columns_select,
-                          columns_rename=columns_rename,
-                          add_filename=add_filename)
+        if is_csv:
+            from .sources.csv import build_csv_plan
+            plan, dialect = build_csv_plan(
+                source_paths, columns_select=columns_select,
+                columns_rename=columns_rename, add_filename=add_filename)
+        else:
+            plan = build_plan(source_paths, columns_select=columns_select,
+                              columns_rename=columns_rename,
+                              add_filename=add_filename)
     if num_partitions is None:
         num_partitions = auto_partitions(source_paths=source_paths)
     if host_map is None and hot_hosts is None:
         if host_counts is None:
             import ray.data
-            url_ds = ray.data.read_parquet(source_paths, columns=[url_col])
+            if dialect is not None:
+                from .sources.csv import read_aligned_csv
+                url_ds = read_aligned_csv(source_paths, plan=plan,
+                                          dialect=dialect)
+            else:
+                url_ds = ray.data.read_parquet(source_paths,
+                                               columns=[url_col])
             host_counts = collect_host_counts(url_ds, url_col)
         host_map = plan_host_partitions(host_counts, num_partitions)
 
@@ -792,7 +828,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     enc_fn = ray.remote(num_cpus=1)(_encode_part_task)
     skip = frozenset(done)
     map_refs = [map_fn.remote(g, plan, num_partitions, url_col,
-                              hot_hosts, host_map, skip) for g in groups]
+                              hot_hosts, host_map, skip, dialect)
+                for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,

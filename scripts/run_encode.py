@@ -57,9 +57,10 @@ def main():
     from raystack.log import PrintLogger
 
     paths = sorted(glob.glob(os.path.join(args.input, "*.parquet"))
+                   or glob.glob(os.path.join(args.input, "*.csv"))
                    or [p for p in glob.glob(args.input) if os.path.isfile(p)])
     if not paths:
-        raise SystemExit(f"no parquet files under {args.input}")
+        raise SystemExit(f"no parquet/csv files under {args.input}")
     renames = dict(p.split(":") for p in args.rename.split(",") if ":" in p)
     num_partitions = args.partitions or max(
         8, 2 * int(ray.cluster_resources().get("CPU", 4)))

@@ -382,3 +382,34 @@ def test_encode_tasks_resume(ray_session, web, tmp_path):
         changed = _os.path.getmtime(_os.path.join(out, "pages", d)) != old
         assert changed == (k in redo), (d, changed)
     assert pl.decode_dir(out).count() == 3000
+
+
+def test_encode_tasks_csv_inputs(ray_session, tmp_path):
+    # the reference is CSV-first: drifting CSVs go through the same task
+    # exchange (sniffed dialect + unified types in the map reader)
+    import csv as _csv
+    rows0 = [("https://a.com/x%d" % i, 20200101 + i, "t%d" % i, "en")
+             for i in range(50)]
+    rows1 = [("https://b.org/y%d" % i, 20200201 + i, "u%d" % i, "de")
+             for i in range(50)]
+    p0, p1 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    with open(p0, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["url", "warc_ts", "text", "lang"])
+        w.writerows(rows0)
+    with open(p1, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["url", "warc_ts", "body", "lang"])  # drift: body
+        w.writerows(rows1)
+    out = str(tmp_path / "enc_csv")
+    s = pl.encode_partitioned_tasks([p0, p1], out,
+                                    columns_rename={"body": "text"},
+                                    num_partitions=4)
+    assert s["rows"] == 100
+    got = _df_by_url(pl.decode_dir(out).to_pandas())
+    from raystack.sources.csv import read_aligned_csv
+    exp = _df_by_url(read_aligned_csv([p0, p1],
+                                      columns_rename={"body": "text"})
+                     .to_pandas())
+    for col in ["url", "warc_ts", "text", "lang", "filename"]:
+        assert got[col].tolist() == exp[col].tolist(), col
