@@ -265,12 +265,21 @@ class Stacker:
         return write_sql_combine(self.dataset(), uri, table_name)
 
     def to_encoded(self, output_dir: str, url_col: str | None = None,
-                   num_partitions: int = 32, resume: bool = False) -> dict:
+                   num_partitions: int = 32, resume: bool = False,
+                   method: str = "tasks") -> dict:
         """The graft sink: per-column codec encode with partitioning +
-        manifest (replaces reference to_parquet_combine K5)."""
+        manifest (replaces reference to_parquet_combine K5).
+        ``method``: "tasks" (default — the deterministic raw-task exchange)
+        or "groupby" (the Dataset shuffle path)."""
         if url_col is None:
             url_col = "url" if "url" in self.plan.target_columns \
                 else self.plan.target_columns[0]
+        if method == "tasks":
+            from .pipeline import encode_partitioned_tasks
+            return encode_partitioned_tasks(
+                self.fname_list, output_dir, url_col=url_col,
+                num_partitions=num_partitions, resume=resume,
+                plan=self.plan, dialect=self._dialect)
         # pruned hot-host pre-pass straight off the raw files when possible
         # (parquet only — the pre-pass reads with read_parquet)
         src = self.fname_list if (not self._is_csv and all(

@@ -160,3 +160,17 @@ def test_dir_sync(tmp_path):
     assert s.get_all_files(subdirs=False, remote=True) == ["a.csv"]
     with pytest.raises(NotImplementedError):
         FTPSync("h", "u", "p", "/d")
+
+
+def test_encoded_sink_methods_agree(ray_session, sales_extra, tmp_path):
+    st = Stacker(sales_extra, add_filename=False)
+    s_t = st.to_encoded(str(tmp_path / "enc_t"), num_partitions=2)
+    s_g = st.to_encoded(str(tmp_path / "enc_g"), num_partitions=2,
+                        method="groupby")
+    assert s_t["rows"] == s_g["rows"] == 30
+    from raystack import pipeline as pl
+    a = pl.decode_dir(str(tmp_path / "enc_t")).to_pandas()
+    b = pl.decode_dir(str(tmp_path / "enc_g")).to_pandas()
+    key = list(a.columns)
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b[a.columns].sort_values(key).reset_index(drop=True))
