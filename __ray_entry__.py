@@ -366,6 +366,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = verify_pairs_jaccard(ds, pairs, threshold=0.0)
         return out[["doc_id", "dup_of", "jaccard"]]
 
+    def events_asof(sf):
+        """As-of join: each event picks the latest prior (ts <=) purchase
+        of the same user — one groupby shuffle + vectorized searchsorted
+        merge per group (ops/join.py::asof_join). Oracle: DuckDB's native
+        ASOF LEFT JOIN."""
+        from raystack.ops.join import asof_join
+        ev = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "ts", "user_id",
+                                            "event_type", "value"])
+        pur = ev.filter(lambda r: r["event_type"] == "purchase") \
+            .map_batches(lambda t: t.select(["user_id", "ts", "value"]),
+                         batch_format="pyarrow")
+        return asof_join(ev, pur, key="user_id", ts="ts",
+                         right_cols=["value"])
+
     def simhash_sigs(sf):
         from raystack.ops.dedup import simhash
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -556,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": minhash_dedup,
         "jaccard_pairs": jaccard_pairs,
         "simhash_sigs": simhash_sigs,
+        "events_asof": events_asof,
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
@@ -844,6 +860,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = p.dup_of
             LEFT JOIN inter i ON i.doc_id = p.doc_id
                              AND i.dup_of = p.dup_of"""),
+        "events_asof": ("""
+            SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+                   p.ts AS ts_r, p.value AS value_r
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts >= p.ts"""),
         "fingerprints": _fingerprint_sql(),
         "simhash_sigs": _simhash_sql(),
         "minhash_dedup": ("""

@@ -67,3 +67,83 @@ def hash_join(left, right, on, how: str = "inner", num_partitions: int = 32):
     (see raystack.pipeline.add_partition_key) if one key dominates."""
     return left.join(right, join_type=how, on=(on,),
                      num_partitions=num_partitions)
+
+
+def asof_join(left, right, key: str, ts: str,
+              right_cols: list[str] | None = None,
+              suffix: str = "_r"):
+    """As-of join: for each left row, the right row with the same ``key``
+    and the greatest ``ts`` ≤ the left row's ``ts`` (DuckDB
+    ``ASOF LEFT JOIN`` semantics; unmatched lefts keep nulls).
+
+    Ray-Data shape: tag the two sides, union, ONE ``groupby(key)``
+    shuffle, then a vectorized merge inside each group
+    (``np.searchsorted`` of left timestamps into the sorted right
+    timestamps — no per-row Python). Partitioning assumption: ``key``
+    hashes evenly; salt hot keys upstream if one key dominates. Ties on
+    exactly-equal timestamps match (≤), and require (key, ts) unique on
+    the right for a deterministic result."""
+    import numpy as np
+
+    r_schema = right.schema()
+    right_cols = right_cols or [c for c in r_schema.names
+                                if c not in (key, ts)]
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    out_r_names = [c + suffix if c in l_names else c for c in right_cols]
+    rts_name = ts + suffix
+
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    # unified exchange schema: left cols + right ts + suffixed right cols
+    ex_fields = [(n, l_types[n]) for n in l_names]
+    ex_fields += [(rts_name, r_types[ts])]
+    ex_fields += [(o, r_types[c]) for o, c in zip(out_r_names, right_cols)]
+    ex_fields += [("__side", pa.int8())]
+    ex_schema = pa.schema(ex_fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [t[f.name] if f.name in t.schema.names else pa.nulls(n, f.type)
+                for f in ex_schema]
+        cols[-1] = pa.array([0] * n, pa.int8())
+        return pa.table(cols, schema=ex_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        vals = {key: t[key], rts_name: t[ts]}
+        for o, c in zip(out_r_names, right_cols):
+            vals[o] = t[c]
+        cols = [vals.get(f.name, pa.nulls(n, f.type)) for f in ex_schema]
+        cols[-1] = pa.array([1] * n, pa.int8())
+        return pa.table(cols, schema=ex_schema)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        lt = lt.select(l_names + [rts_name] + out_r_names)
+        if lt.num_rows == 0:
+            return lt
+        if rt.num_rows == 0:
+            return lt
+        l_ts = np.asarray(lt[ts]).astype("int64")
+        r_ts = np.sort(np.asarray(rt[rts_name]).astype("int64"))
+        order = np.argsort(np.asarray(rt[rts_name]).astype("int64"),
+                           kind="stable")
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        matched = idx >= 0
+        take = np.where(matched, order[np.maximum(idx, 0)], 0)
+        cols = [lt[n] for n in l_names]
+        for o in [rts_name] + out_r_names:
+            picked = rt[o].combine_chunks().take(pa.array(take))
+            if not matched.all():
+                picked = pc.if_else(pa.array(matched), picked,
+                                    pa.nulls(len(matched), picked.type))
+            cols.append(picked)
+        return pa.table(cols, names=l_names + [rts_name] + out_r_names)
+
+    return both.groupby(key).map_groups(merge, batch_format="pyarrow")

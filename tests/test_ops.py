@@ -391,3 +391,40 @@ def test_minhash_slim_shuffle_matches_default(ray_session):
     b = minhash_lsh_dedup(ds, sim_threshold=0.5, slim_shuffle=True).to_pandas()
     assert a.sort_values("doc_id").reset_index(drop=True).equals(
         b.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_asof_join_matches_pandas(ray_session):
+    # unmatched lefts keep nulls; ties (ts equal) match; multiple rights
+    # pick the greatest ts <= left ts
+    import ray.data
+    from raystack.ops.join import asof_join
+    left = pa.table({
+        "k": [1, 1, 1, 2, 2, 3],
+        "t": [10, 20, 30, 5, 50, 7],
+        "lv": ["a", "b", "c", "d", "e", "f"]})
+    right = pa.table({
+        "k": [1, 1, 2, 4],
+        "t": [15, 25, 50, 1],
+        "rv": [100, 200, 300, 400]})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", ts="t", right_cols=["rv"]).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    want = {
+        "lv":  ["a", "b", "c", "d", "e", "f"],
+        "t_r": [None, 15, 25, None, 50, None],
+        "rv":  [None, 100, 200, None, 300, None]}
+    assert out["lv"].tolist() == want["lv"]
+    for col in ["t_r", "rv"]:  # nullable ints surface as float64 + NaN
+        got_vals = [None if pd.isna(v) else int(v) for v in out[col]]
+        assert got_vals == want[col], col
+
+
+def test_asof_join_name_collision_suffix(ray_session):
+    import ray.data
+    from raystack.ops.join import asof_join
+    left = pa.table({"k": [1], "t": [10], "value": [1.0]})
+    right = pa.table({"k": [1], "t": [5], "value": [9.0]})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", ts="t").to_pandas()
+    assert sorted(out.columns) == ["k", "t", "t_r", "value", "value_r"]
+    assert out["value_r"].iloc[0] == 9.0
