@@ -381,6 +381,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return asof_join(ev, pur, key="user_id", ts="ts",
                          right_cols=["value"])
 
+    def events_range_join(sf):
+        """Range join: each event's value lands in its band (broadcast
+        non-overlapping intervals, one searchsorted per batch, no
+        shuffle). Oracle: BETWEEN-style interval join over inline bands."""
+        import pandas as pd
+        from raystack.ops.join import range_join
+        ev = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "value"])
+        bands = pd.DataFrame({"lo": [0.0, 5.0, 20.0, 60.0],
+                              "hi": [5.0, 20.0, 60.0, 1e9],
+                              "band": ["low", "mid", "high", "extreme"]})
+        return range_join(ev, bands, value_col="value")
+
+    def embedding_clusters(sf):
+        """Embedding k-means assignment (curation primitive): spherical
+        k-means trained on a 256-vector sample (deterministic seed),
+        centroids snapshotted to parquet, every vector assigned to its
+        max-cosine centroid in one streaming matmul map (no shuffle). The
+        oracle recomputes the argmax from the snapshot; min top-2 margin
+        on this corpus is ~1e-4, far above float noise."""
+        from raystack.ops.similarity import assign_clusters, train_centroids
+        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        head = pq.read_table(os.path.join(sf, "embeddings.parquet"))
+        sample = np.stack(head.slice(0, 256)["embedding"]
+                          .to_pandas().to_numpy()).astype(np.float64)
+        cent = train_centroids(sample, n_centroids=16)
+        snap = os.path.join(_SCRATCH, "centroids_snap")
+        shutil.rmtree(snap, ignore_errors=True)
+        os.makedirs(snap)
+        pq.write_table(pa.table({
+            "cluster": pa.array(range(len(cent)), pa.int64()),
+            "centroid": pa.array([list(map(float, c)) for c in cent],
+                                 pa.list_(pa.float64()))}),
+            os.path.join(snap, "centroids.parquet"))
+        return assign_clusters(emb, cent)
+
     def simhash_sigs(sf):
         from raystack.ops.dedup import simhash
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -572,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": jaccard_pairs,
         "simhash_sigs": simhash_sigs,
         "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "embedding_clusters": embedding_clusters,
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
@@ -867,6 +905,25 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                             WHERE event_type = 'purchase') p
               ON e.user_id = p.user_id AND e.ts >= p.ts"""),
+        "events_range_join": ("""
+            WITH bands(lo, hi, band) AS (VALUES
+              (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'),
+              (20.0, 60.0, 'high'), (60.0, 1e9, 'extreme'))
+            SELECT e.event_id, e.value, b.lo, b.hi, b.band
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi"""),
+        "embedding_clusters": (f"""
+            WITH scored AS (
+              SELECT e.vec_id, c.cluster,
+                     list_cosine_similarity(e.embedding, c.centroid) AS sim
+              FROM embeddings e CROSS JOIN
+                   read_parquet('{_SCRATCH}/centroids_snap/*.parquet') c),
+            ranked AS (
+              SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cluster) AS rnk
+              FROM scored)
+            SELECT vec_id, cluster FROM ranked WHERE rnk = 1"""),
         "fingerprints": _fingerprint_sql(),
         "simhash_sigs": _simhash_sql(),
         "minhash_dedup": ("""

@@ -147,3 +147,50 @@ def asof_join(left, right, key: str, ts: str,
         return pa.table(cols, names=l_names + [rts_name] + out_r_names)
 
     return both.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def range_join(ds, ranges, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               range_cols: list[str] | None = None, how: str = "inner"):
+    """Range (interval) join: attach to each row the range whose
+    ``[lo, hi)`` interval contains ``value_col``. ``ranges`` is a small
+    in-memory pyarrow Table / pandas DataFrame of NON-OVERLAPPING sorted
+    intervals (the dimension-table case: time buckets, value bands, IP
+    blocks) — broadcast once via ``ray.put``, matched per batch with one
+    ``np.searchsorted``; no shuffle. ``how='left'`` keeps unmatched rows
+    with nulls. For large/overlapping range sets, pre-bucket both sides
+    on a common grid and use :func:`hash_join` instead (documented scale
+    path)."""
+    import numpy as np
+    import ray
+
+    if hasattr(ranges, "to_pandas"):
+        ranges = ranges.to_pandas()
+    ranges = ranges.sort_values(lo_col).reset_index(drop=True)
+    lo = ranges[lo_col].to_numpy()
+    hi = ranges[hi_col].to_numpy()
+    if (lo[1:] < hi[:-1]).any():
+        raise ValueError("range_join requires non-overlapping intervals")
+    range_cols = range_cols or [c for c in ranges.columns
+                                if c not in (lo_col, hi_col)]
+    ref = ray.put((lo, hi, ranges[[lo_col, hi_col] + range_cols]))
+
+    def fn(t: pa.Table) -> pa.Table:
+        lo_a, hi_a, rdf = ray.get(ref)
+        v = np.asarray(t[value_col])
+        idx = np.searchsorted(lo_a, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_a[np.maximum(idx, 0)])
+        cols = {n: t[n] for n in t.schema.names}
+        take = np.where(ok, idx, 0)
+        for c in [lo_col, hi_col] + list(range_cols):
+            picked = pa.array(rdf[c].to_numpy()[take])
+            if not ok.all():
+                picked = pc.if_else(pa.array(ok), picked,
+                                    pa.nulls(len(ok), picked.type))
+            cols[c if c not in cols else c + "_r"] = picked
+        out = pa.table(cols)
+        if how == "inner" and not ok.all():
+            out = out.filter(pa.array(ok))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -146,3 +146,24 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                              "rank": np.arange(1, len(g) + 1)})
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                    vec_col: str = "embedding"):
+    """Embedding clustering assignment (data-curation primitive): each
+    vector goes to its max-cosine centroid. Centroids are broadcast via
+    ``ray.put`` (tiny), the per-batch work is one numpy matmul — no
+    shuffle; at 100 TB this is a pure streaming map. Ties break toward
+    the lowest cluster id (argmax)."""
+    import ray
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cent)
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_as_matrix(t[vec_col]))
+        a = np.argmax(m @ c.T, axis=1)
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

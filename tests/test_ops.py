@@ -428,3 +428,39 @@ def test_asof_join_name_collision_suffix(ray_session):
                     key="k", ts="t").to_pandas()
     assert sorted(out.columns) == ["k", "t", "t_r", "value", "value_r"]
     assert out["value_r"].iloc[0] == 9.0
+
+
+def test_range_join_left_and_validation(ray_session):
+    import ray.data
+    from raystack.ops.join import range_join
+    ds = ray.data.from_arrow(pa.table({"id": [1, 2, 3], "v": [1.0, 7.0, 99.0]}))
+    bands = pd.DataFrame({"lo": [0.0, 5.0], "hi": [5.0, 10.0],
+                          "band": ["a", "b"]})
+    inner = range_join(ds, bands, value_col="v").to_pandas()
+    assert sorted(inner["id"]) == [1, 2]
+    left = range_join(ds, bands, value_col="v", how="left").to_pandas() \
+        .sort_values("id")
+    assert left["band"].tolist()[:2] == ["a", "b"] and pd.isna(
+        left["band"].iloc[2])
+    with pytest.raises(ValueError, match="non-overlapping"):
+        range_join(ds, pd.DataFrame({"lo": [0.0, 3.0], "hi": [5.0, 8.0],
+                                     "band": ["x", "y"]}), value_col="v")
+
+
+def test_assign_clusters_partitions_all_rows(ray_session):
+    import ray.data
+    from raystack.ops.similarity import assign_clusters, train_centroids
+    rng = np.random.default_rng(5)
+    # two well-separated blobs -> assignments must recover them
+    a = rng.normal(loc=(5, 0, 0, 0), scale=0.1, size=(40, 4))
+    b = rng.normal(loc=(0, 5, 0, 0), scale=0.1, size=(40, 4))
+    vecs = np.vstack([a, b])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(80), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64()))}))
+    cent = train_centroids(vecs, n_centroids=2)
+    out = assign_clusters(ds, cent).to_pandas().sort_values("vec_id")
+    first, second = out["cluster"][:40], out["cluster"][40:]
+    assert first.nunique() == 1 and second.nunique() == 1
+    assert first.iloc[0] != second.iloc[0]
