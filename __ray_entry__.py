@@ -417,6 +417,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(snap, "centroids.parquet"))
         return assign_clusters(emb, cent)
 
+    def holdout_split(sf):
+        """Deterministic train/holdout split: splitmix64(doc_id) % 10000 <
+        1000 — no shuffle, no RNG state, identical verdict per document
+        regardless of task placement or cluster size. Oracle: the same
+        splitmix64 in SQL."""
+        from raystack.ops.text import hash_split
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id"])
+        return hash_split(ds, fraction=0.1)
+
     def simhash_sigs(sf):
         from raystack.ops.dedup import simhash
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -610,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof,
         "events_range_join": events_range_join,
         "embedding_clusters": embedding_clusters,
+        "holdout_split": holdout_split,
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
@@ -747,6 +758,19 @@ def _simhash_sql() -> str:
         WITH {_sql_window_hashes()},
         sums AS (SELECT doc_id, {total} AS x FROM we GROUP BY doc_id)
         SELECT doc_id, {_sql_int64_view('x')} AS simhash FROM sums"""
+
+
+
+def _holdout_sql(fraction: float = 0.1) -> str:
+    """SQL mirror of ``ops.text.hash_split``: splitmix64(doc_id) % 10000
+    compared to the fraction threshold."""
+    thresh = int(round(fraction * 10000))
+    return f"""
+        WITH ids AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x
+                     FROM documents),
+        {_sql_splitmix_stages('h', 'ids')}
+        SELECT doc_id, (CAST(x AS UBIGINT) % 10000) < {thresh} AS holdout
+        FROM he"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -925,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT vec_id, cluster FROM ranked WHERE rnk = 1"""),
         "fingerprints": _fingerprint_sql(),
+        "holdout_split": _holdout_sql(),
         "simhash_sigs": _simhash_sql(),
         "minhash_dedup": ("""
             WITH RECURSIVE edges AS (

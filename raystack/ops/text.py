@@ -140,3 +140,22 @@ def add_language_id(ds, text_col: str = "text", concurrency=(1, 4)):
     return ds.map_batches(LanguageId, batch_format="pyarrow",
                           concurrency=concurrency,
                           fn_constructor_kwargs={"text_col": text_col})
+
+
+def hash_split(ds, id_col: str = "doc_id", fraction: float = 0.1,
+               salt: int = 0, out_col: str = "holdout"):
+    """Deterministic train/holdout split: a row is held out iff
+    ``splitmix64(id ^ salt) % 10000 < fraction * 10000``. Pure per-batch
+    math — no shuffle, no RNG state, stable under retries/re-runs and
+    across cluster sizes (the property a 100 TB ingest needs: the split
+    of a document never depends on which task saw it)."""
+    from .hashing import splitmix64
+    thresh = np.uint64(int(round(fraction * 10000)))
+    s = np.uint64(salt)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.uint64)
+        h = splitmix64(ids ^ s) % np.uint64(10000)
+        return t.append_column(out_col, pa.array(h < thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -464,3 +464,18 @@ def test_assign_clusters_partitions_all_rows(ray_session):
     first, second = out["cluster"][:40], out["cluster"][40:]
     assert first.nunique() == 1 and second.nunique() == 1
     assert first.iloc[0] != second.iloc[0]
+
+
+def test_hash_split_deterministic_fraction(ray_session):
+    import ray.data
+    from raystack.ops.text import hash_split
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(20000),
+                                                          pa.int64())}))
+    a = hash_split(ds, fraction=0.1).to_pandas()
+    b = hash_split(ds, fraction=0.1).to_pandas()
+    assert a.equals(b)                      # retry-stable
+    frac = a["holdout"].mean()
+    assert 0.08 < frac < 0.12               # ~10% held out
+    # different salt -> a different (still deterministic) split
+    c = hash_split(ds, fraction=0.1, salt=7).to_pandas()
+    assert not a["holdout"].equals(c["holdout"])
