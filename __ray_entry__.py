@@ -200,6 +200,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_type", "ts"])
         return tumbling_window_agg(ds, "ts", "event_type", window_sec=600)
 
+    def events_hopping(sf):
+        """Hopping (sliding) windows: 600 s windows every 200 s — each
+        event pre-aggregated into its 3 windows inside map_batches, then
+        one small groupby (the shuffle moves one row per (key, window)
+        per block, not per event)."""
+        from raystack.ops.window import hopping_window_agg
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_type", "ts"])
+        return hopping_window_agg(ds, "ts", "event_type", window_sec=600,
+                                  hop_sec=200)
+
     def orders_by_segment(sf):
         from raystack.ops.join import broadcast_join
         orders = ray.data.read_parquet(os.path.join(sf, "orders.parquet"),
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_hash": exact_dedup_hash,
         "ann_topk": ann_topk,
         "events_windowed": events_windowed,
+        "events_hopping": events_hopping,
         "orders_by_segment": orders_by_segment,
         "top_orders": top_orders,
         "distinct_langs": distinct_langs,
@@ -833,6 +845,15 @@ def oracle_sql() -> dict[str, str]:
             "make_timestamp((epoch_us(ts) // 600000000) * 600000000) "
             "AS window_start, count(*) AS n_events, min(ts) AS min_ts, "
             "max(ts) AS max_ts FROM events GROUP BY 1, 2"),
+        "events_hopping": ("""
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 200000000 - i)
+                                  * 200000000) AS window_start,
+                   count(*) AS n_events, min(ts) AS min_ts,
+                   max(ts) AS max_ts
+            FROM (SELECT event_type, ts,
+                         unnest(generate_series(0, 2)) AS i FROM events)
+            GROUP BY 1, 2"""),
         "orders_by_segment": (
             "SELECT o_orderkey, o_custkey, c_mktsegment FROM orders "
             "JOIN customer ON o_custkey = c_custkey"),

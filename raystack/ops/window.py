@@ -68,3 +68,49 @@ def sessionize(ds, ts_col: str, key_col: str, id_col: str,
                              "session_id": new.cumsum().to_numpy()})
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def hopping_window_agg(ds, ts_col: str, key_col: str, window_sec: int,
+                       hop_sec: int, value_col: str | None = None):
+    """Per (key, hopping window): overlapping windows of ``window_sec``
+    starting every ``hop_sec`` (``hop_sec == window_sec`` degenerates to
+    the tumbling case). Each event lands in ``window_sec / hop_sec``
+    windows; the explode happens inside ``map_batches`` WITH per-batch
+    pre-aggregation, so the shuffle still moves one row per (key, window)
+    per block — not per (event, window)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    k = window_sec // hop_sec
+    hop_us = hop_sec * 1_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = t.select([c for c in {key_col, ts_col, value_col} if c]
+                      ).to_pandas()
+        epoch = df[ts_col].astype("int64").to_numpy()
+        last_hop = epoch // hop_us  # last window (by start) containing ts
+        frames = []
+        for i in range(k):
+            f = df.copy()
+            f["window_start"] = pd.to_datetime((last_hop - i) * hop_us,
+                                               unit="us")
+            frames.append(f)
+        big = pd.concat(frames, ignore_index=True)
+        gb = big.groupby([key_col, "window_start"], sort=False)
+        out = gb.agg(n=(ts_col, "size"), min_ts=(ts_col, "min"),
+                     max_ts=(ts_col, "max"))
+        if value_col:
+            mm = gb.agg(min_val=(value_col, "min"),
+                        max_val=(value_col, "max"))
+            out = out.join(mm)
+        return out.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("n", alias_name="n_events"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts")]
+    if value_col:
+        aggs += [Min("min_val", alias_name="min_val"),
+                 Max("max_val", alias_name="max_val")]
+    return partials.groupby([key_col, "window_start"]).aggregate(*aggs)

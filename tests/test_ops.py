@@ -479,3 +479,24 @@ def test_hash_split_deterministic_fraction(ray_session):
     # different salt -> a different (still deterministic) split
     c = hash_split(ds, fraction=0.1, salt=7).to_pandas()
     assert not a["holdout"].equals(c["holdout"])
+
+
+def test_hopping_window_agrees_with_tumbling_when_hop_equals_window(ray_session):
+    import ray.data
+    from raystack.ops.window import hopping_window_agg, tumbling_window_agg
+    ts = pd.to_datetime([1_000_000 * t for t in
+                         [10, 70, 130, 190, 610, 1210]], unit="us")
+    t = pa.table({"k": ["a"] * 6, "ts": pa.array(ts)})
+    ds = ray.data.from_arrow(t)
+    hop = hopping_window_agg(ds, "ts", "k", window_sec=600,
+                             hop_sec=600).to_pandas()
+    tum = tumbling_window_agg(ds, "ts", "k", window_sec=600).to_pandas()
+    key = ["k", "window_start"]
+    assert hop.sort_values(key).reset_index(drop=True).equals(
+        tum[hop.columns].sort_values(key).reset_index(drop=True))
+    # overlapping case: every event appears in window_sec/hop_sec windows
+    h2 = hopping_window_agg(ds, "ts", "k", window_sec=600,
+                            hop_sec=300).to_pandas()
+    assert h2["n_events"].sum() == 12  # 6 events x 2 windows
+    with pytest.raises(ValueError):
+        hopping_window_agg(ds, "ts", "k", window_sec=600, hop_sec=250)
