@@ -241,6 +241,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["event_id", "user_id"])
         return semi_join(ds, keys, on="user_id")
 
+    def events_anti_join(sf):
+        from raystack.ops.join import anti_join
+        keys = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey"])["c_custkey"].to_pylist()
+        keys = [k for k in keys if k < 20]
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["event_id", "user_id"])
+        return anti_join(ds, keys, on="user_id")
+
+    def value_quantiles(sf):
+        """Exact distributed quantiles of events.value via a value
+        histogram (2-decimal floats → bounded distinct count); SQL
+        quantile_disc is the oracle."""
+        from raystack.ops.colstats import value_quantiles as vq
+        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+                                   columns=["value"])
+        return vq(ds, "value", quantiles=(0.5, 0.9, 0.99))
+
     def props_extract(sf):
         """Vectorized JSON-ish field extraction from the events props
         column (one regex kernel per batch)."""
@@ -616,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": top_orders,
         "distinct_langs": distinct_langs,
         "events_semi_join": events_semi_join,
+        "events_anti_join": events_anti_join,
+        "value_quantiles": value_quantiles,
         "props_extract": props_extract,
         "column_stats": column_stats,
         "column_stats_sketch": column_stats_sketch,
@@ -862,6 +882,14 @@ def oracle_sql() -> dict[str, str]:
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "events_semi_join": (
             "SELECT event_id, user_id FROM events WHERE user_id IN "
+            "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
+        "value_quantiles": ("""
+            SELECT 0.5 AS quantile, quantile_disc(value, 0.5) AS value
+            FROM events
+            UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+            UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"""),
+        "events_anti_join": (
+            "SELECT event_id, user_id FROM events WHERE user_id NOT IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
         "csv_ingest": "SELECT doc_id, text, lang, n_chars FROM documents",
         "props_extract": ("SELECT event_id, CAST(regexp_extract(props, "

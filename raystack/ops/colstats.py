@@ -109,3 +109,45 @@ def column_stats(ds, columns: list[str] | None = None, k: int = _K,
         return pd.DataFrame([out])
 
     return partials.groupby("column").map_groups(merge, batch_format="pandas")
+
+
+def value_quantiles(ds, col: str, quantiles=(0.5, 0.9, 0.99),
+                    max_distinct: int = 1_000_000):
+    """Exact quantiles (SQL ``quantile_disc`` definition: the smallest
+    value whose cumulative count reaches ``ceil(q * n)``) via a
+    distributed value histogram: per-batch ``value_counts`` partials →
+    one small groupby on the distinct values → cumulative walk on the
+    driver. Exact and shuffle-light whenever the column's distinct count
+    is bounded (prices, scores, categorical codes — checked against
+    ``max_distinct``); for unbounded continuous columns, quantize first
+    or sample."""
+    import math
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.drop_null().value_counts()
+        return pa.table({"v": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("v").sum("n").to_pandas()   # one row per distinct value
+    if len(hist) > max_distinct:
+        raise ValueError(f"{col}: {len(hist)} distinct values exceed "
+                         f"max_distinct={max_distinct}; quantize or sample")
+    hist = hist.sort_values("v").reset_index(drop=True)
+    cum = hist["sum(n)"].cumsum()
+    total = int(cum.iloc[-1]) if len(cum) else 0
+    rows = []
+    for q in quantiles:
+        if total == 0:
+            rows.append({"quantile": q, "value": None})
+            continue
+        rank = max(1, math.ceil(q * total))
+        idx = int((cum >= rank).idxmax())
+        rows.append({"quantile": q, "value": hist["v"].iloc[idx]})
+    return pd.DataFrame(rows)

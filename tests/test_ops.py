@@ -500,3 +500,15 @@ def test_hopping_window_agrees_with_tumbling_when_hop_equals_window(ray_session)
     assert h2["n_events"].sum() == 12  # 6 events x 2 windows
     with pytest.raises(ValueError):
         hopping_window_agg(ds, "ts", "k", window_sec=600, hop_sec=250)
+
+
+def test_value_quantiles_exact(ray_session):
+    import ray.data
+    from raystack.ops.colstats import value_quantiles
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    out = value_quantiles(ds, "v", quantiles=(0.5, 0.9, 0.99))
+    got = dict(zip(out["quantile"], out["value"]))
+    assert got == {0.5: 50.0, 0.9: 90.0, 0.99: 99.0}
+    with pytest.raises(ValueError, match="distinct"):
+        value_quantiles(ds, "v", max_distinct=10)
