@@ -259,6 +259,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["value"])
         return vq(ds, "value", quantiles=(0.5, 0.9, 0.99))
 
+    def frequent_sources(sf):
+        """Exact heavy hitters over documents.source (pre-aggregated
+        partials, one small groupby, deterministic tie-break)."""
+        from raystack.ops.colstats import frequent_items
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["source"])
+        return frequent_items(ds, "source", k=10)
+
+    def url_parts(sf):
+        """Vectorized URL decomposition over the webtext relation (one
+        RE2 extract_regex kernel; DuckDB's regexp_extract runs the same
+        RE2 pattern)."""
+        from raystack.ops.text import add_url_parts
+        scale = 2000 if "0.001" in sf else 6000
+        snap = os.path.join(_SCRATCH, "webtext_snap")
+        if not os.path.isdir(snap):
+            queries()["webtext_encode"](sf).count()
+        ds = ray.data.read_parquet(snap)
+        return add_url_parts(ds).select_columns(
+            ["url", "scheme", "host", "path"])
+
     def props_extract(sf):
         """Vectorized JSON-ish field extraction from the events props
         column (one regex kernel per batch)."""
@@ -636,6 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi_join": events_semi_join,
         "events_anti_join": events_anti_join,
         "value_quantiles": value_quantiles,
+        "frequent_sources": frequent_sources,
+        "url_parts": url_parts,
         "props_extract": props_extract,
         "column_stats": column_stats,
         "column_stats_sketch": column_stats_sketch,
@@ -888,6 +911,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
             UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events"""),
+        "frequent_sources": ("""
+            SELECT source AS value, count(*) AS n FROM documents
+            GROUP BY source ORDER BY n DESC, value LIMIT 10"""),
+        "url_parts": (f"""
+            SELECT url,
+                   regexp_extract(url,
+                     '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 1)
+                     AS scheme,
+                   regexp_extract(url,
+                     '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)
+                     AS host,
+                   regexp_extract(url,
+                     '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3)
+                     AS path
+            FROM read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"""),
         "events_anti_join": (
             "SELECT event_id, user_id FROM events WHERE user_id NOT IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),

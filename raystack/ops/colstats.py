@@ -151,3 +151,27 @@ def value_quantiles(ds, col: str, quantiles=(0.5, 0.9, 0.99),
         idx = int((cum >= rank).idxmax())
         rows.append({"quantile": q, "value": hist["v"].iloc[idx]})
     return pd.DataFrame(rows)
+
+
+def frequent_items(ds, col: str, k: int = 10):
+    """Exact heavy hitters: per-batch ``value_counts`` partials → one
+    small groupby over distinct values → top-k (ties broken by value).
+    The shuffle moves one row per distinct value per block — the
+    pre-aggregated pattern; for unbounded-cardinality columns at 100 TB
+    bound the partials with a per-batch top-m cut (m >> k) first."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.drop_null().value_counts()
+        return pa.table({"value": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    totals = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").sum("n").to_pandas()
+    totals = totals.rename(columns={"sum(n)": "n"})
+    return totals.sort_values(["n", "value"],
+                              ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

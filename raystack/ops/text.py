@@ -159,3 +159,17 @@ def hash_split(ds, id_col: str = "doc_id", fraction: float = 0.1,
         return t.append_column(out_col, pa.array(h < thresh))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_url_parts(ds, url_col: str = "url"):
+    """Vectorized URL decomposition (webtext staple): scheme, host, path
+    — one ``extract_regex`` kernel per batch; non-URLs get nulls."""
+    def fn(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            pc.cast(t[url_col], pa.string()),
+            r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/?#]*)"
+            r"(?P<path>[^?#]*)")
+        for part in ("scheme", "host", "path"):
+            t = t.append_column(part, pc.struct_field(ex, part))
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow")

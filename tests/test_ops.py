@@ -512,3 +512,26 @@ def test_value_quantiles_exact(ray_session):
     assert got == {0.5: 50.0, 0.9: 90.0, 0.99: 99.0}
     with pytest.raises(ValueError, match="distinct"):
         value_quantiles(ds, "v", max_distinct=10)
+
+
+def test_frequent_items_exact_with_ties(ray_session):
+    import ray.data
+    from raystack.ops.colstats import frequent_items
+    vals = ["a"] * 5 + ["b"] * 5 + ["c"] * 3 + ["d"]
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)}))
+    out = frequent_items(ds, "v", k=3)
+    # ties (a,b at 5) break by value ascending
+    assert out["value"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [5, 5, 3]
+
+
+def test_add_url_parts(ray_session):
+    import ray.data
+    from raystack.ops.text import add_url_parts
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(
+        ["https://www.x.com/a/b?q=1", "ftp://h/", "not a url"])}))
+    out = add_url_parts(ds).to_pandas()
+    assert out["scheme"].tolist()[:2] == ["https", "ftp"]
+    assert out["host"].tolist()[:2] == ["www.x.com", "h"]
+    assert out["path"].tolist()[:2] == ["/a/b", "/"]
+    assert pd.isna(out["host"].iloc[2])
