@@ -242,10 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return semi_join(ds, keys, on="user_id")
 
     def events_anti_join(sf):
+        # threshold 5 keeps the anti side non-empty at every sf (sf0.001
+        # only has user_ids 0-14; an empty Dataset would lose its schema)
         from raystack.ops.join import anti_join
         keys = pq.read_table(os.path.join(sf, "customer.parquet"),
                              columns=["c_custkey"])["c_custkey"].to_pylist()
-        keys = [k for k in keys if k < 20]
+        keys = [k for k in keys if k < 5]
         ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
                                    columns=["event_id", "user_id"])
         return anti_join(ds, keys, on="user_id")
@@ -928,7 +930,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"""),
         "events_anti_join": (
             "SELECT event_id, user_id FROM events WHERE user_id NOT IN "
-            "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
+            "(SELECT c_custkey FROM customer WHERE c_custkey < 5)"),
         "csv_ingest": "SELECT doc_id, text, lang, n_chars FROM documents",
         "props_extract": ("SELECT event_id, CAST(regexp_extract(props, "
                           "'\"k\": (\\d+)', 1) AS BIGINT) AS k_value "
