@@ -282,6 +282,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return add_url_parts(ds).select_columns(
             ["url", "scheme", "host", "path"])
 
+    def curate_corpus(sf):
+        """FLAGSHIP composition: langid -> quality -> quality filter ->
+        exact dedup (fingerprint drop set) -> MinHash near-dedup ->
+        deterministic holdout split, end to end over documents. Every
+        stage is individually oracled; this query proves the COMPOSITION
+        against one composed DuckDB mirror. (On this corpus the quality
+        threshold keeps all docs — min quality 0.69 — so the dedup
+        population equals the proven closure population.)"""
+        from raystack.curate import curate_corpus as cc
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return cc(ds, quality_threshold=0.5, holdout_fraction=0.1)
+
     def props_extract(sf):
         """Vectorized JSON-ish field extraction from the events props
         column (one regex kernel per batch)."""
@@ -661,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": value_quantiles,
         "frequent_sources": frequent_sources,
         "url_parts": url_parts,
+        "curate_corpus": curate_corpus,
         "props_extract": props_extract,
         "column_stats": column_stats,
         "column_stats_sketch": column_stats_sketch,
@@ -828,6 +842,80 @@ def _holdout_sql(fraction: float = 0.1) -> str:
         {_sql_splitmix_stages('h', 'ids')}
         SELECT doc_id, (CAST(x AS UBIGINT) % 10000) < {thresh} AS holdout
         FROM he"""
+
+
+
+def _curate_oracle() -> str:
+    """Composed mirror of ``raystack.curate.curate_corpus``: langid +
+    quality (proven stage oracles) over the quality-kept population,
+    minus exact-duplicate non-minimal ids, minus the near-dup closure's
+    non-minimal ids, plus the splitmix64 holdout flag."""
+    import re as _re
+
+    from raystack.ops.text import _LANG_MARKERS
+    langs = list(_LANG_MARKERS)
+    pats = {l: "|".join(_re.escape(m) for m in _LANG_MARKERS[l])
+            for l in langs}
+    counts = ", ".join(
+        f"len(regexp_extract_all(p, '{pats[l]}')) AS c_{l}" for l in langs)
+    all_c = ", ".join(f"c_{l}" for l in langs)
+    cases = []
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{l} >= c_{m}" for m in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{l}'")
+    lang_case = (f"CASE WHEN greatest({all_c}) = 0 THEN 'und' "
+                 + " ".join(cases) + f" ELSE '{langs[-1]}' END")
+    return f"""
+        WITH RECURSIVE
+        ls AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+        lc AS (SELECT doc_id, {counts} FROM ls),
+        lang AS (SELECT doc_id, {lang_case} AS lang_pred FROM lc),
+        qm AS (SELECT doc_id,
+            CAST(length(text) AS DOUBLE) AS c,
+            greatest(CAST(len(regexp_extract_all(text, '\\S+'))
+                          AS DOUBLE), 1.0) AS tk,
+            CAST(len(regexp_extract_all(text, '\\d')) AS DOUBLE) AS nd,
+            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS npx
+          FROM documents),
+        qual AS (SELECT doc_id,
+            0.4 * (least(greatest(c / 200.0, 0.0), 1.0)
+                   * (CASE WHEN c < 20000 THEN 1.0 ELSE 0.0 END))
+            + 0.2 * (CASE WHEN c / tk > 2.0 AND c / tk < 12.0
+                     THEN 1.0 ELSE 0.0 END)
+            + 0.2 * least(greatest(1.0 - nd / greatest(c, 1.0) * 5, 0.0), 1.0)
+            + 0.2 * least(greatest(1.0 - npx / greatest(c, 1.0) * 10,
+                                   0.0), 1.0) AS quality
+          FROM qm),
+        kept0 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN qual ON qual.doc_id = d.doc_id WHERE qual.quality >= 0.5),
+        exdrop AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS mn
+            FROM kept0) WHERE doc_id <> mn),
+        kept1 AS (SELECT * FROM kept0
+                  WHERE doc_id NOT IN (SELECT doc_id FROM exdrop)),
+        edges AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM kept1 a JOIN kept1 b
+            ON b.text = a.text || ' dup' OR a.text = b.text || ' dup'),
+        reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e
+            ON r.v = e.u WHERE e.v <> r.u),
+        nddrop AS (
+          SELECT u AS doc_id FROM reach GROUP BY u HAVING min(v) < u),
+        surv AS (SELECT doc_id FROM kept1
+                 WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+        hin AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM surv),
+        {_sql_splitmix_stages('h', 'hin')}
+        SELECT s.doc_id, lang.lang_pred, qual.quality,
+               (CAST(he.x AS UBIGINT) % 10000) < 1000 AS holdout
+        FROM surv s
+        JOIN lang ON lang.doc_id = s.doc_id
+        JOIN qual ON qual.doc_id = s.doc_id
+        JOIN he ON he.doc_id = s.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1039,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster FROM ranked WHERE rnk = 1"""),
         "fingerprints": _fingerprint_sql(),
         "holdout_split": _holdout_sql(),
+        "curate_corpus": _curate_oracle(),
         "simhash_sigs": _simhash_sql(),
         "minhash_dedup": ("""
             WITH RECURSIVE edges AS (

@@ -484,3 +484,23 @@ def embedding_near_dup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
               .groupby("bucket").map_groups(pairs, batch_format="pandas"))
+
+
+def exact_dup_ids(ds, content_col: str, id_col: str):
+    """The complement of :func:`exact_dedup_by_hash`: ids of the
+    NON-minimal members of each exact-duplicate group (the rows a
+    curation pipeline drops). The shuffle moves 8-byte fingerprints; the
+    result size is the corpus's duplicate count — bounded and small on
+    real corpora, so it can drive a broadcast drop filter."""
+    from .text import add_fingerprint
+    fp = add_fingerprint(ds, text_col=content_col, out_col="__fp")
+
+    def non_min(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col])
+        if len(ids) < 2:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        keep = ids != ids.min()
+        return pa.table({id_col: pa.array(ids[keep].astype(np.int64))})
+
+    return fp.select_columns(["__fp", id_col]) \
+        .groupby("__fp").map_groups(non_min, batch_format="pyarrow")

@@ -535,3 +535,23 @@ def test_add_url_parts(ray_session):
     assert out["host"].tolist()[:2] == ["www.x.com", "h"]
     assert out["path"].tolist()[:2] == ["/a/b", "/"]
     assert pd.isna(out["host"].iloc[2])
+
+
+def test_curate_corpus_pipeline(ray_session):
+    import ray.data
+    from raystack.curate import curate_corpus
+    base = ("many common words build one long paragraph that keeps going "
+            "with lots of shingles to hash and match again ") * 3
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": [base, base + " tail",          # near-dups: 1 dropped
+                 "x",                           # low quality: dropped
+                 "completely different words assembled into a decent "
+                 "paragraph of reasonable length for quality purposes "
+                 * 3,
+                 base, base]})                  # exact dups of 0: dropped
+    ds = ray.data.from_arrow(t)
+    out = curate_corpus(ds, quality_threshold=0.45, sim_threshold=0.5) \
+        .to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 3]
+    assert set(out.columns) == {"doc_id", "lang_pred", "quality", "holdout"}
