@@ -800,6 +800,13 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     prov_cols = [c for c in ("filepath", "filename") if c in columns]
     has_prov = bool(prov_cols)
 
+    if num_partitions > 4096:
+        raise ValueError(
+            f"encode_partitioned_tasks: num_partitions={num_partitions} "
+            "exceeds the per-map num_returns budget (4096); shard the "
+            "input into multiple jobs (the manifest/resume layout is "
+            "per-shard) or use encode_partitioned (push-based sort "
+            "shuffle merges intermediates)")
     done = _resume_prepare(out_dir, resume)
     mf.save_config(out_dir, {"url_col": url_col,
                              "num_partitions": num_partitions,
@@ -818,13 +825,6 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     log.send_log(f"encode_partitioned_tasks: {len(groups)} map task(s) → "
                  f"{num_partitions} partitions → {out_dir}")
 
-    if num_partitions > 4096:
-        raise ValueError(
-            f"encode_partitioned_tasks: num_partitions={num_partitions} "
-            "exceeds the per-map num_returns budget (4096); shard the "
-            "input into multiple jobs (the manifest/resume layout is "
-            "per-shard) or use encode_partitioned (push-based sort "
-            "shuffle merges intermediates)")
     if num_partitions == 1:
         # num_returns=1 would make the whole list one object; return the
         # single blob directly instead
