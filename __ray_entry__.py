@@ -581,6 +581,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
                                            "lang"])
 
+    def webtext_decode_pruned(sf):
+        """Column-pruned partition-local decode: only the url/lang pages
+        are read back from the encoded layout (the decode plan never
+        touches html/text bytes)."""
+        from raystack import pipeline as pl
+        scale = 2000 if "0.001" in sf else 6000
+        out = os.path.join(_SCRATCH, f"webtext_{scale}") + "_enc"
+        # always re-encode: the snapshot dir is shared across scales, so
+        # regenerate both at THIS scale (keeps query and oracle aligned
+        # when scales interleave)
+        queries()["webtext_encode"](sf).count()
+        return pl.decode_dir(out, columns=["url", "lang"])
+
     def webtext_lookup(sf):
         """Random access over the encoded layout written by webtext_encode:
         route 3 urls through the persisted partition config, read ONLY the
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webtext_encode": webtext_encode,
         "webtext_encode_tasks": webtext_encode_tasks,
         "webtext_lookup": webtext_lookup,
+        "webtext_decode_pruned": webtext_decode_pruned,
         "multimodal_features": multimodal_features,
         "multimodal_dims": multimodal_dims,
     }
@@ -1212,6 +1226,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE url IN (SELECT url FROM "
             f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet') "
             "ORDER BY url LIMIT 3)"),
+        "webtext_decode_pruned": (
+            "SELECT url, lang FROM "
+            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
         "ann_topk": ann_sql,
         "ivf_topk": ann_sql,  # full probe ⇒ IVF result is exactly brute force
     }
