@@ -603,8 +603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scale = 2000 if "0.001" in sf else 6000
         out = os.path.join(_SCRATCH, f"webtext_{scale}") + "_enc"
         snap = os.path.join(_SCRATCH, "webtext_snap")
-        if not os.path.isdir(out):  # tolerate standalone invocation order
-            queries()["webtext_encode"](sf).count()
+        # always re-encode: the snapshot dir is shared across scales (the
+        # oracle reads it), so regenerate both at THIS scale
+        queries()["webtext_encode"](sf).count()
         import duckdb
         targets = [r[0] for r in duckdb.sql(
             f"SELECT url FROM read_parquet('{snap}/*.parquet') "
