@@ -164,6 +164,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return add_token_count(ds).select_columns(["doc_id", "n_tokens"])
 
+    def bpe_token_counts(sf):
+        """BPE-ish token counting (GPT-2-style piece regex, one RE2
+        kernel per batch; DuckDB runs the same RE2 pattern)."""
+        from raystack.ops.text import add_bpe_token_count
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return add_bpe_token_count(ds).select_columns(
+            ["doc_id", "n_bpe_tokens"])
+
     def char_stats(sf):
         from raystack.ops.text import add_char_stats
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -674,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": docs_by_lang,
         "events_stats": events_stats,
         "token_counts": token_counts,
+        "bpe_token_counts": bpe_token_counts,
         "char_stats": char_stats,
         "exact_dedup": exact_dedup,
         "exact_dedup_hash": exact_dedup_hash,
@@ -1031,6 +1041,10 @@ def oracle_sql() -> dict[str, str]:
                      '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3)
                      AS path
             FROM read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"""),
+        "bpe_token_counts": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"),
         "events_anti_join": (
             "SELECT event_id, user_id FROM events WHERE user_id NOT IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 5)"),

@@ -173,3 +173,20 @@ def add_url_parts(ds, url_col: str = "url"):
             t = t.append_column(part, pc.struct_field(ex, part))
         return t
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+#: GPT-2-style piece pattern (public; contractions, letter runs, number
+#: runs, punctuation runs, whitespace) — RE2-compatible, no lookahead
+BPE_PIECE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def add_bpe_token_count(ds, text_col: str = "text",
+                        out_col: str = "n_bpe_tokens"):
+    """BPE-ish token count: one RE2 kernel over the GPT-2-style piece
+    pattern (a fast proxy for tokenizer-budget accounting — counts piece
+    boundaries, not merges)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], BPE_PIECE_RE)
+        return t.append_column(out_col, n.cast(pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow")

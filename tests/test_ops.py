@@ -555,3 +555,13 @@ def test_curate_corpus_pipeline(ray_session):
         .to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [0, 3]
     assert set(out.columns) == {"doc_id", "lang_pred", "quality", "holdout"}
+
+
+def test_bpe_token_count(ray_session):
+    import ray.data
+    from raystack.ops.text import add_bpe_token_count
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(
+        ["Hello world, it's 2024!", ""])}))
+    out = add_bpe_token_count(ds).to_pandas()
+    # Hello| world|,| it|'s| 2024|!  -> 7 pieces
+    assert out["n_bpe_tokens"].tolist() == [7, 0]
