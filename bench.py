@@ -265,11 +265,13 @@ def main():
         hi = int(os.environ.get("SCALE_HI", "8"))
         n_pairs = int(os.environ.get("SCALE_PAIRS", "3"))
         # Amdahl: efficiency ≥0.8 needs parallel work ≥~22× the fixed
-        # per-job cost (~3 s session+plan+executor start). 4× the headline
-        # rows gives the scaling job ~80 s of parallel work so the TYPICAL
-        # pair clears the bar, not just the best-conditions one.
+        # per-job cost (~1-1.5 s session+plan+first-wave). 8× the headline
+        # rows gives the scaling job ~40 s of parallel CPU at the lo level
+        # so the TYPICAL pair clears the bar, not just the
+        # best-conditions one (the precoded exchange nearly halved the
+        # job's CPU, which had shrunk the fixed-cost amortization).
         scale_rows = int(os.environ.get("SCALE_ROWS",
-                                        str(4 * _bench_rows())))
+                                        str(8 * _bench_rows())))
 
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),

@@ -556,11 +556,63 @@ def _apply_resume(keyed, out_dir: str, resume: bool):
 # task-exchange encode (deterministic keyed shuffle via raw Ray tasks)
 # ---------------------------------------------------------------------------
 
+#: codecs that gain nothing from partition co-location (no shared symbol
+#: table / dictionary) — their columns can be encoded to FINAL page form on
+#: the map side, so their bytes are compressed exactly once (the reduce
+#: passes the pages through instead of unpacking + re-compressing)
+_PRECODE_CODECS = frozenset({"plain", "plain+z", "plain+zs"})
+#: per-worker-process codec-choice cache for the precode fast path
+_PRECODE_CACHE: dict[str, str] = {}
+
+
+def _ipc_zstd(table: pa.Table) -> bytes:
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema, options=opts) as w:
+        w.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _precode_slot(seg: pa.Table) -> bytes:
+    """One slot → the PCD1 container: heavy (plain-family) columns as
+    FINAL EncodedChunk page blobs, everything else as a zstd-IPC 'light'
+    table. The reduce adopts the heavy pages untouched."""
+    heavy: list[tuple[str, int, bytes]] = []  # (name, raw_bytes, blob)
+    light_cols = []
+    for name in seg.schema.names:
+        arr = seg[name]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codec = _PRECODE_CACHE.get(name)
+        if codec is None:
+            codec = choose_codec(arr, column=name, part_key=0)
+            _PRECODE_CACHE[name] = codec
+        if codec in _PRECODE_CODECS:
+            try:
+                blob = get_codec(codec).encode(arr).to_bytes()
+            except Exception:
+                blob = get_codec("plain").encode(arr).to_bytes()
+            heavy.append((name, arr.nbytes, blob))
+        else:
+            light_cols.append(name)
+    light = _ipc_zstd(seg.select(light_cols))
+    parts = [b"PCD1", len(light).to_bytes(8, "little"), light,
+             len(heavy).to_bytes(4, "little")]
+    for name, raw, blob in heavy:
+        nb = name.encode()
+        parts += [len(nb).to_bytes(4, "little"), nb,
+                  raw.to_bytes(8, "little"),
+                  len(blob).to_bytes(8, "little"), blob]
+    return b"".join(parts)
+
+
 def _pack_dense(keyed: pa.Table, num_partitions: int,
-                skip: frozenset | None = None) -> list[bytes]:
-    """Keyed table → one zstd Arrow-IPC blob per partition slot (b"" for
-    empty / skipped slots). Deterministic: rows keep their in-table order
-    inside each slot (stable sort)."""
+                skip: frozenset | None = None,
+                precode: bool = False) -> list[bytes]:
+    """Keyed table → one blob per partition slot (b"" for empty / skipped
+    slots): a zstd Arrow-IPC stream, or the PCD1 precoded container when
+    ``precode``. Deterministic: rows keep their in-table order inside
+    each slot (stable sort)."""
     out: list[bytes] = [b""] * num_partitions
     if keyed.num_rows == 0:
         return out
@@ -570,17 +622,13 @@ def _pack_dense(keyed: pa.Table, num_partitions: int,
     keys = keys[order]
     bounds = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
                              [len(keys)]])
-    opts = pa.ipc.IpcWriteOptions(compression="zstd")
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         pk = int(keys[lo])
         if skip and pk in skip:
             continue
         seg = tbl.slice(int(lo), int(hi - lo)).combine_chunks()
         seg = seg.drop_columns(["part_key"])
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, seg.schema, options=opts) as w:
-            w.write_table(seg)
-        out[pk] = sink.getvalue().to_pybytes()
+        out[pk] = _precode_slot(seg) if precode else _ipc_zstd(seg)
     return out
 
 
@@ -615,7 +663,8 @@ def _read_map_file(p: str, plan, dialect=None) -> pa.Table:
 
 def _map_pack_files(file_group: list[str], plan, num_partitions: int,
                     url_col: str, hot_hosts: dict | None, host_map: dict | None,
-                    skip: frozenset, dialect=None) -> list[bytes]:
+                    skip: frozenset, dialect=None,
+                    precode: bool = False) -> list[bytes]:
     """Map side of the task exchange: read (column-pruned) → align → key →
     per-partition zstd segments. Runs as one Ray task per file group; the
     scheduler sees ``num_partitions`` separate return objects so each
@@ -632,7 +681,7 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
                                  hot_hosts, host_map)
         keyed = aligned.append_column("part_key",
                                       pa.array(keys, type=pa.int64()))
-        packed.append(_pack_dense(keyed, num_partitions, skip))
+        packed.append(_pack_dense(keyed, num_partitions, skip, precode))
     if len(packed) == 1:
         return packed[0]
     # concatenate the per-file blobs per slot (decoder reads streams
@@ -655,26 +704,59 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
 
 
 def _map_pack_single(file_group, plan, num_partitions, url_col,
-                     hot_hosts, host_map, skip, dialect=None) -> bytes:
+                     hot_hosts, host_map, skip, dialect=None,
+                     precode: bool = False) -> bytes:
     return _map_pack_files(file_group, plan, num_partitions, url_col,
-                           hot_hosts, host_map, skip, dialect)[0]
+                           hot_hosts, host_map, skip, dialect, precode)[0]
 
 
-def _unpack_segment(blob: bytes) -> list[pa.Table]:
-    """Inverse of the map side's per-slot blob format."""
+def _parse_one_slot(blob: bytes, light: list, heavy: dict) -> None:
+    """Parse a single (non-MSEG) slot blob into the accumulators: the
+    light table is appended; heavy page blobs extend per-column lists
+    (arrival order == row order)."""
+    if blob[:4] == b"PCD1":
+        off = 4
+        ln = int.from_bytes(blob[off:off + 8], "little")
+        off += 8
+        light.append(pa.ipc.open_stream(
+            pa.BufferReader(blob[off:off + ln])).read_all())
+        off += ln
+        n_heavy = int.from_bytes(blob[off:off + 4], "little")
+        off += 4
+        for _ in range(n_heavy):
+            nl = int.from_bytes(blob[off:off + 4], "little")
+            off += 4
+            name = blob[off:off + nl].decode()
+            off += nl
+            raw = int.from_bytes(blob[off:off + 8], "little")
+            off += 8
+            bl = int.from_bytes(blob[off:off + 8], "little")
+            off += 8
+            heavy.setdefault(name, []).append((raw, blob[off:off + bl]))
+            off += bl
+    else:
+        light.append(pa.ipc.open_stream(pa.BufferReader(blob)).read_all())
+
+
+def _unpack_segment(blob: bytes) -> tuple[list[pa.Table], dict]:
+    """Inverse of the map side's per-slot blob format. Returns
+    (light_tables, heavy_pages) where heavy_pages maps column →
+    [(raw_bytes, EncodedChunk blob), ...] in row order."""
+    light: list[pa.Table] = []
+    heavy: dict[str, list] = {}
     if not blob:
-        return []
+        return light, heavy
     if blob[:4] == b"MSEG":
         n = int.from_bytes(blob[4:8], "little")
-        tables, off = [], 8
+        off = 8
         for _ in range(n):
             ln = int.from_bytes(blob[off:off + 8], "little")
             off += 8
-            tables.append(pa.ipc.open_stream(
-                pa.BufferReader(blob[off:off + ln])).read_all())
+            _parse_one_slot(bytes(blob[off:off + ln]), light, heavy)
             off += ln
-        return tables
-    return [pa.ipc.open_stream(pa.BufferReader(blob)).read_all()]
+    else:
+        _parse_one_slot(blob, light, heavy)
+    return light, heavy
 
 
 def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
@@ -687,23 +769,54 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
 
     import pyarrow.parquet as pq
     tables: list[pa.Table] = []
+    heavy: dict[str, list] = {}
     for b in blobs:
-        tables.extend(_unpack_segment(b))
-    if not tables:
+        lt, hv = _unpack_segment(b)
+        tables.extend(lt)
+        for name, pgs in hv.items():
+            heavy.setdefault(name, []).extend(pgs)
+    if not tables and not heavy:
         return {"part_key": pk, "rows": 0}
     full = pa.concat_tables(tables, promote_options="default")
     files = ""
     if has_prov:
         files = _json.dumps(sorted(set(
             pc.unique(full["filename"]).to_pylist())))
-    pages = _encode_table(full, pk, enc_cols + prov_cols, page_rows,
+    light_cols = [c for c in enc_cols + prov_cols
+                  if c in full.schema.names and c not in heavy]
+    pages = _encode_table(full, pk, light_cols, page_rows,
                           input_files=files)
+    if heavy:
+        # adopt the map-side FINAL pages untouched (page_idx numbering is
+        # per-column; decode assembles columns independently)
+        rows = {name: [] for name in PAGES_SCHEMA.names}
+        for name, pgs in heavy.items():
+            for i, (raw, blob) in enumerate(pgs):
+                chunk = EncodedChunk.from_bytes(blob)
+                rows["part_key"].append(pk)
+                rows["page_idx"].append(i)
+                rows["column"].append(name)
+                rows["codec"].append(chunk.codec)
+                rows["nrows"].append(chunk.length)
+                rows["raw_bytes"].append(raw)
+                rows["enc_bytes"].append(len(blob))
+                rows["checksum"].append(_crc(blob))
+                rows["input_files"].append(files)
+                rows["encode_ms"].append(0)
+                rows["data"].append(blob)
+        pages = pa.concat_tables(
+            [pages, pa.table(rows, schema=PAGES_SCHEMA)])
+    n_rows = full.num_rows
+    if not light_cols and heavy:
+        # zero-column light tables lose their row count over IPC
+        first = next(iter(heavy.values()))
+        n_rows = sum(EncodedChunk.from_bytes(b).length for _, b in first)
     part_dir = os.path.join(out_dir, "pages", f"part_key={pk}")
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
     pq.write_table(pages.drop_columns(["part_key"]), tmp)
     os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
-    return {"part_key": pk, "rows": full.num_rows,
+    return {"part_key": pk, "rows": n_rows,
             "enc_bytes": int(pc.sum(pages["enc_bytes"]).as_py() or 0)}
 
 
@@ -739,6 +852,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              host_counts: dict[str, int] | None = None,
                              plan=None, dialect=None, logger=None,
                              map_bytes: int = TARGET_MAP_BYTES,
+                             precode: bool = True,
                              collect_stats: bool = False) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of
     the Dataset ``groupby`` shuffle. Same output layout + manifest as
@@ -835,7 +949,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     enc_fn = ray.remote(num_cpus=1)(_encode_part_task)
     skip = frozenset(done)
     map_refs = [map_fn.remote(g, plan, num_partitions, url_col,
-                              hot_hosts, host_map, skip, dialect)
+                              hot_hosts, host_map, skip, dialect, precode)
                 for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]
@@ -1105,23 +1219,37 @@ def _decode_partition_dir(dir_path: str,
                               value_set=pa.array(sorted(columns))))
     if t.num_rows == 0:
         return pa.table({})
+    # per-COLUMN assembly: decode each column's pages in page_idx order and
+    # zip the full columns. Row order per column is the encoder's append
+    # order either way; this also supports layouts where page row
+    # boundaries differ across columns (the precoded heavy-column path).
     idx = np.asarray(t["page_idx"])
-    order = np.argsort(idx, kind="stable")
-    t = t.take(pa.array(order))
-    idx = idx[order]
-    bounds = np.concatenate([[0], np.flatnonzero(np.diff(idx)) + 1,
-                             [len(idx)]])
-    out = []
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        group = t.slice(int(lo), int(hi - lo))
-        cols, arrays = [], []
-        seen = {c.as_py(): i for i, c in enumerate(group["column"])}
-        for name, i in seen.items():
-            chunk = EncodedChunk.from_bytes(group["data"][i].as_py())
-            arrays.append(get_codec(chunk.codec).decode(chunk))
-            cols.append(name)
-        out.append(pa.table(arrays, names=cols))
-    return pa.concat_tables(out, promote_options="default")
+    names = t["column"].to_pylist()
+    col_order: list[str] = []
+    rows_by_col: dict[str, list[tuple[int, int]]] = {}
+    for i, name in enumerate(names):
+        if name not in rows_by_col:
+            rows_by_col[name] = []
+            col_order.append(name)
+        rows_by_col[name].append((int(idx[i]), i))
+    arrays, out_names = [], []
+    data_col = t["data"]
+    n_rows = None
+    for name in col_order:
+        pages = sorted(rows_by_col[name])
+        chunks = []
+        for _, i in pages:
+            chunk = EncodedChunk.from_bytes(data_col[i].as_py())
+            chunks.append(get_codec(chunk.codec).decode(chunk))
+        arr = pa.chunked_array(chunks) if len(chunks) > 1 else chunks[0]
+        if n_rows is None:
+            n_rows = len(arr)
+        elif len(arr) != n_rows:
+            raise ValueError(f"{dir_path}: column {name!r} decoded "
+                             f"{len(arr)} rows, expected {n_rows}")
+        arrays.append(arr)
+        out_names.append(name)
+    return pa.table(arrays, names=out_names)
 
 
 def decode_dir(out_dir: str, columns: list[str] | None = None):

@@ -413,3 +413,28 @@ def test_encode_tasks_csv_inputs(ray_session, tmp_path):
                      .to_pandas())
     for col in ["url", "warc_ts", "text", "lang", "filename"]:
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_encode_tasks_precode_matches_plain(ray_session, web, tmp_path):
+    # the precoded heavy-column path (map-side final pages for plain-family
+    # codecs) must decode to the identical relation as precode=False
+    out_p = str(tmp_path / "enc_pc")
+    out_n = str(tmp_path / "enc_npc")
+    pl.encode_partitioned_tasks(list(web), out_p, num_partitions=8,
+                                precode=True)
+    pl.encode_partitioned_tasks(list(web), out_n, num_partitions=8,
+                                precode=False)
+    a = _df_by_url(pl.decode_dir(out_p).to_pandas())
+    b = _df_by_url(pl.decode_dir(out_n).to_pandas())
+    for col in ["url", "warc_ts", "html", "text", "lang", "filename"]:
+        assert a[col].tolist() == b[col].tolist(), col
+    # heavy columns exist as precoded pages: at least one column has more
+    # pages than the standard 65536-row pagination would produce
+    import pyarrow.dataset as pads
+    pages = pads.dataset(out_p + "/pages", partitioning="hive") \
+        .to_table(columns=["column", "codec"]).to_pandas()
+    assert (pages.groupby("column")["codec"].first()
+            .isin(["plain+zs", "plain+z", "plain"]).any())
+    # checksum audit stays green on the precoded layout
+    res = pl.verify_encoded(out_p)
+    assert res["bad"] == [] and res["missing"] == []
