@@ -156,7 +156,9 @@ def run_bench(num_cpus: int) -> dict:
         pl.encode_partitioned_tasks(paths, out,
                                     columns_rename={"body": "text"},
                                     num_partitions=n_parts,
-                                    host_map=host_map)
+                                    host_map=host_map,
+                                    map_bytes=int(os.environ.get(
+                                        "BENCH_MAP_MB", "64")) << 20)
         t_enc = min(t_enc, time.perf_counter() - t0)
     queries["webtext_encode"] = round(t_enc, 3)
 
@@ -276,6 +278,10 @@ def main():
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_HEADLINE_ONLY="1", BENCH_ROWS=str(scale_rows),
+                       # one rep per level keeps the lo/hi runs of a pair
+                       # adjacent in time — the box's load drifts on a
+                       # ~minute scale and a pair must see the same epoch
+                       BENCH_REPEATS=os.environ.get("SCALE_REPEATS", "1"),
                        BENCH_OUT_DIR=os.environ.get(
                            "BENCH_OUT_DIR", "/dev/shm/raystack_bench"))
             # pin the WHOLE process tree (ray workers, arrow/numpy thread
