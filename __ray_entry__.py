@@ -173,6 +173,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return add_bpe_token_count(ds).select_columns(
             ["doc_id", "n_bpe_tokens"])
 
+    def stratified_sample(sf):
+        """Deterministic stratified sample: the 5 smallest-splitmix64(id)
+        docs per lang (retry/cluster-size stable; pre-reduced so the
+        shuffle moves O(groups x k) rows)."""
+        from raystack.ops.text import stratified_sample as strat
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "lang"])
+        return strat(ds, "lang", k=5)
+
     def char_stats(sf):
         from raystack.ops.text import add_char_stats
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
@@ -716,6 +725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join,
         "embedding_clusters": embedding_clusters,
         "holdout_split": holdout_split,
+        "stratified_sample": stratified_sample,
         "embedding_dups": embedding_dups,
         "ivf_topk": ivf_topk,
         "webtext_encode": webtext_encode,
@@ -868,6 +878,23 @@ def _holdout_sql(fraction: float = 0.1) -> str:
         SELECT doc_id, (CAST(x AS UBIGINT) % 10000) < {thresh} AS holdout
         FROM he"""
 
+
+
+
+def _stratified_sql(k: int = 5) -> str:
+    """SQL mirror of ``ops.text.stratified_sample``: rank by the signed
+    (int64-view) splitmix64 of doc_id per lang."""
+    return f"""
+        WITH ids AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x
+                     FROM documents),
+        {_sql_splitmix_stages('s', 'ids')},
+        ranked AS (
+          SELECT d.lang, s.doc_id,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY {_sql_int64_view('s.x')}, s.doc_id) AS rn
+          FROM se s JOIN documents d ON d.doc_id = s.doc_id)
+        SELECT lang, doc_id FROM ranked WHERE rn <= {k}"""
 
 
 def _curate_oracle() -> str:
@@ -1156,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster FROM ranked WHERE rnk = 1"""),
         "fingerprints": _fingerprint_sql(),
         "holdout_split": _holdout_sql(),
+        "stratified_sample": _stratified_sql(),
         "curate_corpus": _curate_oracle(),
         "simhash_sigs": _simhash_sql(),
         "minhash_dedup": ("""

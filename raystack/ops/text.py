@@ -190,3 +190,32 @@ def add_bpe_token_count(ds, text_col: str = "text",
         n = pc.count_substring_regex(t[text_col], BPE_PIECE_RE)
         return t.append_column(out_col, n.cast(pa.int64()))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, id_col: str = "doc_id",
+                      k: int = 10):
+    """Deterministic stratified sample: the ``k`` rows with the smallest
+    ``splitmix64(id)`` per group (a seedable, retry-stable uniform draw —
+    the sample of a group never depends on task placement). Pre-reduced:
+    each batch keeps at most ``k`` candidates per group BEFORE the
+    groupby, so the shuffle moves O(groups x k x blocks) rows, never the
+    corpus."""
+    from .hashing import splitmix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = np.asarray(t[id_col]).astype(np.uint64)
+        h = splitmix64(ids).view(np.int64)
+        df = pd.DataFrame({group_col: np.asarray(t[group_col]),
+                           id_col: np.asarray(t[id_col]), "__h": h})
+        df = df.sort_values("__h").groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.to_pandas().sort_values("__h").head(k)
+        return pa.Table.from_pandas(df[[group_col, id_col]],
+                                    preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(final, batch_format="pyarrow")

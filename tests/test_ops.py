@@ -565,3 +565,21 @@ def test_bpe_token_count(ray_session):
     out = add_bpe_token_count(ds).to_pandas()
     # Hello| world|,| it|'s| 2024|!  -> 7 pieces
     assert out["n_bpe_tokens"].tolist() == [7, 0]
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+    from raystack.ops.text import stratified_sample
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "g": pa.array(["a" if i % 3 else "b" for i in range(1000)])})
+    ds = ray.data.from_arrow(t)
+    a = stratified_sample(ds, "g", k=7).to_pandas() \
+        .sort_values(["g", "doc_id"]).reset_index(drop=True)
+    b = stratified_sample(ds, "g", k=7).to_pandas() \
+        .sort_values(["g", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    assert (a.groupby("g").size() == 7).all()
+    # block layout must not change the sample (placement independence)
+    c = stratified_sample(ds.repartition(13), "g", k=7).to_pandas() \
+        .sort_values(["g", "doc_id"]).reset_index(drop=True)
+    assert a.equals(c)
