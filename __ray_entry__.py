@@ -23,6 +23,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 _SCRATCH = "/tmp/raystack_entry"
+#: snapshot dir the oracle SQL reads — the driver runs oracles at sf0.01
+#: (scale 6000); the scale-keyed dirs keep other scales from clobbering it
+_ORACLE_SNAP = os.path.join(_SCRATCH, "webtext_6000_snap")
 
 
 # ---------------------------------------------------------------------------
@@ -57,6 +60,79 @@ def _aligned(sf_dir: str, **kw):
     from raystack.align import read_aligned
     return read_aligned(_drifted_documents(sf_dir),
                         columns_rename={"body": "text"}, **kw)
+
+
+# ---------------------------------------------------------------------------
+# webtext fixtures (scale-keyed, built once per scale, read-only after)
+# ---------------------------------------------------------------------------
+
+def _webtext_scale(sf_dir: str) -> int:
+    return 2000 if "0.001" in sf_dir else 6000
+
+
+def _webtext_dirs(sf_dir: str) -> tuple[int, str, str, str]:
+    """(scale, gen_base, snapshot_dir, encode_dir) — all keyed by scale so
+    interleaved scales never clobber each other's fixtures (round-2 finding:
+    a shared snap dir forced every dependent query to re-encode)."""
+    scale = _webtext_scale(sf_dir)
+    base = os.path.join(_SCRATCH, f"webtext_{scale}")
+    return scale, base, base + "_snap", base + "_enc"
+
+
+def _ensure_webtext(sf_dir: str) -> tuple[list[str], str, str]:
+    """Generate the drifting webtext partitions and the aligned parquet
+    snapshot (the DuckDB oracle's input) once per scale; deterministic, so
+    an existing snapshot is always valid. Returns (paths, snap, enc)."""
+    from raystack.align import read_aligned
+    from raystack.gen import write_webtext
+    scale, base, snap, enc = _webtext_dirs(sf_dir)
+    paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
+    if not os.path.isdir(snap):
+        tmp = snap + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        read_aligned(paths, columns_rename={"body": "text"},
+                     add_filename=True) \
+            .select_columns(["url", "warc_ts", "html", "text", "lang"]) \
+            .write_parquet(tmp)
+        os.replace(tmp, snap)
+    return paths, snap, enc
+
+
+def _ensure_webtext_enc(sf_dir: str) -> str:
+    """Encoded layout for the dependent (read-only) queries: encode only
+    when no finalized manifest exists — one encode per scale per run."""
+    from raystack import manifest as mf
+    from raystack import pipeline as pl
+    paths, snap, enc = _ensure_webtext(sf_dir)
+    if not mf.load_manifest(enc):
+        shutil.rmtree(enc, ignore_errors=True)
+        pl.encode_partitioned_tasks(paths, enc,
+                                    columns_rename={"body": "text"},
+                                    num_partitions=8)
+    return enc
+
+
+def _digest_html(ds):
+    """Replace the raw ``html`` binary column with its md5-over-hex digest:
+    DuckDB's client returns BLOBs as ``bytearray`` which crashes the
+    driver's canonical sort (round-2 finding), so both sides compare
+    ``md5(hex(html))`` instead — bit-identity of the decode is preserved
+    by the digest."""
+    import hashlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {}
+        for name in t.schema.names:
+            if name == "html":
+                out["html_md5"] = pa.array(
+                    [hashlib.md5(b.as_py().hex().upper().encode())
+                     .hexdigest() if b.is_valid else None
+                     for b in t["html"].combine_chunks()], pa.string())
+            else:
+                out[name] = t[name]
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -114,11 +190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      add_filename=False)
         df = st.combine_preview(nrows=2)
         return df[["doc_id", "lang", "n_chars"]]
-
-    def roundtrip_documents(sf):
-        return _roundtrip(sf, "documents",
-                          ["doc_id", "text", "lang", "source", "n_chars"],
-                          "doc_id")
 
     def roundtrip_events(sf):
         return _roundtrip(sf, "events",
@@ -245,11 +316,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.sort(["o_totalprice", "o_orderkey"],
                         descending=[True, False]).limit(10))
 
-    def distinct_langs(sf):
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
-                                   columns=["lang"])
-        return ds.groupby("lang").count().select_columns(["lang"])
-
     def events_semi_join(sf):
         from raystack.ops.join import semi_join
         keys = pq.read_table(os.path.join(sf, "customer.parquet"),
@@ -290,13 +356,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def url_parts(sf):
         """Vectorized URL decomposition over the webtext relation (one
         RE2 extract_regex kernel; DuckDB's regexp_extract runs the same
-        RE2 pattern)."""
+        RE2 pattern). Reads the scale-keyed snapshot read-only."""
         from raystack.ops.text import add_url_parts
-        scale = 2000 if "0.001" in sf else 6000
-        snap = os.path.join(_SCRATCH, "webtext_snap")
-        if not os.path.isdir(snap):
-            queries()["webtext_encode"](sf).count()
-        ds = ray.data.read_parquet(snap)
+        _, snap, _ = _ensure_webtext(sf)
+        ds = ray.data.read_parquet(snap, columns=["url"])
         return add_url_parts(ds).select_columns(
             ["url", "scheme", "host", "path"])
 
@@ -554,110 +617,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def webtext_encode(sf):
         """Full webtext flagship on generated data (schema from
-        BASELINE.json input_hint): gen → drift-align → encode → decode."""
+        BASELINE.json input_hint): gen → drift-align → encode → decode.
+        The decoded ``html`` binary is compared as ``md5(hex(html))`` on
+        both sides (DuckDB BLOBs come back as unhashable bytearray, which
+        the driver's canonicalizer can't sort); byte-level decode identity
+        is what the digest proves."""
         from raystack import pipeline as pl
         from raystack.align import read_aligned
-        from raystack.gen import write_webtext
-        scale = 2000 if "0.001" in sf else 6000
-        base = os.path.join(_SCRATCH, f"webtext_{scale}")
-        out = base + "_enc"
+        paths, snap, out = _ensure_webtext(sf)
         shutil.rmtree(out, ignore_errors=True)
-        paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
         ds = read_aligned(paths, columns_rename={"body": "text"},
                           add_filename=True)
-        # snapshot the aligned (pre-encode) table where the DuckDB oracle
-        # can read it back — the oracle then asserts decode ≡ aligned input
-        snap = os.path.join(_SCRATCH, "webtext_snap")
-        shutil.rmtree(snap, ignore_errors=True)
-        ds.select_columns(["url", "warc_ts", "html", "text", "lang"]) \
-            .write_parquet(snap)
         pl.encode_partitioned(ds, out, num_partitions=8)
-        return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
-                                           "lang"])
+        return _digest_html(pl.decode_dir(
+            out, columns=["url", "warc_ts", "html", "text", "lang"]))
 
     def webtext_encode_tasks(sf):
         """Same flagship relation through the raw-task deterministic
         exchange (`pipeline.encode_partitioned_tasks`) — the driver's
         oracle proves the two exchange implementations agree."""
         from raystack import pipeline as pl
-        from raystack.gen import write_webtext
-        scale = 2000 if "0.001" in sf else 6000
-        base = os.path.join(_SCRATCH, f"webtext_{scale}")
-        out = base + "_enct"
+        paths, snap, enc = _ensure_webtext(sf)
+        out = os.path.join(_SCRATCH,
+                           f"webtext_{_webtext_scale(sf)}") + "_enct"
         shutil.rmtree(out, ignore_errors=True)
-        paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
-        snap = os.path.join(_SCRATCH, "webtext_snap")
-        if not os.path.isdir(snap):
-            from raystack.align import read_aligned
-            read_aligned(paths, columns_rename={"body": "text"},
-                         add_filename=True) \
-                .select_columns(["url", "warc_ts", "html", "text", "lang"]) \
-                .write_parquet(snap)
         pl.encode_partitioned_tasks(paths, out,
                                     columns_rename={"body": "text"},
                                     num_partitions=8)
-        return pl.decode_dir(out, columns=["url", "warc_ts", "html", "text",
-                                           "lang"])
-
-    def webtext_decode_pruned(sf):
-        """Column-pruned partition-local decode: only the url/lang pages
-        are read back from the encoded layout (the decode plan never
-        touches html/text bytes)."""
-        from raystack import pipeline as pl
-        scale = 2000 if "0.001" in sf else 6000
-        out = os.path.join(_SCRATCH, f"webtext_{scale}") + "_enc"
-        # always re-encode: the snapshot dir is shared across scales, so
-        # regenerate both at THIS scale (keeps query and oracle aligned
-        # when scales interleave)
-        queries()["webtext_encode"](sf).count()
-        return pl.decode_dir(out, columns=["url", "lang"])
+        return _digest_html(pl.decode_dir(
+            out, columns=["url", "warc_ts", "html", "text", "lang"]))
 
     def webtext_lookup(sf):
-        """Random access over the encoded layout written by webtext_encode:
-        route 3 urls through the persisted partition config, read ONLY the
-        touched part_key dirs, decode, filter. The oracle reads the same
-        rows from the aligned snapshot."""
+        """Random access over the encoded layout: route 3 urls through the
+        persisted partition config, read ONLY the touched part_key dirs,
+        decode ONLY the url/text/lang pages (column-pruned decode — html
+        bytes never leave disk), filter. The oracle reads the same rows
+        from the aligned snapshot. Proves routing + pruned partition-local
+        decode in one query."""
         from raystack import pipeline as pl
-        scale = 2000 if "0.001" in sf else 6000
-        out = os.path.join(_SCRATCH, f"webtext_{scale}") + "_enc"
-        snap = os.path.join(_SCRATCH, "webtext_snap")
-        # always re-encode: the snapshot dir is shared across scales (the
-        # oracle reads it), so regenerate both at THIS scale
-        queries()["webtext_encode"](sf).count()
+        enc = _ensure_webtext_enc(sf)
+        snap = _webtext_dirs(sf)[2]
         import duckdb
         targets = [r[0] for r in duckdb.sql(
             f"SELECT url FROM read_parquet('{snap}/*.parquet') "
             "ORDER BY url LIMIT 3").fetchall()]
-        got = pl.lookup_rows(out, targets, columns=["text", "lang"])
+        got = pl.lookup_rows(enc, targets, columns=["text", "lang"])
         return got.select_columns(["url", "text", "lang"])
-
-    def multimodal_features(sf):
-        from raystack.ops.multimodal import extract_image_features
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
-                                   columns=["doc_id", "text"])
-        def to_media(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            return pa.table({
-                "media_id": t["doc_id"],
-                "payload": pc.cast(pc.cast(t["text"], pa.binary()),
-                                   pa.large_binary()),
-                "mime": pa.array(["text/plain"] * t.num_rows),
-                "meta": pa.array(["{}"] * t.num_rows)})
-        media = ds.map_batches(to_media, batch_format="pyarrow")
-        feats = extract_image_features(media, concurrency=2)
-
-        def flatten(t: pa.Table) -> pa.Table:
-            # list<float64> features -> 16 scalar columns so the driver's
-            # DuckDB oracle (per-bin conditional counts / length, double
-            # division) compares value-for-value
-            f = np.asarray(t["features"].combine_chunks().values) \
-                .reshape(-1, 16)
-            cols = {"media_id": t["media_id"], "width": t["width"],
-                    "height": t["height"], "channels": t["channels"]}
-            for b in range(16):
-                cols[f"f{b:02d}"] = pa.array(f[:, b])
-            return pa.table(cols)
-        return feats.map_batches(flatten, batch_format="pyarrow")
 
     def multimodal_dims(sf):
         """Oracle-checkable slice of the multimodal stage: the deterministic
@@ -679,61 +684,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return feats.select_columns(["media_id", "width", "height",
                                      "channels"])
 
+    # EXACTLY 50 entries (the driver checks the first 50 — round-2 finding:
+    # anything past the cap is silently never tested). Flagships first.
     return {
+        "webtext_encode": webtext_encode,
+        "webtext_encode_tasks": webtext_encode_tasks,
+        "webtext_lookup": webtext_lookup,
+        "roundtrip_partitioned": roundtrip_partitioned,
+        "curate_corpus": curate_corpus,
         "combine_union": combine_union,
         "combine_common": combine_common,
         "combine_select": combine_select,
         "combine_provenance": combine_provenance,
         "combine_preview": combine_preview,
-        "roundtrip_documents": roundtrip_documents,
         "roundtrip_events": roundtrip_events,
         "roundtrip_lineitem": roundtrip_lineitem,
-        "roundtrip_partitioned": roundtrip_partitioned,
-        "docs_by_lang": docs_by_lang,
-        "events_stats": events_stats,
-        "token_counts": token_counts,
-        "bpe_token_counts": bpe_token_counts,
-        "char_stats": char_stats,
-        "exact_dedup": exact_dedup,
-        "exact_dedup_hash": exact_dedup_hash,
-        "ann_topk": ann_topk,
-        "events_windowed": events_windowed,
-        "events_hopping": events_hopping,
-        "orders_by_segment": orders_by_segment,
-        "top_orders": top_orders,
-        "distinct_langs": distinct_langs,
-        "events_semi_join": events_semi_join,
-        "events_anti_join": events_anti_join,
-        "value_quantiles": value_quantiles,
-        "frequent_sources": frequent_sources,
-        "url_parts": url_parts,
-        "curate_corpus": curate_corpus,
-        "props_extract": props_extract,
-        "column_stats": column_stats,
-        "column_stats_sketch": column_stats_sketch,
-        "sessionized_events": sessionized_events,
         "roundtrip_embeddings": roundtrip_embeddings,
         "csv_ingest": csv_ingest,
+        "url_parts": url_parts,
+        "minhash_dedup": minhash_dedup,
+        "jaccard_pairs": jaccard_pairs,
+        "exact_dedup": exact_dedup,
+        "exact_dedup_hash": exact_dedup_hash,
+        "fingerprint_dups": fingerprint_dups,
+        "simhash_sigs": simhash_sigs,
+        "embedding_dups": embedding_dups,
+        "ann_topk": ann_topk,
+        "ivf_topk": ivf_topk,
+        "embedding_clusters": embedding_clusters,
         "langid": langid,
         "quality": quality,
         "fingerprints": fingerprints,
-        "fingerprint_dups": fingerprint_dups,
-        "minhash_dedup": minhash_dedup,
-        "jaccard_pairs": jaccard_pairs,
-        "simhash_sigs": simhash_sigs,
-        "events_asof": events_asof,
-        "events_range_join": events_range_join,
-        "embedding_clusters": embedding_clusters,
+        "token_counts": token_counts,
+        "bpe_token_counts": bpe_token_counts,
+        "char_stats": char_stats,
         "holdout_split": holdout_split,
         "stratified_sample": stratified_sample,
-        "embedding_dups": embedding_dups,
-        "ivf_topk": ivf_topk,
-        "webtext_encode": webtext_encode,
-        "webtext_encode_tasks": webtext_encode_tasks,
-        "webtext_lookup": webtext_lookup,
-        "webtext_decode_pruned": webtext_decode_pruned,
-        "multimodal_features": multimodal_features,
         "multimodal_dims": multimodal_dims,
+        "docs_by_lang": docs_by_lang,
+        "events_stats": events_stats,
+        "events_windowed": events_windowed,
+        "events_hopping": events_hopping,
+        "sessionized_events": sessionized_events,
+        "events_asof": events_asof,
+        "events_range_join": events_range_join,
+        "events_semi_join": events_semi_join,
+        "events_anti_join": events_anti_join,
+        "orders_by_segment": orders_by_segment,
+        "top_orders": top_orders,
+        "value_quantiles": value_quantiles,
+        "frequent_sources": frequent_sources,
+        "props_extract": props_extract,
+        "column_stats": column_stats,
+        "column_stats_sketch": column_stats_sketch,
     }
 
 
@@ -1000,7 +1003,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM ("
             "  SELECT *, row_number() OVER (PARTITION BY doc_id % 3 "
             "         ORDER BY doc_id) AS rn FROM documents) WHERE rn <= 2"),
-        "roundtrip_documents": f"SELECT {docs_all} FROM documents",
         "roundtrip_events": ("SELECT event_id, ts, user_id, event_type, value,"
                              " props FROM events"),
         "roundtrip_lineitem": ("SELECT l_orderkey, l_partkey, l_quantity, "
@@ -1044,7 +1046,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey"),
         "top_orders": ("SELECT o_orderkey, o_totalprice FROM orders "
                        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
-        "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "events_semi_join": (
             "SELECT event_id, user_id FROM events WHERE user_id IN "
             "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
@@ -1067,7 +1068,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(url,
                      '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3)
                      AS path
-            FROM read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"""),
+            FROM read_parquet('{_ORACLE_SNAP}/*.parquet')"""),
         "bpe_token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS BIGINT) AS n_bpe_tokens "
@@ -1207,71 +1208,26 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(max({c}) AS VARCHAR) AS max_v, "
             f"count(DISTINCT {c}) AS distinct_est FROM documents"
             for c in ["doc_id", "text", "lang", "source", "n_chars"])),
-        "multimodal_features": ("""
-            WITH chars AS (
-              SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS b
-              FROM (SELECT doc_id, text,
-                           unnest(generate_series(1, length(text))) AS i
-                    FROM documents)),
-            hist AS (SELECT doc_id,
-              SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS c0,
-              SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS c1,
-              SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS c2,
-              SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS c3,
-              SUM(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS c4,
-              SUM(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS c5,
-              SUM(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS c6,
-              SUM(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS c7,
-              SUM(CASE WHEN b = 8 THEN 1 ELSE 0 END) AS c8,
-              SUM(CASE WHEN b = 9 THEN 1 ELSE 0 END) AS c9,
-              SUM(CASE WHEN b = 10 THEN 1 ELSE 0 END) AS c10,
-              SUM(CASE WHEN b = 11 THEN 1 ELSE 0 END) AS c11,
-              SUM(CASE WHEN b = 12 THEN 1 ELSE 0 END) AS c12,
-              SUM(CASE WHEN b = 13 THEN 1 ELSE 0 END) AS c13,
-              SUM(CASE WHEN b = 14 THEN 1 ELSE 0 END) AS c14,
-              SUM(CASE WHEN b = 15 THEN 1 ELSE 0 END) AS c15
-              FROM chars GROUP BY doc_id)
-            SELECT d.doc_id AS media_id,
-              ((length(d.text) * 40503) % 65536) % 1920 + 16 AS width,
-              ((length(d.text) * 9973) % 65536) % 1080 + 16 AS height,
-              CAST(3 AS BIGINT) AS channels,
-              CAST(coalesce(h.c0, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f00,
-              CAST(coalesce(h.c1, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f01,
-              CAST(coalesce(h.c2, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f02,
-              CAST(coalesce(h.c3, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f03,
-              CAST(coalesce(h.c4, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f04,
-              CAST(coalesce(h.c5, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f05,
-              CAST(coalesce(h.c6, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f06,
-              CAST(coalesce(h.c7, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f07,
-              CAST(coalesce(h.c8, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f08,
-              CAST(coalesce(h.c9, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f09,
-              CAST(coalesce(h.c10, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f10,
-              CAST(coalesce(h.c11, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f11,
-              CAST(coalesce(h.c12, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f12,
-              CAST(coalesce(h.c13, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f13,
-              CAST(coalesce(h.c14, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f14,
-              CAST(coalesce(h.c15, 0) AS DOUBLE) / greatest(length(d.text), 1) AS f15
-            FROM documents d LEFT JOIN hist h ON h.doc_id = d.doc_id"""),
         "multimodal_dims": (
             "SELECT doc_id AS media_id, "
             "((strlen(text) * 40503) % 65536) % 1920 + 16 AS width, "
             "((strlen(text) * 9973) % 65536) % 1080 + 16 AS height, "
             "CAST(3 AS BIGINT) AS channels FROM documents"),
+        # html compared as md5(hex(html)): the raw BLOB comes back from
+        # DuckDB's client as bytearray, which the driver's canonical sort
+        # can't hash (round-2 root cause); hex() is uppercase on both sides
         "webtext_encode": (
-            "SELECT url, warc_ts, html, text, lang FROM "
-            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
+            "SELECT url, warc_ts, md5(hex(html)) AS html_md5, text, lang "
+            f"FROM read_parquet('{_ORACLE_SNAP}/*.parquet')"),
         "webtext_encode_tasks": (
-            "SELECT url, warc_ts, html, text, lang FROM "
-            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
+            "SELECT url, warc_ts, md5(hex(html)) AS html_md5, text, lang "
+            f"FROM read_parquet('{_ORACLE_SNAP}/*.parquet')"),
         "webtext_lookup": (
             "SELECT url, text, lang FROM "
-            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet') "
+            f"read_parquet('{_ORACLE_SNAP}/*.parquet') "
             "WHERE url IN (SELECT url FROM "
-            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet') "
+            f"read_parquet('{_ORACLE_SNAP}/*.parquet') "
             "ORDER BY url LIMIT 3)"),
-        "webtext_decode_pruned": (
-            "SELECT url, lang FROM "
-            f"read_parquet('{_SCRATCH}/webtext_snap/*.parquet')"),
         "ann_topk": ann_sql,
         "ivf_topk": ann_sql,  # full probe ⇒ IVF result is exactly brute force
     }
