@@ -561,8 +561,55 @@ def _apply_resume(keyed, out_dir: str, resume: bool):
 #: the map side, so their bytes are compressed exactly once (the reduce
 #: passes the pages through instead of unpacking + re-compressing)
 _PRECODE_CODECS = frozenset({"plain", "plain+z", "plain+zs"})
-#: per-worker-process codec-choice cache for the precode fast path
-_PRECODE_CACHE: dict[str, str] = {}
+
+#: rows sampled by the DRIVER to fix the precode column→codec map. The map
+#: is decided exactly once per job and shipped to every map task: letting
+#: each worker sample its own first-seen batch (the round-2 design) could
+#: classify the same column heavy on one worker and light on another, and
+#: the reduce would then silently drop the light copies — data loss.
+_PRECODE_SAMPLE_ROWS = 4096
+
+
+def plan_precode_columns(paths: list[str], plan, enc_cols: list[str],
+                         dialect=None) -> dict[str, str]:
+    """Driver-side, once-per-job decision of which columns are map-side
+    precoded (plain-family → FINAL pages on the map side) and with which
+    codec. Samples the first input file only — the choice must be global
+    and deterministic, not per-worker (see ADVICE r2: per-worker divergence
+    corrupts the reduce). Columns not in the returned dict stay 'light' and
+    get their codec chosen per partition at reduce time."""
+    if not paths:
+        return {}
+    first = paths[0]
+    if dialect is None:
+        # parquet: sample the first row group only — never the whole file
+        import pyarrow.parquet as pq
+        rename = plan.rename_by_file[first]
+        avail = set(plan.file_schemas[first].names)
+        target = set(plan.target_columns)
+        needed = sorted(c for c in avail if rename.get(c, c) in target)
+        pf = pq.ParquetFile(first)
+        t = pf.read_row_group(0, columns=needed or None) \
+            if pf.num_row_groups else pf.read(columns=needed or None)
+    else:
+        t = _read_map_file(first, plan, dialect)
+    from .align import make_align_fn
+    t = t.slice(0, _PRECODE_SAMPLE_ROWS)
+    if plan.add_filename:
+        t = t.append_column("path",
+                            pa.array([first] * t.num_rows, pa.string()))
+    aligned = make_align_fn(plan, first)(t)
+    out: dict[str, str] = {}
+    for name in enc_cols:
+        if name not in aligned.schema.names:
+            continue
+        arr = aligned[name]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        codec = choose_codec(arr, column=name, part_key=0)
+        if codec in _PRECODE_CODECS:
+            out[name] = codec
+    return out
 
 
 def _ipc_zstd(table: pa.Table) -> bytes:
@@ -573,21 +620,20 @@ def _ipc_zstd(table: pa.Table) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
-def _precode_slot(seg: pa.Table) -> bytes:
+def _precode_slot(seg: pa.Table, precode_map: dict[str, str]) -> bytes:
     """One slot → the PCD1 container: heavy (plain-family) columns as
     FINAL EncodedChunk page blobs, everything else as a zstd-IPC 'light'
-    table. The reduce adopts the heavy pages untouched."""
+    table. The reduce adopts the heavy pages untouched. ``precode_map``
+    (column → codec) is decided ONCE by the driver and shipped to every
+    map task, so all workers agree on which columns are heavy."""
     heavy: list[tuple[str, int, bytes]] = []  # (name, raw_bytes, blob)
     light_cols = []
     for name in seg.schema.names:
-        arr = seg[name]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        codec = _PRECODE_CACHE.get(name)
-        if codec is None:
-            codec = choose_codec(arr, column=name, part_key=0)
-            _PRECODE_CACHE[name] = codec
-        if codec in _PRECODE_CODECS:
+        codec = precode_map.get(name)
+        if codec is not None:
+            arr = seg[name]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
             try:
                 blob = get_codec(codec).encode(arr).to_bytes()
             except Exception:
@@ -608,7 +654,7 @@ def _precode_slot(seg: pa.Table) -> bytes:
 
 def _pack_dense(keyed: pa.Table, num_partitions: int,
                 skip: frozenset | None = None,
-                precode: bool = False) -> list[bytes]:
+                precode_map: dict[str, str] | None = None) -> list[bytes]:
     """Keyed table → one blob per partition slot (b"" for empty / skipped
     slots): a zstd Arrow-IPC stream, or the PCD1 precoded container when
     ``precode``. Deterministic: rows keep their in-table order inside
@@ -628,7 +674,8 @@ def _pack_dense(keyed: pa.Table, num_partitions: int,
             continue
         seg = tbl.slice(int(lo), int(hi - lo)).combine_chunks()
         seg = seg.drop_columns(["part_key"])
-        out[pk] = _precode_slot(seg) if precode else _ipc_zstd(seg)
+        out[pk] = (_precode_slot(seg, precode_map) if precode_map
+                   else _ipc_zstd(seg))
     return out
 
 
@@ -664,7 +711,7 @@ def _read_map_file(p: str, plan, dialect=None) -> pa.Table:
 def _map_pack_files(file_group: list[str], plan, num_partitions: int,
                     url_col: str, hot_hosts: dict | None, host_map: dict | None,
                     skip: frozenset, dialect=None,
-                    precode: bool = False) -> list[bytes]:
+                    precode_map: dict[str, str] | None = None) -> list[bytes]:
     """Map side of the task exchange: read (column-pruned) → align → key →
     per-partition zstd segments. Runs as one Ray task per file group; the
     scheduler sees ``num_partitions`` separate return objects so each
@@ -681,7 +728,7 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
                                  hot_hosts, host_map)
         keyed = aligned.append_column("part_key",
                                       pa.array(keys, type=pa.int64()))
-        packed.append(_pack_dense(keyed, num_partitions, skip, precode))
+        packed.append(_pack_dense(keyed, num_partitions, skip, precode_map))
     if len(packed) == 1:
         return packed[0]
     # concatenate the per-file blobs per slot (decoder reads streams
@@ -705,9 +752,10 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
 
 def _map_pack_single(file_group, plan, num_partitions, url_col,
                      hot_hosts, host_map, skip, dialect=None,
-                     precode: bool = False) -> bytes:
+                     precode_map: dict[str, str] | None = None) -> bytes:
     return _map_pack_files(file_group, plan, num_partitions, url_col,
-                           hot_hosts, host_map, skip, dialect, precode)[0]
+                           hot_hosts, host_map, skip, dialect,
+                           precode_map)[0]
 
 
 def _parse_one_slot(blob: bytes, light: list, heavy: dict) -> None:
@@ -777,6 +825,17 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
             heavy.setdefault(name, []).extend(pgs)
     if not tables and not heavy:
         return {"part_key": pk, "rows": 0}
+    if heavy:
+        # invariant: a column is heavy (map-side precoded) in EVERY map
+        # segment or in none — the driver fixes the precode map before the
+        # job, so a mix means corrupted input; failing loudly here beats
+        # the silent row loss a mixed column would otherwise cause
+        mixed = set(heavy) & {n for t in tables for n in t.schema.names}
+        if mixed:
+            raise ValueError(
+                f"part {pk}: column(s) {sorted(mixed)} arrived both "
+                "precoded (heavy) and in light segments — inconsistent "
+                "precode maps across map tasks")
     full = pa.concat_tables(tables, promote_options="default")
     files = ""
     if has_prov:
@@ -936,8 +995,15 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                                       total_b // max(1, 2 * ncpu) or
                                       map_bytes))
     groups = _group_files(use_paths, eff_map_bytes)
+    # the precode column→codec map is decided HERE, once, and shipped to
+    # every map task — per-worker sampling could split a column heavy/light
+    # across workers and corrupt the reduce (ADVICE r2, high)
+    precode_map = (plan_precode_columns(use_paths, plan, enc_cols, dialect)
+                   if precode else {})
     log.send_log(f"encode_partitioned_tasks: {len(groups)} map task(s) → "
-                 f"{num_partitions} partitions → {out_dir}")
+                 f"{num_partitions} partitions → {out_dir}"
+                 + (f"; precoded columns: {sorted(precode_map)}"
+                    if precode_map else ""))
 
     if num_partitions == 1:
         # num_returns=1 would make the whole list one object; return the
@@ -949,7 +1015,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     enc_fn = ray.remote(num_cpus=1)(_encode_part_task)
     skip = frozenset(done)
     map_refs = [map_fn.remote(g, plan, num_partitions, url_col,
-                              hot_hosts, host_map, skip, dialect, precode)
+                              hot_hosts, host_map, skip, dialect,
+                              precode_map)
                 for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]

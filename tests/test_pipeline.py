@@ -438,3 +438,32 @@ def test_encode_tasks_precode_matches_plain(ray_session, web, tmp_path):
     # checksum audit stays green on the precoded layout
     res = pl.verify_encoded(out_p)
     assert res["bad"] == [] and res["missing"] == []
+
+
+def test_precode_map_is_driver_decided(web):
+    # the column→codec precode map is fixed once on the driver (not
+    # per-worker): deterministic across calls, plain-family codecs only
+    from raystack.plan import build_plan
+    plan = build_plan(list(web), add_filename=False)
+    enc_cols = list(plan.target_columns)
+    m1 = pl.plan_precode_columns(list(web), plan, enc_cols)
+    m2 = pl.plan_precode_columns(list(web), plan, enc_cols)
+    assert m1 == m2
+    assert set(m1.values()) <= pl._PRECODE_CODECS
+    # the html/text payloads of this corpus are plain-family (that is what
+    # makes the precode fast path worth having)
+    assert "html" in m1
+
+
+def test_precode_divergence_detected(tmp_path):
+    # a column arriving precoded (heavy) from one map task and light from
+    # another must fail LOUDLY at reduce time, not silently drop rows
+    # (ADVICE r2 high: per-worker codec divergence)
+    t = pa.table({"url": pa.array([f"u{i}" for i in range(8)]),
+                  "text": pa.array(["x" * 50] * 8),
+                  "part_key": pa.array([0] * 8, pa.int64())})
+    blob_heavy = pl._pack_dense(t, 1, None, {"text": "plain+zs"})[0]
+    blob_light = pl._pack_dense(t, 1, None, None)[0]
+    with pytest.raises(ValueError, match="both"):
+        pl._encode_part_task(0, str(tmp_path / "enc"), ["url", "text"],
+                             [], 65536, False, blob_heavy, blob_light)
