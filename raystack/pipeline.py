@@ -306,8 +306,11 @@ def make_keyer_pack(url_col: str = "url", num_partitions: int = 32,
     the result as ``read_aligned(post_align=...)`` so it fuses INTO the
     read/align task chain (a map placed after the union can't fuse across
     it, and the full uncompressed table would cross the object store once
-    more); then call ``encode_partitioned(ds, ..., columns=[...])`` — the
-    pre-packed input is detected by its (part_key, seg) schema."""
+    more); then call ``encode_partitioned(ds, ..., columns=[...])`` with
+    the SAME num_partitions/hot_hosts/host_map — the pre-packed input is
+    detected by its (part_key, seg) schema, and the encode stage verifies
+    per partition that the recorded routing config reproduces the keyer's
+    part_keys (a mismatched config would make lookup_rows silently miss)."""
 
     def keyer_pack(batch: pa.Table) -> pa.Table:
         keys = compute_part_keys(batch[url_col], num_partitions, hot_hosts,
@@ -440,17 +443,28 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     if pre_packed is None:
         # probe only when the caller didn't say: schema() on a fused
         # read→align→pack dataset executes one whole task chain serially
-        pre_packed = set(ds.schema().names) == {"part_key", "seg"}
         schema_names = ds.schema().names
+        pre_packed = set(schema_names) == {"part_key", "seg"}
     else:
         schema_names = columns or []
     if pre_packed:
         if columns is None:
             raise ValueError("encode_partitioned on a pre-packed dataset "
                              "(make_keyer_pack) needs an explicit columns=")
-        if num_partitions is None:
-            num_partitions = auto_partitions(ds, source_paths)
-        hot_hosts = hot_hosts or {}
+        # the keying already happened inside make_keyer_pack — the config
+        # saved below MUST be the one the keyer used, or lookup_rows will
+        # silently route to the wrong partitions. It cannot be re-derived
+        # from an already-keyed dataset, so insist the caller states it
+        # (no silent auto_partitions / empty-hot-hosts defaults); the
+        # encode stage then cross-checks it per partition (see
+        # encode_group's routing audit).
+        if num_partitions is None or (hot_hosts is None
+                                      and host_map is None):
+            raise ValueError(
+                "encode_partitioned(pre_packed=True): pass the SAME "
+                "num_partitions and hot_hosts/host_map given to "
+                "make_keyer_pack — they are persisted for lookup_rows "
+                "and cannot be re-derived from an already-keyed dataset")
         keyed = ds
     else:
         if url_col not in schema_names:
@@ -488,6 +502,20 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         tables = [pa.ipc.open_stream(pa.BufferReader(b.as_py())).read_all()
                   for b in group["seg"]]
         full = pa.concat_tables(tables, promote_options="default")
+        if url_col in full.schema.names and full.num_rows:
+            # routing audit: the persisted config must reproduce the keyer's
+            # part_key for this group's rows — a pre-packed dataset keyed
+            # with a DIFFERENT config than the caller passed would otherwise
+            # make lookup_rows silently miss (O(1) per partition)
+            probe = full[url_col].combine_chunks().slice(0, 1)
+            expect = int(compute_part_keys(probe, num_partitions, hot_hosts,
+                                           host_map)[0])
+            if expect != pk:
+                raise ValueError(
+                    f"partition {pk}: saved routing config maps url "
+                    f"{probe[0].as_py()!r} to partition {expect} — the "
+                    "num_partitions/hot_hosts/host_map passed to "
+                    "encode_partitioned do not match the keyer's")
         files = ""
         if has_prov:
             files = json.dumps(sorted(set(full["filename"].to_pylist())))

@@ -440,6 +440,30 @@ def test_encode_tasks_precode_matches_plain(ray_session, web, tmp_path):
     assert res["bad"] == [] and res["missing"] == []
 
 
+def test_prepacked_requires_explicit_routing(ray_session, web, tmp_path):
+    # pre_packed=True can't re-derive the keyer's config; silent defaults
+    # would persist a wrong routing config for lookup_rows (ADVICE r2)
+    fused = read_aligned(web, add_filename=False,
+                         post_align=pl.make_keyer_pack("url", 4, {}))
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    with pytest.raises(ValueError, match="SAME"):
+        pl.encode_partitioned(fused, str(tmp_path / "e0"), columns=cols,
+                              pre_packed=True)
+
+
+def test_prepacked_routing_mismatch_detected(ray_session, web, tmp_path):
+    # keyed with P=4 but encoded claiming P=5: the per-group routing audit
+    # must fail the job instead of persisting a config lookup_rows would
+    # silently miss with
+    fused = read_aligned(web, add_filename=False,
+                         post_align=pl.make_keyer_pack("url", 4, {}))
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    with pytest.raises(Exception, match="do not match"):
+        pl.encode_partitioned(fused, str(tmp_path / "e1"), columns=cols,
+                              pre_packed=True, num_partitions=5,
+                              hot_hosts={})
+
+
 def test_precode_map_is_driver_decided(web):
     # the column→codec precode map is fixed once on the driver (not
     # per-worker): deterministic across calls, plain-family codecs only
