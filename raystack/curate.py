@@ -9,9 +9,10 @@ Every stage is an existing oracled operator, so the WHOLE pipeline has a
 DuckDB mirror (the ``curate_corpus`` driver query composes the stages'
 SQL). Ray-Data shape: the filter/split stages are pure ``map_batches``
 (no shuffle); exact dedup shuffles 8-byte fingerprints; the near-dedup
-candidate filter is distributed (see ops/dedup.py) and only the final
-small PAIR list (bounded by the corpus's duplicate count) is collected
-to drive the drop filter.
+candidate filter is distributed (see ops/dedup.py); and both drop lists
+are count-gated — broadcast only when provably ≤ _BROADCAST_LIMIT, else
+a distributed hash anti-join (a duplicate-heavy crawl has O(corpus)
+drop rows, which must never be collected to the driver).
 """
 
 from __future__ import annotations
@@ -35,23 +36,40 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
         batch_format="pyarrow")
 
     # exact dedup: drop the NON-minimal member of each fingerprint group
-    # (the shuffle moves 8-byte fingerprints, never documents; the
-    # collected drop set is the duplicate count — bounded and small,
-    # unlike the survivor set, which is the whole corpus)
-    from .ops.dedup import exact_dup_ids
-    from .ops.join import semi_join
-    dup_df = exact_dup_ids(kept, text_col, id_col).to_pandas()
-    # an all-empty-groups result loses its schema — treat as no dups
-    dups = dup_df[id_col] if id_col in dup_df.columns else []
-    if len(dups):
-        kept = semi_join(kept, list(dups), on=id_col, anti=True)
+    # (the shuffle moves 8-byte fingerprints, never documents). The drop
+    # list is COUNT-GATED like the dedup candidate filters: broadcast only
+    # when provably small, else a distributed hash anti-join — on a
+    # duplicate-heavy crawl the drop list is O(corpus) and must never be
+    # collected to the driver.
+    from .ops.dedup import _BROADCAST_LIMIT, exact_dup_ids
+    from .ops.join import semi_join, semi_join_ds
+    dup_ds = exact_dup_ids(kept, text_col, id_col).materialize()
+    n_dups = dup_ds.count()  # count() tolerates schema-less empty groups
+    if n_dups:
+        if n_dups <= _BROADCAST_LIMIT:
+            kept = semi_join(kept, list(dup_ds.to_pandas()[id_col]),
+                             on=id_col, anti=True)
+        else:
+            # checkpoint after the distributed anti-join: each hash-join
+            # operator reserves its whole aggregator pool up front, so two
+            # chained joins in ONE executing graph can starve each other
+            # on a small cluster (and the checkpoint spares the upstream
+            # langid/quality recompute in the later passes)
+            kept = semi_join_ds(kept, dup_ds, on=id_col,
+                                anti=True).materialize()
 
-    # near-dedup: drop the non-minimal member of each duplicate set; the
-    # pair list is bounded by the duplicate count (small on real corpora)
-    pairs = minhash_lsh_dedup(kept, text_col=text_col, id_col=id_col,
-                              sim_threshold=sim_threshold).to_pandas()
-    if len(pairs):
-        kept = semi_join(kept, list(pairs[id_col]), on=id_col, anti=True)
+    # near-dedup: drop the non-minimal member of each duplicate set —
+    # same count gate on the pair list
+    pairs_ds = minhash_lsh_dedup(kept, text_col=text_col, id_col=id_col,
+                                 sim_threshold=sim_threshold).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs:
+        if n_pairs <= _BROADCAST_LIMIT:
+            kept = semi_join(kept, list(pairs_ds.to_pandas()[id_col]),
+                             on=id_col, anti=True)
+        else:
+            kept = semi_join_ds(kept, pairs_ds.select_columns([id_col]),
+                                on=id_col, anti=True)
 
     out = hash_split(kept, id_col=id_col, fraction=holdout_fraction)
     return out.map_batches(

@@ -194,7 +194,10 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         candidates_only = with_sig.map_batches(keep_hot,
                                                batch_format="pyarrow")
     else:
-        candidates_only = with_sig.join(hot, join_type="inner",
+        # repartition coalesces the aggregate's empty schema-less blocks,
+        # which Acero's join rejects on the build side
+        candidates_only = with_sig.join(hot.repartition(16),
+                                        join_type="inner",
                                         num_partitions=16,
                                         on=("band", "bucket"))
 
@@ -227,48 +230,68 @@ def verify_pairs_jaccard(ds, pairs, text_col: str = "text",
 
     ``pairs``: pandas DataFrame (id_col, dup_of) — e.g. the output of
     :func:`minhash_lsh_dedup` (whose signature-agreement score is itself an
-    unbiased Jaccard *estimate*; this pass makes it exact). Only docs that
-    appear in a pair are touched: their char-``window``-gram hash sets are
-    built vectorized per batch (tiny fraction of the corpus), gathered, and
-    each pair's true Jaccard is computed set-wise. Returns the pairs with
-    a ``jaccard`` column, filtered to ≥ threshold."""
+    unbiased Jaccard *estimate*; this pass makes it exact). Fully
+    distributed: each candidate doc is tagged with the indices of the
+    pairs it belongs to (the pair list is already driver-resident and
+    bounded), its char-``window``-gram hash set is built vectorized per
+    batch and shuffled ONLY to its pair group, where the exact Jaccard is
+    computed where the shingles live — the driver never gathers a shingle
+    set (the round-2 O(pairs × doc_len) driver hop). Returns the pairs
+    with a ``jaccard`` column, filtered to ≥ threshold."""
     import pandas as pd
     import ray
 
-    wanted = sorted(set(pairs[id_col]) | set(pairs["dup_of"]))
-    if not wanted:
+    n_pairs = len(pairs)
+    if not n_pairs:
         return pairs.assign(jaccard=pd.Series(dtype=float))
-    ref = ray.put(pa.array(wanted))
+    doc_pairs: dict[int, list[int]] = {}
+    for i, (a, b) in enumerate(zip(pairs[id_col], pairs["dup_of"])):
+        doc_pairs.setdefault(int(a), []).append(i)
+        doc_pairs.setdefault(int(b), []).append(i)
+    ref_w = ray.put(pa.array(sorted(doc_pairs)))
+    ref_dp = ray.put(doc_pairs)
 
-    def shingle_sets(t: pa.Table) -> pd.DataFrame:
-        keep = t.filter(pc.is_in(t[id_col], value_set=ray.get(ref)))
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.is_in(t[id_col], value_set=ray.get(ref_w)))
         if keep.num_rows == 0:
-            return pd.DataFrame({id_col: [], "shingles": []})
+            return pa.table({"pair_idx": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.int64()))})
+        dp = ray.get(ref_dp)
         data, starts, lengths = flatten_column(keep[text_col])
         h = window_hashes(data, window)
         valid = row_valid_mask(starts, lengths, len(data), window)
-        rows_ids = np.asarray(keep[id_col])
         bounds = np.concatenate([starts, [len(data)]])
-        out_ids, out_sets = [], []
-        for i, rid in enumerate(rows_ids):  # only candidate docs — few
+        out_pair, out_sets = [], []
+        for i, rid in enumerate(np.asarray(keep[id_col])):  # few candidates
             seg = h[bounds[i]:bounds[i + 1]]
             seg = seg[valid[bounds[i]:bounds[i + 1]]]
-            out_ids.append(int(rid))
-            out_sets.append(np.unique(seg))
-        return pd.DataFrame({id_col: out_ids, "shingles": out_sets})
+            u = np.unique(seg).view(np.int64)
+            for pi in dp[int(rid)]:
+                out_pair.append(pi)
+                out_sets.append(u)
+        return pa.table({"pair_idx": pa.array(out_pair, pa.int64()),
+                         "shingles": pa.array(out_sets,
+                                              pa.list_(pa.int64()))})
 
-    sets_df = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
-    lookup = dict(zip(sets_df[id_col], sets_df["shingles"]))
-    jac = []
-    for a, b in zip(pairs[id_col], pairs["dup_of"]):
-        sa, sb = lookup.get(a), lookup.get(b)
-        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-            jac.append(0.0)
-            continue
+    def jac_group(g: pa.Table) -> pa.Table:
+        pi = int(g["pair_idx"][0].as_py())
+        if g.num_rows < 2:  # a side was missing from the corpus
+            return pa.table({"pair_idx": pa.array([pi], pa.int64()),
+                             "jaccard": pa.array([0.0], pa.float64())})
+        lst = g["shingles"].combine_chunks()
+        sa = np.asarray(lst.slice(0, 1).flatten()).view(np.uint64)
+        sb = np.asarray(lst.slice(1, 2).flatten()).view(np.uint64)
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         union = len(sa) + len(sb) - inter
-        jac.append(inter / union if union else 0.0)
-    out = pairs.assign(jaccard=jac)
+        j = inter / union if union else 0.0
+        return pa.table({"pair_idx": pa.array([pi], pa.int64()),
+                         "jaccard": pa.array([j], pa.float64())})
+
+    res = ds.map_batches(shingle_rows, batch_format="pyarrow") \
+        .groupby("pair_idx").map_groups(jac_group, batch_format="pyarrow") \
+        .to_pandas()  # one tiny row per pair — bounded by the pair count
+    jmap = dict(zip(res.get("pair_idx", []), res.get("jaccard", [])))
+    out = pairs.assign(jaccard=[jmap.get(i, 0.0) for i in range(n_pairs)])
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
@@ -341,8 +364,9 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             lambda t: t.filter(pc.is_in(t["prefix"], value_set=hot_set)),
             batch_format="pyarrow")
     else:
-        cand = prefixed.join(hot, join_type="inner", num_partitions=8,
-                             on=("prefix",))
+        # repartition: see the minhash join branch (empty-block coalesce)
+        cand = prefixed.join(hot.repartition(8), join_type="inner",
+                             num_partitions=8, on=("prefix",))
     return cand.groupby("prefix").map_groups(verdicts, batch_format="pandas")
 
 

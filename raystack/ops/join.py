@@ -61,6 +61,20 @@ def anti_join(ds, keys, on: str):
     return semi_join(ds, keys, on, anti=True)
 
 
+def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
+                 num_partitions: int = 16):
+    """Distributed (anti-)semi join against a key *Dataset* — the scale
+    path when the key set is too large to broadcast (pair with a count
+    gate: broadcast via :func:`semi_join` below the limit, shuffle here
+    above it). Rides Ray's hash-partitioned ``left_semi``/``left_anti``
+    join; output columns are the left side's only. The key side is
+    repartitioned first: aggregate outputs can carry schema-less empty
+    blocks, which Acero rejects on the build side."""
+    return ds.join(keys_ds.repartition(num_partitions),
+                   join_type="left_anti" if anti else "left_semi",
+                   on=(on,), num_partitions=num_partitions)
+
+
 def hash_join(left, right, on, how: str = "inner", num_partitions: int = 32):
     """Both-sides-large join → Ray's hash-partitioned ``Dataset.join``.
     Partitioning assumption: ``on`` hashes evenly; salt hot keys upstream
@@ -178,6 +192,16 @@ def range_join(ds, ranges, value_col: str,
     def fn(t: pa.Table) -> pa.Table:
         lo_a, hi_a, rdf = ray.get(ref)
         v = np.asarray(t[value_col])
+        if len(lo_a) == 0:
+            # no intervals: inner keeps nothing, left keeps all rows with
+            # null-filled range columns (indexing an empty hi_a would raise)
+            cols = {n: t[n] for n in t.schema.names}
+            rtypes = pa.Schema.from_pandas(rdf)
+            for c in [lo_col, hi_col] + list(range_cols):
+                cols[c if c not in cols else c + "_r"] = \
+                    pa.nulls(t.num_rows, rtypes.field(c).type)
+            out = pa.table(cols)
+            return out.slice(0, 0) if how == "inner" else out
         idx = np.searchsorted(lo_a, v, side="right") - 1
         ok = (idx >= 0) & (v < hi_a[np.maximum(idx, 0)])
         cols = {n: t[n] for n in t.schema.names}

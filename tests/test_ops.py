@@ -376,6 +376,62 @@ def test_minhash_join_path_matches_broadcast(ray_session, monkeypatch):
         want.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_simhash_join_path_matches_broadcast(ray_session, monkeypatch):
+    # same gate as minhash: forcing the distributed-join branch must not
+    # change the verdicts
+    import ray.data
+    from raystack.ops import dedup
+    base = ("identical content repeated for the simhash prefix bucket "
+            "and the full hash equality check too ") * 3
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [base, base, "different text wholly here"]})
+    ds = ray.data.from_arrow(t)
+    want = dedup.simhash_dedup(ds).to_pandas()
+    monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
+    got = dedup.simhash_dedup(ds).to_pandas()
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        want.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_curate_distributed_drop_filter(ray_session, monkeypatch):
+    # forcing the drop lists over the broadcast limit must route them
+    # through the distributed anti-join and keep the result identical
+    import ray.data
+    from raystack import curate
+    from raystack.ops import dedup
+    base = ("many common words build one long paragraph that keeps going "
+            "with lots of shingles to hash and match again ") * 3
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": [base, base + " tail", base, base,
+                           "completely different words assembled into a "
+                           "decent paragraph of reasonable length " * 3]})
+    ds = ray.data.from_arrow(t)
+    want = curate.curate_corpus(ds, quality_threshold=0.45,
+                                sim_threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
+    got = curate.curate_corpus(ds, quality_threshold=0.45,
+                               sim_threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+    assert got["doc_id"].tolist() == [0, 4]
+
+
+def test_range_join_empty_ranges(ray_session):
+    # zero intervals: inner matches nothing, left keeps rows null-filled
+    # (regression: indexing the empty hi array raised IndexError)
+    import ray.data
+    from raystack.ops.join import range_join
+    ds = ray.data.from_arrow(pa.table({"id": [1, 2], "v": [1.0, 7.0]}))
+    bands = pd.DataFrame({"lo": pd.Series(dtype=float),
+                          "hi": pd.Series(dtype=float),
+                          "band": pd.Series(dtype=str)})
+    inner = range_join(ds, bands, value_col="v").to_pandas()
+    assert len(inner) == 0
+    left = range_join(ds, bands, value_col="v", how="left").to_pandas()
+    assert len(left) == 2 and left["band"].isna().all()
+
+
 def test_minhash_slim_shuffle_matches_default(ray_session):
     # slim_shuffle re-explodes with signatures only for candidate rows —
     # results must equal the default (sig-carrying) path
