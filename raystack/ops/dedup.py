@@ -97,6 +97,19 @@ def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
 #: driver hop is only ever taken when the count is KNOWN to be bounded.
 _BROADCAST_LIMIT = 65536
 
+#: when the EXPLODED bucket-row count is provably below this, the bucket
+#: counting happens driver-side on the projected 16-byte key rows (≤64 MB)
+#: instead of a distributed groupby — two Dataset shuffle operators cost
+#: ~2 s of fixed latency, which dominates small corpora (round-2 bench
+#: regression); the gate keys off the already-materialized signature count,
+#: so the driver hop is never taken on an unbounded input.
+_DRIVER_COUNT_ROWS = 1 << 22
+
+#: when the EXACT candidate payload (known from the driver-side bucket
+#: counts) fits in this budget, the per-bucket verdicts + cross-band min
+#: also finish on the driver — zero further dataset operators
+_DRIVER_VERDICT_BYTES = 64 << 20
+
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       bands: int = 8, sim_threshold: float = 0.7,
@@ -153,19 +166,34 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     slim = sigs.map_batches(lambda t: explode(t, not slim_shuffle),
                             batch_format="pyarrow")
 
-    # aggregate-only groupby finds buckets with ≥2 members; with mostly-
-    # unique corpora the candidate set is a tiny fraction of the input.
-    # Fully distributed: project to the key columns (the count shuffle never
-    # moves sigs), filter counts ≥2, and inner-join the exploded rows
-    # against that hot-key set — no driver collection, no broadcast of an
-    # unbounded key list (the round-1 scale-killer).
-    counts = slim.select_columns(["band", "bucket"]) \
-        .groupby(["band", "bucket"]).count()
-    hot = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["count()"], 2))
-                   .select(["band", "bucket"]),
-        batch_format="pyarrow").materialize()  # small: one row per dup bucket
-    n_hot = hot.count()
+    # buckets with ≥2 members form the candidate set; with mostly-unique
+    # corpora it is a tiny fraction of the input. Two count strategies:
+    # - small (exploded rows provably ≤ _DRIVER_COUNT_ROWS, known from the
+    #   materialized signature count): project the 16-byte key rows to the
+    #   driver and np.unique them — no shuffle, no per-operator latency.
+    # - large: fully distributed groupby count; the count shuffle never
+    #   moves sigs, and the hot-key set is broadcast only when its COUNT
+    #   is proven bounded, else a hash semi-join (the round-1 unbounded
+    #   driver hop stays designed out).
+    n_docs = sigs.count()
+    hot_keys = None
+    hot_rows = None
+    if n_docs * bands <= _DRIVER_COUNT_ROWS:
+        kb = slim.select_columns(["band", "bucket"]).to_pandas()
+        k = ((kb["band"].to_numpy().astype(np.int64) << 48)
+             ^ kb["bucket"].to_numpy().astype(np.int64))
+        uniq, cnt = np.unique(k, return_counts=True)
+        hot_keys = pa.array(uniq[cnt >= 2])
+        n_hot = len(hot_keys)
+        hot_rows = int(cnt[cnt >= 2].sum())  # exact candidate row count
+    else:
+        counts = slim.select_columns(["band", "bucket"]) \
+            .groupby(["band", "bucket"]).count()
+        hot = counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["count()"], 2))
+                       .select(["band", "bucket"]),
+            batch_format="pyarrow").materialize()  # one row per dup bucket
+        n_hot = hot.count()
     if n_hot == 0:
         import ray.data
         return ray.data.from_arrow(pa.table(
@@ -178,13 +206,12 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                     batch_format="pyarrow")
     else:
         with_sig = slim
-    if n_hot <= _BROADCAST_LIMIT:
-        # provably-small hot set → broadcast filter (no join shuffle); the
-        # count gate keeps driver memory bounded on any corpus
+    if hot_keys is None and n_hot <= _BROADCAST_LIMIT:
         hp = hot.to_pandas()
         hot_keys = pa.array((hp["band"].to_numpy().astype(np.int64) << 48)
                             ^ hp["bucket"].to_numpy().astype(np.int64))
-
+    if hot_keys is not None:
+        # provably-small hot set → broadcast filter (no join shuffle)
         def keep_hot(t: pa.Table) -> pa.Table:
             k = pc.bit_wise_xor(
                 pc.shift_left(pc.cast(t["band"], pa.int64()), 48),
@@ -215,6 +242,28 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         dup[0] = False
         return pd.DataFrame({id_col: ids[dup],
                              "dup_of": np.full(int(dup.sum()), ids[0])})
+
+    if (hot_rows is not None
+            and hot_rows * (24 + 8 * _N_PERM) <= _DRIVER_VERDICT_BYTES):
+        # the exact candidate row count is known and tiny: finish on the
+        # driver (same `candidates` verdict per bucket + cross-band min)
+        # instead of paying two more all-to-all operators whose fixed
+        # latency dwarfs the data
+        import pandas as pd
+        import ray.data
+        cdf = candidates_only.to_pandas()
+        parts = [candidates(g)
+                 for _, g in cdf.groupby(["band", "bucket"], sort=False)]
+        pdf = pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({id_col: [], "dup_of": []})
+        if not len(pdf):
+            return ray.data.from_arrow(pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "dup_of": pa.array([], pa.int64())}))
+        out = pdf.groupby(id_col, as_index=False)["dup_of"].min() \
+            .astype({id_col: np.int64, "dup_of": np.int64})
+        return ray.data.from_arrow(pa.Table.from_pandas(
+            out, preserve_index=False))
 
     pairs = candidates_only.groupby(["band", "bucket"]).map_groups(
         candidates, batch_format="pandas")

@@ -91,6 +91,19 @@ def _crc(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
 
 
+def _ident_crc(val) -> int:
+    """Page-identity hash of one value: a bounded 64-byte prefix with the
+    full length mixed in — never hashes a multi-MB html payload whole.
+    Deterministic across processes (crc32 of bytes only)."""
+    if isinstance(val, (bytes, bytearray)):
+        b = bytes(val[:64]) + len(val).to_bytes(8, "little")
+    elif isinstance(val, str):
+        b = val[:64].encode() + len(val).to_bytes(8, "little")
+    else:
+        b = repr(val).encode()
+    return _crc(b)
+
+
 def _stable_hash_strings(values: list[str]) -> np.ndarray:
     """Deterministic (process-independent) 32-bit hash per string. Python
     loop — only ever used on the small *unique* host list of a batch."""
@@ -395,10 +408,8 @@ class BatchEncoder:
         # batches sharing a first value and row count can't collide and get
         # silently merged by decode_pages' (part_key, page_idx) grouping
         key_src = batch[cols[0]].combine_chunks()
-        first_val = key_src[0].as_py()
-        last_val = key_src[-1].as_py()
-        h = ((_crc(repr(first_val).encode()) << 31)
-             ^ (_crc(repr(last_val).encode()) << 1)
+        h = ((_ident_crc(key_src[0].as_py()) << 31)
+             ^ (_ident_crc(key_src[-1].as_py()) << 1)
              ^ batch.num_rows) & ((1 << 62) - 1)
         return _encode_table(batch, int(h), cols, self.page_rows,
                              codec_cache=self.codec_cache)
@@ -1181,10 +1192,8 @@ class SplitEncoder:
         for lo, hi in zip(bounds[:-1], bounds[1:]):
             seg = tbl.slice(int(lo), int(hi - lo))
             pk = int(keys[lo])
-            first_val = seg[self.enc_cols[0]][0].as_py()
-            last_val = seg[self.enc_cols[0]][-1].as_py()
-            base = ((_crc(repr(first_val).encode()) << 31)
-                    ^ (_crc(repr(last_val).encode()) << 1)
+            base = ((_ident_crc(seg[self.enc_cols[0]][0].as_py()) << 31)
+                    ^ (_ident_crc(seg[self.enc_cols[0]][-1].as_py()) << 1)
                     ^ seg.num_rows) & ((1 << 62) - 1)
             files = ""
             if self.has_prov:

@@ -370,7 +370,28 @@ def test_minhash_join_path_matches_broadcast(ray_session, monkeypatch):
                   "text": [base, base + " tail", "something else wholly"]})
     ds = ray.data.from_arrow(t)
     want = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
+    # _DRIVER_COUNT_ROWS=0 forces the distributed count pass and
+    # _BROADCAST_LIMIT=0 forces the hash-join candidate filter
+    monkeypatch.setattr(dedup, "_DRIVER_COUNT_ROWS", 0)
     monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
+    got = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
+    assert got.sort_values("doc_id").reset_index(drop=True).equals(
+        want.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_minhash_distributed_count_matches_driver_count(ray_session,
+                                                        monkeypatch):
+    # the distributed count pass (taken when the exploded row count
+    # exceeds _DRIVER_COUNT_ROWS) must agree with the driver-side count
+    import ray.data
+    from raystack.ops import dedup
+    base = ("shared words build a long duplicated paragraph that goes on "
+            "with plenty of shingles to hash repeatedly ") * 3
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": [base, base + " tail", "something else wholly"]})
+    ds = ray.data.from_arrow(t)
+    want = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_DRIVER_COUNT_ROWS", 0)
     got = dedup.minhash_lsh_dedup(ds, sim_threshold=0.5).to_pandas()
     assert got.sort_values("doc_id").reset_index(drop=True).equals(
         want.sort_values("doc_id").reset_index(drop=True))
