@@ -96,7 +96,14 @@ def asof_join(left, right, key: str, ts: str,
     timestamps — no per-row Python). Partitioning assumption: ``key``
     hashes evenly; salt hot keys upstream if one key dominates. Ties on
     exactly-equal timestamps match (≤), and require (key, ts) unique on
-    the right for a deterministic result."""
+    the right for a deterministic result.
+
+    Hot-key scale path (not needed at current scales, documented for the
+    100 TB case): bucket both sides by ``floor(ts / bucket)``, compute per
+    (key, bucket) the last right row, prefix-scan those tiny summaries per
+    key into a carry-in row per bucket, then merge per (key, bucket) with
+    the carry-in — the same two-phase shape as
+    :func:`raystack.ops.window.sessionize_bucketed`."""
     import numpy as np
 
     r_schema = right.schema()

@@ -56,7 +56,9 @@ def sessionize(ds, ts_col: str, key_col: str, id_col: str,
     exceeds ``gap_sec``. One ``groupby(key).map_groups`` — the ordering
     assumption (sort within group) is explicit here; the oracle is the
     equivalent SQL window function. Returns (id_col, key_col, session_id
-    starting at 1 per key)."""
+    starting at 1 per key). One hot key = one task: use
+    :func:`sessionize_bucketed` when a single key's history may not fit a
+    task (it is output-identical)."""
     gap_us = gap_sec * 1_000_000
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -68,6 +70,105 @@ def sessionize(ds, ts_col: str, key_col: str, id_col: str,
                              "session_id": new.cumsum().to_numpy()})
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def sessionize_bucketed(ds, ts_col: str, key_col: str, id_col: str,
+                        gap_sec: int = 1800, bucket_sec: int = 86400):
+    """Hot-key-safe :func:`sessionize`: identical output, but no single
+    task ever holds one key's full history (a bot user with 10^9 events
+    pins a task in the plain ``groupby(key)`` version).
+
+    Two phases:
+
+    1. ``groupby(key, time_bucket)`` — local sessionization inside each
+       (key, ``bucket_sec``) slice; the per-task working set is bounded by
+       one key's events per bucket.
+    2. Boundary merge on the per-(key, bucket) SUMMARIES only (first/last
+       event time + local session count — a few rows per key): consecutive
+       non-empty buckets whose boundary gap is ≤ ``gap_sec`` share a
+       session, giving each bucket a global session-id base. The bases are
+       joined back count-gated (broadcast when provably small, hash join
+       otherwise).
+
+    ``bucket_sec`` should be ≳ a few × ``gap_sec`` so most sessions fit
+    one bucket and the merge touches few boundaries."""
+    import pyarrow as pa
+
+    gap_us = gap_sec * 1_000_000
+    bucket_us = bucket_sec * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        epoch = np.asarray(t[ts_col]).astype("datetime64[us]").view("int64")
+        return t.append_column("__bucket",
+                               pa.array(epoch // bucket_us, pa.int64()))
+
+    def per_key_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        epoch = g[ts_col].astype("int64")
+        new = (epoch.diff().isna()
+               | (epoch.diff() > gap_us)).astype(np.int64)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "__bucket": g["__bucket"].to_numpy(),
+                             "__local": new.cumsum().to_numpy(),
+                             "__epoch": epoch.to_numpy()})
+
+    local = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby([key_col, "__bucket"]) \
+        .map_groups(per_key_bucket, batch_format="pandas").materialize()
+
+    from ray.data.aggregate import Max, Min
+    summaries = local.groupby([key_col, "__bucket"]).aggregate(
+        Max("__local", alias_name="n_sessions"),
+        Min("__epoch", alias_name="first_ts"),
+        Max("__epoch", alias_name="last_ts"))
+
+    def merge_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__bucket")
+        first = g["first_ts"].to_numpy()
+        last = g["last_ts"].to_numpy()
+        n = g["n_sessions"].to_numpy()
+        merged = np.zeros(len(g), dtype=bool)
+        merged[1:] = (first[1:] - last[:-1]) <= gap_us
+        base = np.empty(len(g), dtype=np.int64)
+        total = 0
+        for i in range(len(g)):  # a handful of buckets per key
+            base[i] = total - 1 if merged[i] else total
+            total = base[i] + n[i]
+        return pd.DataFrame({key_col: g[key_col].to_numpy(),
+                             "__bucket": g["__bucket"].to_numpy(),
+                             "__base": base})
+
+    adj = summaries.groupby(key_col).map_groups(
+        merge_key, batch_format="pandas").materialize()
+
+    from raystack.ops.dedup import _BROADCAST_LIMIT
+    if adj.count() <= _BROADCAST_LIMIT:
+        import ray
+        adf = adj.to_pandas()
+        lut = {(k, b): o for k, b, o in zip(adf[key_col], adf["__bucket"],
+                                            adf["__base"])}
+        ref = ray.put(lut)
+
+        def apply_base(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            off = np.fromiter(
+                (m[(k, b)] for k, b in zip(df[key_col], df["__bucket"])),
+                dtype=np.int64, count=len(df))
+            return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                                 key_col: df[key_col].to_numpy(),
+                                 "session_id": df["__local"].to_numpy()
+                                 + off})
+        return local.map_batches(apply_base, batch_format="pandas")
+
+    joined = local.join(adj.repartition(16), join_type="inner",
+                        num_partitions=16, on=(key_col, "__bucket"))
+    return joined.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            key_col: t[key_col],
+            "session_id": pc.add(t["__local"], t["__base"])}),
+        batch_format="pyarrow")
 
 
 def hopping_window_agg(ds, ts_col: str, key_col: str, window_sec: int,

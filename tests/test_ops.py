@@ -213,6 +213,57 @@ def test_sessionize(ray_session):
     assert got["session_id"].tolist() == [1, 1, 2, 1]
 
 
+def test_sessionize_bucketed_matches_plain(ray_session):
+    # the hot-key-safe two-phase variant must produce exactly the plain
+    # groupby(key) session ids, including sessions spanning bucket
+    # boundaries and sessions separated by several empty buckets
+    import ray.data
+    from raystack.ops.window import sessionize, sessionize_bucketed
+    rng = np.random.default_rng(11)
+    n = 400
+    users = rng.integers(1, 6, n)
+    # bursty: clustered arrivals with occasional >gap jumps
+    steps = rng.choice([1_000_000, 5_000_000, 40_000_000, 400_000_000],
+                       size=n, p=[0.6, 0.25, 0.1, 0.05])
+    ts = np.cumsum(steps)
+    t = pa.table({
+        "user": pa.array(users, pa.int64()),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    want = sessionize(ds, "ts", "user", "eid", gap_sec=30).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    # bucket_sec=60 with gap=30 forces many cross-bucket merges
+    got = sessionize_bucketed(ds, "ts", "user", "eid", gap_sec=30,
+                              bucket_sec=60).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_sessionize_bucketed_join_path(ray_session, monkeypatch):
+    # forcing the base table over the broadcast limit exercises the
+    # distributed join apply path
+    import ray.data
+    from raystack.ops import dedup
+    from raystack.ops.window import sessionize, sessionize_bucketed
+    t = pa.table({
+        "user": [1, 1, 1, 2],
+        "eid": [10, 11, 12, 20],
+        "ts": pa.array([0, 60_000_000, 4_000_000_000, 5],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(t)
+    want = sessionize(ds, "ts", "user", "eid", gap_sec=1800).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
+    got = sessionize_bucketed(ds, "ts", "user", "eid", gap_sec=1800,
+                              bucket_sec=600).to_pandas() \
+        .sort_values("eid").reset_index(drop=True)
+    assert got[["eid", "user", "session_id"]].equals(
+        want[["eid", "user", "session_id"]])
+
+
 def test_list_column_roundtrip(ray_session):
     from raystack.codecs import decode_blob
     from raystack.select import encode_auto
