@@ -1,6 +1,9 @@
 """Minimal pure-stdlib xlsx I/O (zipfile + xml.etree over ECMA-376 OOXML)
 — un-gates the reference's Excel surface (S3/K14/M7) in a container that
-ships no openpyxl/xlrd.
+ships no openpyxl/xlrd. Legacy BIFF8 ``.xls`` files are dispatched by
+file magic to the sibling :mod:`raystack.sources.xls` module, so the
+whole surface below accepts both formats (the reference's Excel corpus
+is .xls + .xlsx, reference/tests/test_xls.py:21-272).
 
 Implements the reference semantics of d6tstack/convert_xls.py:
 
@@ -99,7 +102,16 @@ def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
+def _is_biff(fname: str) -> bool:
+    from .xls import CFB_MAGIC
+    with open(fname, "rb") as f:
+        return f.read(8) == CFB_MAGIC
+
+
 def sheet_names(fname: str) -> list[str]:
+    if _is_biff(fname):  # legacy .xls (BIFF8) — same API, sibling module
+        from .xls import xls_sheet_names
+        return xls_sheet_names(fname)
     with zipfile.ZipFile(fname) as zf:
         return [n for n, _ in _sheet_targets(zf)]
 
@@ -130,7 +142,14 @@ def _cell_value(c: ET.Element, shared: list[str]):
 
 def read_sheet_grid(fname: str, sheet_name: str | int = 0) -> list[list]:
     """One worksheet → dense list-of-rows grid (None-padded; trailing
-    all-empty rows kept as stored)."""
+    all-empty rows kept as stored). Dispatches on the file magic: OOXML
+    ``.xlsx`` here, legacy BIFF8 ``.xls`` via :mod:`raystack.sources.xls`
+    — every consumer (``read_excel_advanced``, ``XLSSniffer``, the CSV
+    converters) therefore accepts both formats, like the reference's
+    pandas/xlrd stack (convert_xls.py:24-98)."""
+    if _is_biff(fname):
+        from .xls import read_xls_grid
+        return read_xls_grid(fname, sheet_name)
     with zipfile.ZipFile(fname) as zf:
         targets = _sheet_targets(zf)
         if isinstance(sheet_name, int):
