@@ -95,18 +95,32 @@ def extract_image_features(ds, concurrency=(1, 4),
 def frame_sample_stub(ds, every_n: int = 30):
     """Video frame sampling stub: real plumbing (flat_map-style explode of
     one media row into frame rows with frame_idx), fake frame payloads
-    (slices of the source bytes)."""
+    (64-byte slices of the source bytes). Fully vectorized: the explode,
+    the per-frame byte gather and the output offsets are numpy over the
+    flattened payload buffer — no per-row Python."""
     def fn(t: pa.Table) -> pa.Table:
-        ids, idxs, frames = [], [], []
-        mids = np.asarray(t["media_id"])
-        payloads = t["payload"].to_pylist()
-        for mid, p in zip(mids, payloads):  # rows per batch are few (small batches)
-            n_frames = max(1, len(p or b"") // (every_n * 64))
-            for fi in range(min(n_frames, 8)):
-                ids.append(int(mid)); idxs.append(fi)
-                frames.append((p or b"")[fi * 64:(fi + 1) * 64])
-        return pa.table({"media_id": pa.array(ids, pa.int64()),
-                         "frame_idx": pa.array(idxs, pa.int64()),
-                         "frame": pa.array(frames, pa.large_binary())})
+        from .hashing import flatten_column
+        data, starts, lengths = flatten_column(t["payload"])
+        mids = np.asarray(t["media_id"]).astype(np.int64)
+        n_frames = np.clip(lengths // (every_n * 64), 1, 8).astype(np.int64)
+        total = int(n_frames.sum())
+        row_rep = np.repeat(np.arange(len(mids)), n_frames)
+        fi = (np.arange(total)
+              - np.repeat(np.cumsum(n_frames) - n_frames, n_frames))
+        f_start = starts[row_rep] + fi * 64
+        f_end = np.minimum(f_start + 64, starts[row_rep] + lengths[row_rep])
+        span = np.arange(64)
+        gather = f_start[:, None] + span  # (total, 64)
+        valid = gather < f_end[:, None]
+        buf = data[gather[valid]] if total else np.empty(0, np.uint8)
+        out_lens = valid.sum(axis=1) if total else np.empty(0, np.int64)
+        offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+        frames = pa.Array.from_buffers(
+            pa.large_binary(), total,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(buf.tobytes())])
+        return pa.table({"media_id": pa.array(mids[row_rep], pa.int64()),
+                         "frame_idx": pa.array(fi, pa.int64()),
+                         "frame": frames})
     return ds.map_batches(fn, batch_format="pyarrow",
                           batch_size=MEDIA_BATCH_SIZE)
