@@ -136,8 +136,9 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     def explode(t: pa.Table, with_sig: bool) -> pa.Table:
+        from .hashing import list_to_matrix
         ids = np.asarray(t[id_col])
-        sig = np.stack(t["sig"].to_pandas().to_numpy())  # (n, P) int64
+        sig = list_to_matrix(t["sig"])  # (n, P) int64, zero-copy reshape
         buckets = _band_buckets(sig)
         n = len(ids)
         cols = {
@@ -527,7 +528,8 @@ def embedding_near_dup(ds, emb_col: str = "embedding", id_col: str = "vec_id",
     state = {"planes": None, "rng_seed": seed}
 
     def bucketize(t: pa.Table) -> pa.Table:
-        m = np.stack(t[emb_col].to_pandas().to_numpy()).astype(np.float64)
+        from .hashing import list_to_matrix
+        m = list_to_matrix(t[emb_col], np.float64)
         if state["planes"] is None or state["planes"].shape[0] != m.shape[1]:
             rng = np.random.default_rng(state["rng_seed"])
             state["planes"] = rng.standard_normal((m.shape[1], n_planes))

@@ -41,6 +41,27 @@ def flatten_column(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return data, starts, lengths.astype(np.int64)
 
 
+def list_to_matrix(col, dtype=None) -> np.ndarray:
+    """Arrow list<T> column of UNIFORM row length → (n, d) numpy matrix,
+    zero-copy flatten + reshape (ragged or null rows raise). Replaces the
+    ``np.stack(col.to_pandas())`` pattern, which materializes n Python
+    objects per batch."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError("list column contains nulls")
+    offsets = np.asarray(arr.offsets)
+    widths = np.diff(offsets)
+    if len(widths) == 0:
+        out = np.empty((0, 0))
+        return out if dtype is None else out.astype(dtype)
+    d = int(widths[0])
+    if not (widths == d).all():
+        raise ValueError("ragged list rows")
+    flat = np.asarray(arr.values)[offsets[0]:offsets[-1]]
+    out = flat.reshape(len(widths), d)
+    return out if dtype is None else out.astype(dtype, copy=False)
+
+
 def window_hashes(data: np.ndarray, window: int = 8) -> np.ndarray:
     """Rolling ``window``-byte hashes over the flat buffer (length =
     len(data); the last window-1 positions hash a zero-padded tail)."""

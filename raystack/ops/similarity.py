@@ -17,7 +17,8 @@ import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+    from .hashing import list_to_matrix
+    return list_to_matrix(col, np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
