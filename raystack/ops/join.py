@@ -98,12 +98,9 @@ def asof_join(left, right, key: str, ts: str,
     exactly-equal timestamps match (≤), and require (key, ts) unique on
     the right for a deterministic result.
 
-    Hot-key scale path (not needed at current scales, documented for the
-    100 TB case): bucket both sides by ``floor(ts / bucket)``, compute per
-    (key, bucket) the last right row, prefix-scan those tiny summaries per
-    key into a carry-in row per bucket, then merge per (key, bucket) with
-    the carry-in — the same two-phase shape as
-    :func:`raystack.ops.window.sessionize_bucketed`."""
+    One hot key = one task: :func:`asof_join_bucketed` is the
+    output-identical time-bucketed variant for keys whose history may not
+    fit a task."""
     import numpy as np
 
     r_schema = right.schema()
@@ -168,6 +165,154 @@ def asof_join(left, right, key: str, ts: str,
         return pa.table(cols, names=l_names + [rts_name] + out_r_names)
 
     return both.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join_bucketed(left, right, key: str, ts: str,
+                       right_cols: list[str] | None = None,
+                       suffix: str = "_r", bucket_sec: int = 86400):
+    """Hot-key-safe :func:`asof_join`: identical output, but no task ever
+    holds one key's full history. Three phases:
+
+    1. Tag + union like :func:`asof_join`, with a ``floor(ts/bucket_sec)``
+       bucket column; the merge groups by (key, bucket), bounding each
+       task to one key's events per bucket.
+    2. Per-(key, bucket) SUMMARIES (one row each: left-presence flag +
+       that bucket's latest right row) are prefix-scanned per key into
+       **carry-in** rows — for every bucket containing left rows, the
+       latest right row from any strictly earlier bucket.
+    3. Carry-ins are unioned in as extra right rows of their target
+       bucket, then the standard vectorized searchsorted merge runs per
+       (key, bucket).
+
+    The summary/carry tables hold one row per (key, bucket) — tiny next
+    to the data; both heavy stages are keyed by (key, bucket)."""
+    import numpy as np
+
+    r_schema = right.schema()
+    right_cols = right_cols or [c for c in r_schema.names
+                                if c not in (key, ts)]
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    out_r_names = [c + suffix if c in l_names else c for c in right_cols]
+    rts_name = ts + suffix
+
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    ex_fields = [(n, l_types[n]) for n in l_names]
+    ex_fields += [(rts_name, r_types[ts])]
+    ex_fields += [(o, r_types[c]) for o, c in zip(out_r_names, right_cols)]
+    ex_fields += [("__bucket", pa.int64()), ("__side", pa.int8())]
+    ex_schema = pa.schema(ex_fields)
+    bucket_us = bucket_sec * 1_000_000
+    r_payload = [rts_name] + out_r_names
+
+    def _buckets(col) -> pa.Array:
+        epoch = np.asarray(col).astype("datetime64[us]").view("int64")
+        return pa.array(epoch // bucket_us, pa.int64())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = [t[f.name] if f.name in t.schema.names else pa.nulls(n, f.type)
+                for f in ex_schema]
+        cols[-2] = _buckets(t[ts])
+        cols[-1] = pa.array([0] * n, pa.int8())
+        return pa.table(cols, schema=ex_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        vals = {key: t[key], rts_name: t[ts]}
+        for o, c in zip(out_r_names, right_cols):
+            vals[o] = t[c]
+        cols = [vals.get(f.name, pa.nulls(n, f.type)) for f in ex_schema]
+        cols[-2] = _buckets(t[ts])
+        cols[-1] = pa.array([1] * n, pa.int8())
+        return pa.table(cols, schema=ex_schema)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")).materialize()
+
+    sum_fields = [(key, l_types[key]), ("__bucket", pa.int64()),
+                  ("__has_left", pa.bool_())]
+    sum_fields += [(c, dict(ex_fields)[c]) for c in r_payload]
+    sum_schema = pa.schema(sum_fields)
+
+    def summarize(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        cols = {key: g[key].combine_chunks().slice(0, 1),
+                "__bucket": g["__bucket"].combine_chunks().slice(0, 1),
+                "__has_left": pa.array([bool((side == 0).any())])}
+        rt = g.filter(pa.array(side == 1))
+        if rt.num_rows:
+            i = int(np.argmax(np.asarray(rt[rts_name]).astype("int64")))
+            for c in r_payload:
+                cols[c] = rt[c].combine_chunks().slice(i, 1)
+        else:
+            for c in r_payload:
+                cols[c] = pa.nulls(1, sum_schema.field(c).type)
+        return pa.table(cols, schema=sum_schema)
+
+    summaries = both.groupby([key, "__bucket"]).map_groups(
+        summarize, batch_format="pyarrow")
+
+    def carry_fn(g: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(g["__bucket"]), kind="stable")
+        g = g.take(pa.array(order))
+        has_left = np.asarray(g["__has_left"])
+        has_right = np.asarray(
+            pc.is_valid(g[rts_name].combine_chunks()))
+        tgt, src = [], []
+        carry = -1
+        for i in range(g.num_rows):  # a handful of buckets per key
+            if has_left[i] and carry >= 0:
+                tgt.append(i)
+                src.append(carry)
+            if has_right[i]:
+                carry = i
+        n = len(tgt)
+        taken = g.take(pa.array(src)) if n else g.slice(0, 0)
+        cols = []
+        for f in ex_schema:
+            if f.name == key:
+                cols.append(taken[key].combine_chunks())
+            elif f.name == "__bucket":
+                cols.append(g["__bucket"].combine_chunks()
+                            .take(pa.array(tgt, pa.int64())))
+            elif f.name in r_payload:
+                cols.append(taken[f.name].combine_chunks())
+            elif f.name == "__side":
+                cols.append(pa.array([1] * n, pa.int8()))
+            else:
+                cols.append(pa.nulls(n, f.type))
+        return pa.table(cols, schema=ex_schema)
+
+    carry_ins = summaries.groupby(key).map_groups(
+        carry_fn, batch_format="pyarrow")
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"])
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        lt = lt.select(l_names + [rts_name] + out_r_names)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return lt
+        l_ts = np.asarray(lt[ts]).astype("int64")
+        r_raw = np.asarray(rt[rts_name]).astype("int64")
+        order = np.argsort(r_raw, kind="stable")
+        r_ts = r_raw[order]
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        matched = idx >= 0
+        take = np.where(matched, order[np.maximum(idx, 0)], 0)
+        cols = [lt[n] for n in l_names]
+        for o in [rts_name] + out_r_names:
+            picked = rt[o].combine_chunks().take(pa.array(take))
+            if not matched.all():
+                picked = pc.if_else(pa.array(matched), picked,
+                                    pa.nulls(len(matched), picked.type))
+            cols.append(picked)
+        return pa.table(cols, names=l_names + [rts_name] + out_r_names)
+
+    return both.union(carry_ins).groupby([key, "__bucket"]).map_groups(
+        merge, batch_format="pyarrow")
 
 
 def range_join(ds, ranges, value_col: str,

@@ -521,6 +521,38 @@ def test_minhash_slim_shuffle_matches_default(ray_session):
         b.sort_values("doc_id").reset_index(drop=True))
 
 
+def test_asof_join_bucketed_matches_plain(ray_session):
+    # the hot-key-safe carry-in variant must reproduce asof_join exactly,
+    # including matches that reach across several empty buckets
+    import ray.data
+    from raystack.ops.join import asof_join, asof_join_bucketed
+    rng = np.random.default_rng(3)
+    n_l, n_r = 300, 80
+    lt = pa.table({
+        "k": pa.array(rng.integers(1, 5, n_l), pa.int64()),
+        "lid": pa.array(np.arange(n_l), pa.int64()),
+        "ts": pa.array(np.sort(rng.integers(0, 3_000_000_000, n_l)),
+                       pa.int64()).cast(pa.timestamp("us")),
+    })
+    rt = pa.table({
+        "k": pa.array(rng.integers(1, 5, n_r), pa.int64()),
+        "ts": pa.array(np.sort(rng.choice(3_000_000_000, n_r,
+                                          replace=False)),
+                       pa.int64()).cast(pa.timestamp("us")),
+        "price": pa.array(rng.normal(size=n_r)),
+    })
+    lds, rds = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
+    want = asof_join(lds, rds, key="k", ts="ts").to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    # bucket_sec=60 over a ~3000s span → ~50 buckets, many carry-ins
+    got = asof_join_bucketed(lds, rds, key="k", ts="ts",
+                             bucket_sec=60).to_pandas() \
+        .sort_values("lid").reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        assert got[c].equals(want[c]), c
+
+
 def test_asof_join_matches_pandas(ray_session):
     # unmatched lefts keep nulls; ties (ts equal) match; multiple rights
     # pick the greatest ts <= left ts
