@@ -15,12 +15,15 @@ Two public formats are implemented from their published specs:
   cell records (NUMBER, RK, MULRK, LABELSST, LABEL, BOOLERR, FORMULA
   cached values, BLANK).
 
-Scope mirrors the sibling OOXML reader (`xlsx.py`): values only — cell
-*styles* (incl. date formats) are ignored, so date cells come back as
-their serial numbers. The writer emits NUMBER/LABELSST/BOOLERR cells
-with a shared-string table, padding the stream past the 4096-byte mini
-cutoff so the container needs no miniFAT (the reader supports miniFAT
-for externally produced files).
+Scope mirrors the sibling OOXML reader (`xlsx.py`). Date *styles* are
+honored like the reference's pandas/xlrd stack: FORMAT + XF records map
+each cell's ``ixfe`` to a number format, and date/time-formatted serials
+come back as datetime/time values (builtin id table + custom format-code
+classification in :mod:`.exceldates`; DATEMODE selects the 1904 epoch).
+The writer emits NUMBER/LABELSST/BOOLERR cells with a shared-string
+table (datetimes as date-styled NUMBER serials), padding the stream past
+the 4096-byte mini cutoff so the container needs no miniFAT (the reader
+supports miniFAT for externally produced files).
 
 API: :func:`xls_sheet_names`, :func:`read_xls_grid`, :func:`write_xls` —
 `xlsx.py` dispatches on the CFB magic so `read_excel_advanced`,
@@ -30,6 +33,8 @@ API: :func:`xls_sheet_names`, :func:`read_xls_grid`, :func:`write_xls` —
 from __future__ import annotations
 
 import struct
+
+from .exceldates import classify_fmt, py_to_serial, serial_to_py
 
 CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
 
@@ -127,6 +132,9 @@ _LABEL = 0x0204
 _BOOLERR = 0x0205
 _FORMULA = 0x0006
 _STRING = 0x0207
+_FORMAT = 0x041E
+_XF = 0x00E0
+_DATEMODE = 0x0022
 
 
 def _rk_value(v: int):
@@ -247,12 +255,26 @@ def _records(stream: bytes, pos: int = 0):
 
 
 def _parse_globals(stream: bytes):
-    """Workbook-globals substream → (sheets [(name, stream_pos)], sst)."""
+    """Workbook-globals substream → (sheets [(name, stream_pos)], sst,
+    xf_kinds, date1904). ``xf_kinds`` maps each XF record (in stream
+    order — the index cells carry as ``ixfe``) to its date kind via the
+    FORMAT records + builtin id table ([MS-XLS] 2.4.126/2.4.353)."""
     sheets: list[tuple[str, int]] = []
     sst: list[str] = []
+    fmt_codes: dict[int, str] = {}
+    xf_fmt_ids: list[int] = []
+    date1904 = False
     it = _records(stream)
     for rid, body, _ in it:
-        if rid == _BOUNDSHEET:
+        if rid == _FORMAT:
+            ifmt = struct.unpack_from("<H", body, 0)[0]
+            code, _pos = _read_unistr(body, 2)
+            fmt_codes[ifmt] = code
+        elif rid == _XF:
+            xf_fmt_ids.append(struct.unpack_from("<H", body, 2)[0])
+        elif rid == _DATEMODE:
+            date1904 = struct.unpack_from("<H", body, 0)[0] == 1
+        elif rid == _BOUNDSHEET:
             spos = struct.unpack_from("<I", body, 0)[0]
             name, _ = _read_unistr(body, 6, short_len=True)
             sheets.append((name, spos))
@@ -280,10 +302,12 @@ def _parse_globals(stream: bytes):
                     sheets.append((name, spos))
         elif rid == _EOF:
             break
-    return sheets, sst
+    xf_kinds = [classify_fmt(i, fmt_codes) for i in xf_fmt_ids]
+    return sheets, sst, xf_kinds, date1904
 
 
-def _parse_sheet(stream: bytes, start: int, sst: list[str]):
+def _parse_sheet(stream: bytes, start: int, sst: list[str],
+                 xf_kinds: list = (), date1904: bool = False):
     cells: dict[int, dict[int, object]] = {}
     max_col = -1
 
@@ -292,6 +316,10 @@ def _parse_sheet(stream: bytes, start: int, sst: list[str]):
         if v is not None:
             cells.setdefault(r, {})[c] = v
             max_col = max(max_col, c)
+
+    def num(f: float, ixfe: int):
+        kind = xf_kinds[ixfe] if ixfe < len(xf_kinds) else None
+        return serial_to_py(f, kind, date1904) if kind else _norm_num(f)
 
     pending_formula_rc = None
     depth = 0
@@ -305,18 +333,18 @@ def _parse_sheet(stream: bytes, start: int, sst: list[str]):
                 break
             continue
         if rid == _NUMBER:
-            r, c = struct.unpack_from("<HH", body, 0)
-            put(r, c, _norm_num(struct.unpack_from("<d", body, 6)[0]))
+            r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+            put(r, c, num(struct.unpack_from("<d", body, 6)[0], ixfe))
         elif rid == _RK:
-            r, c = struct.unpack_from("<HH", body, 0)
-            put(r, c, _norm_num(
-                _rk_value(struct.unpack_from("<I", body, 6)[0])))
+            r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+            put(r, c, num(
+                _rk_value(struct.unpack_from("<I", body, 6)[0]), ixfe))
         elif rid == _MULRK:
             r, c0 = struct.unpack_from("<HH", body, 0)
             n = (len(body) - 6) // 6
             for i in range(n):
-                v = struct.unpack_from("<I", body, 4 + 6 * i + 2)[0]
-                put(r, c0 + i, _norm_num(_rk_value(v)))
+                ixfe, v = struct.unpack_from("<HI", body, 4 + 6 * i)
+                put(r, c0 + i, num(_rk_value(v), ixfe))
         elif rid == _LABELSST:
             r, c = struct.unpack_from("<HH", body, 0)
             put(r, c, sst[struct.unpack_from("<I", body, 6)[0]])
@@ -329,16 +357,16 @@ def _parse_sheet(stream: bytes, start: int, sst: list[str]):
             if body[7] == 0:  # value (not error)
                 put(r, c, bool(body[6]))
         elif rid == _FORMULA:
-            r, c = struct.unpack_from("<HH", body, 0)
-            num = body[6:14]
-            if num[6:8] == b"\xff\xff":
-                kind = num[0]
+            r, c, ixfe = struct.unpack_from("<HHH", body, 0)
+            cached = body[6:14]
+            if cached[6:8] == b"\xff\xff":
+                kind = cached[0]
                 if kind == 0:  # cached string follows in a STRING record
                     pending_formula_rc = (r, c)
                 elif kind == 1:
-                    put(r, c, bool(num[2]))
+                    put(r, c, bool(cached[2]))
             else:
-                put(r, c, _norm_num(struct.unpack("<d", num)[0]))
+                put(r, c, num(struct.unpack("<d", cached)[0], ixfe))
         elif rid == _STRING and pending_formula_rc is not None:
             s, _pos = _read_unistr(body, 0)
             put(*pending_formula_rc, s)
@@ -362,7 +390,7 @@ def _workbook_stream(fname: str) -> bytes:
 
 
 def xls_sheet_names(fname: str) -> list[str]:
-    sheets, _ = _parse_globals(_workbook_stream(fname))
+    sheets = _parse_globals(_workbook_stream(fname))[0]
     return [n for n, _ in sheets]
 
 
@@ -370,7 +398,7 @@ def read_xls_grid(fname: str, sheet_name: str | int = 0) -> list[list]:
     """One worksheet → dense list-of-rows grid (None-padded), same shape
     contract as ``xlsx.read_sheet_grid``."""
     stream = _workbook_stream(fname)
-    sheets, sst = _parse_globals(stream)
+    sheets, sst, xf_kinds, date1904 = _parse_globals(stream)
     if isinstance(sheet_name, int):
         name, spos = sheets[sheet_name]
     else:
@@ -378,7 +406,7 @@ def read_xls_grid(fname: str, sheet_name: str | int = 0) -> list[list]:
         if not match:
             raise KeyError(f"no sheet {sheet_name!r} in {fname}")
         name, spos = match[0]
-    return _parse_sheet(stream, spos, sst)
+    return _parse_sheet(stream, spos, sst, xf_kinds, date1904)
 
 
 # ---------------------------------------------------------------------------
@@ -397,10 +425,16 @@ def _unistr16(s: str) -> bytes:
     return struct.pack("<H", len(s)) + bytes([flag]) + enc
 
 
+# writer XF indices: 0-15 default (ifmt 0), 16 date (ifmt 14),
+# 17 datetime (22), 18 time (21) — builtin ids, no FORMAT records needed
+_XF_DATE, _XF_DT, _XF_TIME = 16, 17, 18
+
+
 def write_xls(fname: str, sheets: dict[str, list[list]]) -> str:
-    """Write a BIFF8 ``.xls``: NUMBER / LABELSST / BOOLERR cells, one SST.
-    Fixture-grade (no styles, SST must fit one record); readable by this
-    module, xlrd and Excel."""
+    """Write a BIFF8 ``.xls``: NUMBER / LABELSST / BOOLERR cells, one SST;
+    datetime/date/time values as date-styled NUMBER serials. Fixture-grade
+    (SST must fit one record); readable by this module, xlrd and Excel."""
+    import datetime as _dt
     strings: list[str] = []
     index: dict[str, int] = {}
     n_refs = 0
@@ -426,6 +460,12 @@ def write_xls(fname: str, sheets: dict[str, list[list]]) -> str:
                 if isinstance(v, bool):
                     recs += _rec(_BOOLERR,
                                  struct.pack("<HHHBB", r, c, 15, int(v), 0))
+                elif isinstance(v, (_dt.datetime, _dt.date, _dt.time)):
+                    ixfe = (_XF_TIME if isinstance(v, _dt.time)
+                            else _XF_DT if isinstance(v, _dt.datetime)
+                            else _XF_DATE)
+                    recs += _rec(_NUMBER, struct.pack("<HHH", r, c, ixfe)
+                                 + struct.pack("<d", py_to_serial(v)))
                 elif isinstance(v, (int, float)):
                     recs += _rec(_NUMBER, struct.pack("<HHH", r, c, 15)
                                  + struct.pack("<d", float(v)))
@@ -443,6 +483,10 @@ def write_xls(fname: str, sheets: dict[str, list[list]]) -> str:
     glob += _rec(0x0042, struct.pack("<H", 1200))  # CODEPAGE: UTF-16
     glob += _rec(0x003D, struct.pack("<9H", 0x0168, 0x010E, 0x3A5C, 0x23C1,
                                      0x0038, 0, 0, 1, 0x0258))  # WINDOW1
+    # XF table: 16 defaults, then the date/datetime/time cell XFs
+    # (ifmt at body offset 2; remaining XF fields zero — fixture-grade)
+    for ifmt in [0] * 16 + [14, 22, 21]:
+        glob += _rec(_XF, struct.pack("<HH", 0, ifmt) + bytes(16))
     bs_patch = []
     for name in sheets:
         bs_patch.append(len(glob) + 4)  # offset of the u32 stream pos

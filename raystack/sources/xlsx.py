@@ -16,11 +16,13 @@ Implements the reference semantics of d6tstack/convert_xls.py:
   converters with ``if_exists='skip'|'replace'`` and ``<fname>-<sheet>.csv``
   naming (convert_xls.py:216-437).
 
-Also a minimal :func:`write_xlsx` (inline-string cells) so fixtures and
-round-trip tests need no external writer. The reader handles shared
-strings, inline strings, booleans and numbers; date *styles* are out of
-scope (values come back as their underlying serial numbers), which the
-synthetic test corpus does not use.
+Also a minimal :func:`write_xlsx` (inline-string cells; dates as
+date-styled serials) so fixtures and round-trip tests need no external
+writer. The reader handles shared strings, inline strings, booleans,
+numbers, and date-styled cells: ``xl/styles.xml`` numFmtIds (builtin
+table + custom format-code classification, :mod:`.exceldates`) turn
+serial numbers into datetime/time values like the reference's pandas
+excel stack does, honoring ``workbookPr date1904``.
 """
 
 from __future__ import annotations
@@ -32,6 +34,8 @@ import zipfile
 import xml.etree.ElementTree as ET
 
 import pandas as pd
+
+from .exceldates import classify_fmt, py_to_serial, serial_to_py
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _NSR = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
@@ -102,6 +106,32 @@ def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
+def _style_kinds(zf: zipfile.ZipFile) -> list:
+    """xl/styles.xml → per-cellXf date kind ("dt"/"time"/None), indexed
+    by the cell's ``s`` attribute (ECMA-376 §18.8.10/§18.8.30)."""
+    try:
+        data = zf.read("xl/styles.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    custom = {}
+    num_fmts = root.find(f"{_NS}numFmts")
+    if num_fmts is not None:
+        for nf in num_fmts.findall(f"{_NS}numFmt"):
+            custom[int(nf.get("numFmtId"))] = nf.get("formatCode") or ""
+    cell_xfs = root.find(f"{_NS}cellXfs")
+    if cell_xfs is None:
+        return []
+    return [classify_fmt(int(xf.get("numFmtId", "0")), custom)
+            for xf in cell_xfs.findall(f"{_NS}xf")]
+
+
+def _date1904(zf: zipfile.ZipFile) -> bool:
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    pr = wb.find(f"{_NS}workbookPr")
+    return pr is not None and pr.get("date1904", "0").lower() in ("1", "true")
+
+
 def _is_biff(fname: str) -> bool:
     from .xls import CFB_MAGIC
     with open(fname, "rb") as f:
@@ -116,7 +146,8 @@ def sheet_names(fname: str) -> list[str]:
         return [n for n, _ in _sheet_targets(zf)]
 
 
-def _cell_value(c: ET.Element, shared: list[str]):
+def _cell_value(c: ET.Element, shared: list[str],
+                xf_kinds: list = (), date1904: bool = False):
     t = c.get("t", "n")
     if t == "inlineStr":
         is_el = c.find(f"{_NS}is")
@@ -136,6 +167,13 @@ def _cell_value(c: ET.Element, shared: list[str]):
         f = float(v.text)
     except ValueError:
         return v.text
+    if t == "n":
+        s = c.get("s")
+        if s is not None:
+            xf = int(s)
+            kind = xf_kinds[xf] if xf < len(xf_kinds) else None
+            if kind:  # date-styled serial → datetime/time
+                return serial_to_py(f, kind, date1904)
     return int(f) if f.is_integer() and "e" not in v.text.lower() \
         and "." not in v.text else f
 
@@ -160,6 +198,8 @@ def read_sheet_grid(fname: str, sheet_name: str | int = 0) -> list[list]:
                 raise KeyError(f"no sheet {sheet_name!r} in {fname}")
             name, member = match[0]
         shared = _shared_strings(zf)
+        xf_kinds = _style_kinds(zf)
+        d1904 = _date1904(zf)
         root = ET.fromstring(zf.read(member))
         rows: dict[int, dict[int, object]] = {}
         max_col = -1
@@ -173,7 +213,7 @@ def read_sheet_grid(fname: str, sheet_name: str | int = 0) -> list[list]:
                 ref = c.get("r")
                 col_auto = col_to_idx(re.match(r"[A-Za-z]+", ref).group()) \
                     if ref else col_auto + 1
-                val = _cell_value(c, shared)
+                val = _cell_value(c, shared, xf_kinds, d1904)
                 if val is not None:
                     cells[col_auto] = val
                     max_col = max(max_col, col_auto)
@@ -194,9 +234,30 @@ def _esc(s: str) -> str:
             .replace('"', "&quot;"))
 
 
+# writer cell styles: s=1 date (numFmtId 14), s=2 datetime (22),
+# s=3 time (21) — builtin ids, so no custom numFmts part is needed
+_STYLES_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml'
+    '/2006/main">'
+    '<fonts count="1"><font><sz val="11"/><name val="Calibri"/></font>'
+    '</fonts>'
+    '<fills count="1"><fill><patternFill patternType="none"/></fill></fills>'
+    '<borders count="1"><border/></borders>'
+    '<cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs>'
+    '<cellXfs count="4">'
+    '<xf numFmtId="0" xfId="0"/>'
+    '<xf numFmtId="14" applyNumberFormat="1" xfId="0"/>'
+    '<xf numFmtId="22" applyNumberFormat="1" xfId="0"/>'
+    '<xf numFmtId="21" applyNumberFormat="1" xfId="0"/>'
+    "</cellXfs></styleSheet>")
+
+
 def write_xlsx(fname: str, sheets: dict[str, list[list]]) -> str:
-    """dict of sheet_name → rows (lists of str/int/float/bool/None) → a
-    valid minimal .xlsx (inline-string cells, no styles)."""
+    """dict of sheet_name → rows (lists of
+    str/int/float/bool/datetime/date/time/None) → a valid minimal .xlsx
+    (inline-string cells; dates as date-styled serials)."""
+    import datetime as _dt
     names = list(sheets)
     sheet_xml = {}
     for si, nm in enumerate(names, 1):
@@ -209,6 +270,11 @@ def write_xlsx(fname: str, sheets: dict[str, list[list]]) -> str:
                 ref = f"{idx_to_col(ci)}{ri}"
                 if isinstance(val, bool):
                     cells.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+                elif isinstance(val, (_dt.datetime, _dt.date, _dt.time)):
+                    s = (3 if isinstance(val, _dt.time)
+                         else 2 if isinstance(val, _dt.datetime) else 1)
+                    cells.append(f'<c r="{ref}" s="{s}">'
+                                 f"<v>{py_to_serial(val)!r}</v></c>")
                 elif isinstance(val, (int, float)):
                     cells.append(f'<c r="{ref}"><v>{val!r}</v></c>')
                 else:
@@ -239,6 +305,9 @@ def write_xlsx(fname: str, sheets: dict[str, list[list]]) -> str:
             f'openxmlformats.org/officeDocument/2006/relationships/'
             f'worksheet" Target="worksheets/sheet{i}.xml"/>'
             for i in range(1, len(names) + 1))
+        + f'<Relationship Id="rId{len(names) + 1}" Type="http://schemas.'
+          'openxmlformats.org/officeDocument/2006/relationships/styles" '
+          'Target="styles.xml"/>'
         + "</Relationships>")
     types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -249,6 +318,8 @@ def write_xlsx(fname: str, sheets: dict[str, list[list]]) -> str:
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/'
         'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
         + "".join(
             f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
             f'"application/vnd.openxmlformats-officedocument.spreadsheetml.'
@@ -265,6 +336,7 @@ def write_xlsx(fname: str, sheets: dict[str, list[list]]) -> str:
         zf.writestr("[Content_Types].xml", types)
         zf.writestr("_rels/.rels", root_rels)
         zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/styles.xml", _STYLES_XML)
         zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
         for i in range(1, len(names) + 1):
             zf.writestr(f"xl/worksheets/sheet{i}.xml", sheet_xml[i])
@@ -325,10 +397,17 @@ def read_excel_advanced(fname: str, remove_blank_cols: bool = True,
     df = pd.DataFrame(data, columns=range(len(names)))
     df.columns = pd.Index(names) if n_hdr == 1 else \
         pd.MultiIndex.from_tuples(names)
-    # infer numeric dtypes column-wise (pd.read_excel analog)
+    # infer numeric dtypes column-wise (pd.read_excel analog) —
+    # but never coerce date-styled cells (to_numeric would turn
+    # datetimes into epoch nanoseconds)
+    import datetime as _dtm
     for c in df.columns:
+        col = df[c]
+        if col.map(lambda v: isinstance(
+                v, (_dtm.datetime, _dtm.date, _dtm.time))).any():
+            continue
         try:
-            df[c] = pd.to_numeric(df[c])
+            df[c] = pd.to_numeric(col)
         except (ValueError, TypeError):
             pass
 

@@ -110,7 +110,7 @@ def test_sst_continue_split(tmp_path):
     glob = (rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
             + rec(0x0085, struct.pack("<IBB", 0, 0, 0) + b"\x06\x00Sheet1")
             + rec(0x00FC, p1) + rec(0x003C, p2) + rec(0x000A, b""))
-    sheets, sst = _parse_globals(glob)
+    sheets, sst, _xf, _d1904 = _parse_globals(glob)
     assert [n for n, _ in sheets] == ["Sheet1"]
     assert sst == [s1, s2]
 
