@@ -192,6 +192,134 @@ def add_bpe_token_count(ds, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def add_normalized_text(ds, text_col: str = "text",
+                        out_col: str = "text_norm"):
+    """Whitespace normalization (webtext curation staple): collapse every
+    whitespace run to a single space and trim the ends — two Arrow
+    kernels, zero-copy in, no Python rows. DuckDB mirror:
+    ``trim(regexp_replace(text, '\\s+', ' ', 'g'))`` (both are RE2)."""
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(t[text_col], ""), pa.string())
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        return t.append_column(out_col, pc.utf8_trim_whitespace(s))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+#: default redaction rules: (pattern, replacement). RE2-compatible so the
+#: same patterns run bit-identically in DuckDB's regexp_replace oracle.
+REDACT_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d ().-]{7,}\d", "<PHONE>"),
+)
+
+
+def add_redacted(ds, text_col: str = "text", rules=REDACT_RULES,
+                 out_col: str = "text_redacted"):
+    """PII scrubbing: replace emails / IPv4s / phone-ish digit runs with
+    placeholder tokens — one ``replace_substring_regex`` kernel per rule
+    per batch. Rules are (pattern, replacement) pairs; order matters
+    (earlier rules consume their matches first)."""
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(t[text_col], ""), pa.string())
+        for pat, repl in rules:
+            s = pc.replace_substring_regex(s, pat, repl)
+        return t.append_column(out_col, s)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_repetition_stats(ds, text_col: str = "text"):
+    """Gopher-style repetition quality signals (Rae et al. 2021, public)
+    per document:
+
+    - ``dup_line_frac`` — 1 − distinct lines / lines;
+    - ``ellipsis_line_frac`` — fraction of lines ending in ``...``;
+    - ``top_2gram_frac`` — tokens covered by the most frequent word
+      2-gram (occurrences × 2 / tokens; 0 when < 2 tokens).
+
+    Fully vectorized: lines/tokens come from Arrow split kernels, line
+    and token identity from one ``pd.factorize`` over the flat values,
+    per-document distinct/top counts from ``np.unique`` over packed
+    (doc, code) keys — no Python loop over rows or lines."""
+    import pandas as pd
+
+    def _per_doc_counts(doc_ids, codes, n_docs):
+        """(#items, #distinct items) per doc from parallel arrays."""
+        n_items = np.bincount(doc_ids, minlength=n_docs)
+        if len(codes):
+            pair = doc_ids.astype(np.uint64) << np.uint64(32) \
+                | codes.astype(np.uint64)
+            uniq = np.unique(pair)
+            n_dist = np.bincount((uniq >> np.uint64(32)).astype(np.int64),
+                                 minlength=n_docs)
+        else:
+            n_dist = np.zeros(n_docs, dtype=np.int64)
+        return n_items, n_dist
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = (col.combine_chunks() if col.num_chunks != 1
+                   else col.chunk(0))
+        if isinstance(col, pa.ChunkedArray):  # 0-chunk / multi-chunk edge
+            col = pa.concat_arrays(col.chunks) if col.num_chunks \
+                else pa.array([], type=pa.string())
+        s = pc.cast(pc.fill_null(col, ""), pa.string())
+
+        # --- lines ---------------------------------------------------
+        lines = pc.split_pattern(s, "\n")
+        offs = np.asarray(lines.offsets)
+        counts = np.diff(offs)
+        line_doc = np.repeat(np.arange(n), counts)
+        flat = lines.flatten()
+        line_codes = pd.factorize(flat.to_numpy(zero_copy_only=False))[0]
+        n_lines, n_dist = _per_doc_counts(line_doc, line_codes, n)
+        denom = np.maximum(n_lines, 1).astype(np.float64)
+        dup_line = 1.0 - n_dist / denom
+
+        ell = np.asarray(pc.count_substring_regex(
+            s, r"(?m)\.\.\.$").cast(pa.int64()))
+        ellipsis_frac = ell / denom
+
+        # --- word 2-grams ---------------------------------------------
+        toks = pc.split_pattern_regex(s, r"\s+")
+        toffs = np.asarray(toks.offsets)
+        tcounts = np.diff(toffs)
+        tflat = toks.flatten()
+        tvals = tflat.to_numpy(zero_copy_only=False)
+        # split_pattern_regex yields empty edge tokens; mask them out
+        keep = np.asarray(pc.utf8_length(tflat)) > 0
+        tdoc = np.repeat(np.arange(n), tcounts)[keep]
+        tcodes = pd.factorize(tvals[keep])[0]
+        n_tok = np.bincount(tdoc, minlength=n)
+        top_frac = np.zeros(n, dtype=np.float64)
+        if len(tcodes) > 1:
+            same_doc = tdoc[1:] == tdoc[:-1]
+            g_doc = tdoc[1:][same_doc]
+            g_key = (g_doc.astype(np.uint64) << np.uint64(44)
+                     | tcodes[:-1][same_doc].astype(np.uint64)
+                     << np.uint64(22)
+                     | tcodes[1:][same_doc].astype(np.uint64))
+            if len(g_key):
+                uniq, cnt = np.unique(g_key, return_counts=True)
+                udoc = (uniq >> np.uint64(44)).astype(np.int64)
+                top = np.zeros(n, dtype=np.int64)
+                np.maximum.at(top, udoc, cnt)
+                top_frac = np.where(n_tok >= 2,
+                                    top * 2.0 / np.maximum(n_tok, 1), 0.0)
+
+        t = t.append_column("dup_line_frac",
+                            pa.array(dup_line, type=pa.float64()))
+        t = t.append_column("ellipsis_line_frac",
+                            pa.array(ellipsis_frac, type=pa.float64()))
+        t = t.append_column("top_2gram_frac",
+                            pa.array(top_frac, type=pa.float64()))
+        return t
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def stratified_sample(ds, group_col: str, id_col: str = "doc_id",
                       k: int = 10):
     """Deterministic stratified sample: the ``k`` rows with the smallest
