@@ -7,6 +7,11 @@
 - :func:`ivf_topk` — scale path: seeded random centroids (IVF-style
   buckets); vectors are assigned to their nearest centroid in a map_batches
   pass and only the query's ``n_probe`` closest buckets are scanned.
+- :func:`build_ivf_index` / :func:`query_ivf_index` — the persisted
+  variant: bucket-partitioned Parquet layout built once (sample-trained
+  centroids saved in ``ivf_meta.json``), queried many times with
+  filesystem-level partition pruning — only probed ``bucket=`` dirs are
+  ever read.
 """
 
 from __future__ import annotations
@@ -149,22 +154,144 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
+                    id_col: str = "vec_id", n_centroids: int = 16,
+                    sample_size: int = 2048, iters: int = 8, seed: int = 13,
+                    centroids: np.ndarray | None = None) -> dict:
+    """Persist an IVF layout: train spherical-k-means centroids on a
+    bounded driver-side sample (``ds.limit(sample_size)`` — never the
+    corpus), assign every vector to its nearest centroid in one streaming
+    ``map_batches`` pass, and write Parquet hive-partitioned by
+    ``bucket`` (one directory per centroid, the same layout the encode
+    pipeline uses for pages). Centroids + config go to
+    ``<out_dir>/ivf_meta.json`` so queries are reproducible without the
+    build-time dataset. At 100 TB this is the index you build once and
+    query many times: the query path below reads ONLY the probed bucket
+    directories — filesystem-level partition pruning, no full scan."""
+    import json
+    import os
+
+    if centroids is None:
+        tabs = list(ds.limit(sample_size).select_columns([emb_col])
+                    .iter_batches(batch_format="pyarrow",
+                                  batch_size=sample_size))
+        sample = _as_matrix(pa.concat_tables(tabs)[emb_col])
+        cent = train_centroids(sample, n_centroids, iters=iters, seed=seed)
+    else:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    bucketed = assign_clusters(ds, cent, id_col=id_col, vec_col=emb_col,
+                               keep_cols=[emb_col], out_col="bucket_id")
+    # bucket twice: as the hive partition dir (pruned listing) and as a
+    # data column (survives explicit per-file reads on the query path)
+    bucketed = bucketed.map_batches(
+        lambda t: t.append_column("bucket", t["bucket_id"]),
+        batch_format="pyarrow")
+    bucketed.write_parquet(out_dir, partition_cols=["bucket"])
+    meta = {"n_centroids": int(len(cent)), "emb_col": emb_col,
+            "id_col": id_col, "centroids": cent.tolist()}
+    with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def query_ivf_index(index_dir: str, queries: np.ndarray,
+                    query_ids: np.ndarray, k: int = 10, n_probe: int = 4,
+                    exclude_self: bool = True):
+    """Top-k over a persisted IVF index (:func:`build_ivf_index`): pick
+    each query's ``n_probe`` nearest centroids, ``read_parquet`` ONLY the
+    union of probed ``bucket=`` directories (every other bucket's bytes
+    never leave storage), brute-force cosine inside the probed buckets
+    with a per-query bucket mask, and merge per-query top-k exactly like
+    :func:`ann_topk`. ``n_probe == n_centroids`` scans everything and
+    equals the brute-force result (the oracle-checkable configuration)."""
+    import json
+    import os
+
+    import ray
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (Q, n_probe)
+    probe_sets = [set(map(int, row)) for row in probe]
+    wanted = sorted(set().union(*probe_sets))
+    import glob as _glob
+    files = [f for b in wanted for f in sorted(_glob.glob(
+        os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    if not files:
+        return ray.data.from_arrow(pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}))
+    ds = ray.data.read_parquet(files,
+                               columns=[id_col, emb_col, "bucket_id"])
+    q_ref = ray.put((qm, np.asarray(query_ids), probe_sets))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qids, probe_sets = ray.get(q_ref)
+        m = _normalize(_as_matrix(t[emb_col]))
+        ids = np.asarray(t[id_col])
+        bucket = np.asarray(t["bucket_id"]).astype(np.int64)
+        out = {"query_id": [], "neighbor_id": [], "sim": []}
+        for qi in range(qm.shape[0]):
+            mask = np.isin(bucket, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            s = m[mask] @ qm[qi]
+            sel_ids = ids[mask]
+            kk = min(k + (1 if exclude_self else 0), len(s))
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) \
+                else np.arange(len(s))
+            out["query_id"].append(np.full(len(idx), qids[qi]))
+            out["neighbor_id"].append(sel_ids[idx])
+            out["sim"].append(s[idx])
+        if not out["query_id"]:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({k2: np.concatenate(v) for k2, v in out.items()})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({"query_id": qid,
+                             "neighbor_id": g["neighbor_id"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1)})
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")
+
+
 def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
-                    vec_col: str = "embedding"):
+                    vec_col: str = "embedding", out_col: str = "cluster",
+                    keep_cols: list | None = None):
     """Embedding clustering assignment (data-curation primitive): each
     vector goes to its max-cosine centroid. Centroids are broadcast via
     ``ray.put`` (tiny), the per-batch work is one numpy matmul — no
     shuffle; at 100 TB this is a pure streaming map. Ties break toward
-    the lowest cluster id (argmax)."""
+    the lowest cluster id (argmax). ``keep_cols`` carries extra columns
+    through (e.g. the vectors themselves for an IVF index build)."""
     import ray
     cent = _normalize(np.asarray(centroids, dtype=np.float64))
     ref = ray.put(cent)
+    keep = list(keep_cols or [])
 
     def fn(t: pa.Table) -> pa.Table:
         c = ray.get(ref)
         m = _normalize(_as_matrix(t[vec_col]))
         a = np.argmax(m @ c.T, axis=1)
-        return pa.table({id_col: t[id_col],
-                         "cluster": pa.array(a.astype(np.int64))})
+        cols = {id_col: t[id_col]}
+        for kc in keep:
+            cols[kc] = t[kc]
+        cols[out_col] = pa.array(a.astype(np.int64))
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -743,3 +743,47 @@ def test_stratified_sample_deterministic(ray_session):
     c = stratified_sample(ds.repartition(13), "g", k=7).to_pandas() \
         .sort_values(["g", "doc_id"]).reset_index(drop=True)
     assert a.equals(c)
+
+
+def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
+    # build once, query many: the persisted bucket-partitioned layout
+    # with full probe must equal brute force; a partial probe must read
+    # only the probed bucket= directories
+    import os
+
+    import ray.data
+    from raystack.ops.similarity import (ann_topk, build_ivf_index,
+                                         query_ivf_index)
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    qids = df["vec_id"].to_numpy()[:4]
+    qm = m[:4]
+    idx_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, idx_dir, n_centroids=8, sample_size=256)
+    assert meta["n_centroids"] == 8
+    assert os.path.exists(os.path.join(idx_dir, "ivf_meta.json"))
+    buckets = [d for d in os.listdir(idx_dir) if d.startswith("bucket=")]
+    assert 1 < len(buckets) <= 8
+    # index holds every vector exactly once
+    import glob
+    files = [f for b in buckets for f in glob.glob(
+        os.path.join(idx_dir, b, "*.parquet"))]
+    total = ray.data.read_parquet(files).count()
+    assert total == len(df)
+
+    exact = ann_topk(emb, qm, qids, k=10).to_pandas()
+    full = query_ivf_index(idx_dir, qm, qids, k=10, n_probe=8).to_pandas()
+    assert full.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(exact.sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+
+    # partial probe: decent recall, and deterministic across calls
+    p1 = query_ivf_index(idx_dir, qm, qids, k=10, n_probe=3).to_pandas()
+    p2 = query_ivf_index(idx_dir, qm, qids, k=10, n_probe=3).to_pandas()
+    assert p1.sort_values(["query_id", "rank"]).reset_index(drop=True) \
+        .equals(p2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+    rec = np.mean([
+        len(set(exact[exact.query_id == q].neighbor_id)
+            & set(p1[p1.query_id == q].neighbor_id)) / 10 for q in qids])
+    assert rec >= 0.5
