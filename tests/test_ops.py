@@ -787,3 +787,89 @@ def test_ivf_persisted_index_roundtrip(ray_session, tmp_path):
         len(set(exact[exact.query_id == q].neighbor_id)
             & set(p1[p1.query_id == q].neighbor_id)) / 10 for q in qids])
     assert rec >= 0.5
+
+
+def _make_ppm(w, h, value=None, comment=False, bits16=False):
+    rng = np.random.default_rng(w * 1000 + h)
+    maxv, dt = (65535, ">u2") if bits16 else (255, np.uint8)
+    px = (np.full((h, w, 3), value, dtype=np.int64) if value is not None
+          else rng.integers(0, maxv + 1, (h, w, 3)))
+    hdr = b"P6\n" + (b"# a comment\n" if comment else b"") \
+        + f"{w} {h}\n{maxv}\n".encode()
+    return hdr + px.astype(dt).tobytes(), px
+
+
+def _make_pgm(w, h):
+    rng = np.random.default_rng(w + h)
+    px = rng.integers(0, 256, (h, w, 1))
+    return b"P5\n" + f"{w} {h}\n255\n".encode() \
+        + px.astype(np.uint8).tobytes(), px
+
+
+def _make_wav(rate=8000, seconds=0.5, freq=440.0, channels=1, width=2):
+    import io
+    import wave
+    n = int(rate * seconds)
+    x = np.sin(2 * np.pi * freq * np.arange(n) / rate)
+    if width == 2:
+        frames = np.repeat((x * 32767).astype("<i2"), channels).tobytes()
+    else:
+        frames = np.repeat(((x * 127) + 128).astype(np.uint8),
+                           channels).tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue(), x
+
+
+def test_decode_pnm_and_wav_kernels():
+    from raystack.ops.multimodal import decode_pnm, decode_wav, resize_nearest
+    p, px = _make_ppm(17, 9, comment=True)
+    img = decode_pnm(p)
+    assert img.shape == (9, 17, 3) and (img == px).all()
+    p16, px16 = _make_ppm(4, 3, bits16=True)
+    img16 = decode_pnm(p16)
+    assert img16.dtype == np.dtype(">u2") and (img16 == px16).all()
+    g, gx = _make_pgm(5, 7)
+    assert (decode_pnm(g) == gx).all()
+    small = resize_nearest(img, 8, 4)
+    assert small.shape == (4, 8, 3)
+    assert (small == img[np.arange(4) * 9 // 4][:, np.arange(8) * 17 // 8]).all()
+    wav, x = _make_wav(rate=8000, seconds=0.25, channels=2)
+    samples, rate = decode_wav(wav)
+    assert rate == 8000 and samples.shape == (2000, 2)
+    np.testing.assert_allclose(samples[:, 0], x, atol=1e-4)
+    with pytest.raises(ValueError):
+        decode_pnm(b"JUNKJUNK")
+
+
+def test_decode_media_stage(ray_session):
+    import ray.data
+    from raystack.ops.multimodal import MEDIA_SCHEMA, decode_media
+    ppm, _ = _make_ppm(32, 20, value=128)
+    pgm, _ = _make_pgm(6, 4)
+    wav, _ = _make_wav(rate=16000, seconds=0.5)
+    trunc_ppm = ppm[:20]  # sniffs as image, malformed body
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([ppm, pgm, wav, b"\x89PNG\r\n junk", trunc_ppm],
+                            pa.large_binary()),
+        "mime": pa.array(["image/x-ppm", "image/x-pgm", "audio/wav",
+                          "image/png", "image/x-ppm"]),
+        "meta": pa.array(["{}"] * 5),
+    }, schema=MEDIA_SCHEMA)
+    got = decode_media(ray.data.from_arrow(t), concurrency=1).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert got["kind"].tolist() == ["image", "image", "audio",
+                                    "unknown", "unknown"]
+    assert got["decoded"].tolist() == [True, True, True, False, False]
+    assert got.loc[0, ["width", "height", "channels"]].tolist() == [32, 20, 3]
+    assert got.loc[0, "mean_level"] == pytest.approx(128 / 255)
+    assert got.loc[1, ["width", "height", "channels"]].tolist() == [6, 4, 1]
+    assert got.loc[2, "sample_rate"] == 16000
+    assert got.loc[2, "duration_s"] == pytest.approx(0.5)
+    # sine RMS ~ 1/sqrt(2)
+    assert got.loc[2, "mean_level"] == pytest.approx(0.7071, abs=0.01)
