@@ -211,13 +211,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pl.decode_dir(out, columns=["doc_id", "text", "lang",
                                            "source", "n_chars"])
 
-    def docs_by_lang(sf):
-        from ray.data.aggregate import Count, Sum
+    def repetition_stats(sf):
+        """Gopher-style repetition quality signals; the SQL-expressible
+        two (dup-line + ellipsis-line fractions) are oracle-checked,
+        top_2gram_frac is pytest-covered (tests/test_text_curation.py)."""
+        from raystack.ops.text import add_repetition_stats
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
-                                   columns=["lang", "n_chars"])
-        return ds.groupby("lang").aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="sum_chars"))
+                                   columns=["doc_id", "text"])
+        return add_repetition_stats(ds).select_columns(
+            ["doc_id", "dup_line_frac", "ellipsis_line_frac"])
 
     def events_stats(sf):
         from ray.data.aggregate import Count, Max, Min
@@ -721,7 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_split": holdout_split,
         "stratified_sample": stratified_sample,
         "multimodal_dims": multimodal_dims,
-        "docs_by_lang": docs_by_lang,
+        "repetition_stats": repetition_stats,
         "events_stats": events_stats,
         "events_windowed": events_windowed,
         "events_hopping": events_hopping,
@@ -1009,9 +1011,16 @@ def oracle_sql() -> dict[str, str]:
                                "l_returnflag, l_linestatus, l_shipdate "
                                "FROM lineitem"),
         "roundtrip_partitioned": f"SELECT {docs_all} FROM documents",
-        "docs_by_lang": ("SELECT lang, count(*) AS n_docs, "
-                         "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
-                         "FROM documents GROUP BY lang"),
+        "repetition_stats": (
+            "SELECT doc_id, "
+            "1.0 - len(list_distinct(string_split(text, chr(10)))) * 1.0 "
+            "  / greatest(len(string_split(text, chr(10))), 1) "
+            "  AS dup_line_frac, "
+            "len(list_filter(string_split(text, chr(10)), "
+            "    l -> l LIKE '%...')) * 1.0 "
+            "  / greatest(len(string_split(text, chr(10))), 1) "
+            "  AS ellipsis_line_frac "
+            "FROM documents"),
         "events_stats": ("SELECT event_type, count(*) AS n_events, "
                          "min(ts) AS min_ts, max(ts) AS max_ts, "
                          "min(user_id) AS min_user FROM events "
