@@ -1309,18 +1309,25 @@ def decode_pages(pages_ds, columns: list[str] | None = None):
 
 
 def _decode_partition_dir(dir_path: str,
-                          columns: list[str] | None = None) -> pa.Table:
+                          columns: list[str] | None = None,
+                          page_whitelist=None) -> pa.Table:
     """Decode every page group inside one ``part_key=`` directory locally:
     read the partition's page files (pruned to the wanted columns), sort by
     page_idx in-memory, slice each page group, decode. Pure function run
     inside one Ray task; memory is bounded by the partition size the
-    encoder targeted (128-512 MB)."""
+    encoder targeted (128-512 MB). ``page_whitelist`` (zone-map pruning,
+    :mod:`raystack.zones`) restricts decode to the listed page_idx values
+    — only valid when every decoded column shares the same page row
+    boundaries (the zone builder records that as ``uniform``)."""
     import pyarrow.dataset as pads
     t = pads.dataset(dir_path).to_table(
         columns=["page_idx", "column", "data"])
     if columns:
         t = t.filter(pc.is_in(t["column"],
                               value_set=pa.array(sorted(columns))))
+    if page_whitelist is not None:
+        t = t.filter(pc.is_in(t["page_idx"], value_set=pa.array(
+            [int(p) for p in page_whitelist], type=pa.int64())))
     if t.num_rows == 0:
         return pa.table({})
     # per-COLUMN assembly: decode each column's pages in page_idx order and

@@ -1,0 +1,225 @@
+"""Zone maps over the encoded pages layout: per-page min/max sidecars +
+an exactly-filtered decode that skips whole partitions and pages before
+any decode work.
+
+The classic columnar-engine pattern (zone maps / small materialized
+aggregates, Moerkotte VLDB'98; Parquet row-group statistics are the same
+idea): at build time each page's min/max per column is recorded in a
+sidecar tree ``<out_dir>/zones/part_key=K/<col>.parquet``; at query time
+a range predicate prunes first partitions whose pages all fall outside
+the range, then individual pages inside surviving partitions — the
+pruned pages' bytes are never read past metadata, never decoded. The
+final exact filter on the decoded values makes the result independent of
+pruning (zone maps only save work, never change answers).
+
+Build is one Ray task per partition directory (the same fan-out shape as
+``decode_dir``), so at 100 TB it parallelizes per partition and can be
+re-run for new columns without touching the pages. Page-level pruning is
+only sound when every requested column shares the same page row
+boundaries; the builder records that per partition (``uniform`` in
+``meta.json``) and the planner falls back to partition-level pruning for
+mixed layouts (the precoded heavy-column path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .codecs import EncodedChunk, get_codec
+
+ZONES_DIRNAME = "zones"
+
+
+def _part_dirs(out_dir: str) -> list[str]:
+    pages_root = os.path.join(out_dir, "pages")
+    return sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key="))
+
+
+def _build_zone_partition(pages_dir: str, zones_dir: str,
+                          columns: list[str]) -> dict:
+    """Pure per-partition zone build: decode each wanted column's pages,
+    write ``<col>.parquet`` (page_idx, nrows, zmin, zmax) + ``meta.json``
+    with the layout-uniformity flag. Runs inside one Ray task."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    meta_t = pads.dataset(pages_dir).to_table(
+        columns=["page_idx", "column", "nrows"])
+    # layout uniformity across ALL stored columns: page pruning drops the
+    # same rows from every column only if boundaries agree
+    by_col: dict[str, list[tuple[int, int]]] = {}
+    names = meta_t["column"].to_pylist()
+    idxs = np.asarray(meta_t["page_idx"])
+    nrows = np.asarray(meta_t["nrows"])
+    for i, name in enumerate(names):
+        by_col.setdefault(name, []).append((int(idxs[i]), int(nrows[i])))
+    layouts = {tuple(sorted(v)) for v in by_col.values()}
+    uniform = len(layouts) == 1
+
+    data_t = pads.dataset(pages_dir).to_table(
+        columns=["page_idx", "column", "data"],
+        filter=pc.field("column").isin(list(columns)))
+    os.makedirs(zones_dir, exist_ok=True)
+    written = []
+    for col in columns:
+        sel = data_t.filter(pc.equal(data_t["column"], col))
+        pages = sorted((int(p), i) for i, p in enumerate(
+            np.asarray(sel["page_idx"])))
+        rows = {"page_idx": [], "nrows": [], "zmin": [], "zmax": []}
+        ztype = None
+        for p, i in pages:
+            chunk = EncodedChunk.from_bytes(sel["data"][i].as_py())
+            arr = get_codec(chunk.codec).decode(chunk)
+            ztype = arr.type
+            mm = pc.min_max(arr)  # nulls ignored; all-null page → nulls
+            rows["page_idx"].append(p)
+            rows["nrows"].append(len(arr))
+            rows["zmin"].append(mm["min"].as_py())
+            rows["zmax"].append(mm["max"].as_py())
+        if ztype is None:
+            continue
+        t = pa.table({"page_idx": pa.array(rows["page_idx"], pa.int64()),
+                      "nrows": pa.array(rows["nrows"], pa.int64()),
+                      "zmin": pa.array(rows["zmin"], type=ztype),
+                      "zmax": pa.array(rows["zmax"], type=ztype)})
+        pq.write_table(t, os.path.join(zones_dir, f"{col}.parquet"))
+        written.append(col)
+    with open(os.path.join(zones_dir, "meta.json"), "w") as f:
+        json.dump({"uniform": uniform, "columns": written}, f)
+    return {"dir": os.path.basename(pages_dir), "uniform": uniform,
+            "columns": written}
+
+
+def build_zone_maps(out_dir: str, columns: list[str]) -> list[dict]:
+    """Build min/max zone maps for ``columns`` over every partition of an
+    encoded layout — one Ray task per ``part_key=`` dir (same fan-out as
+    ``decode_dir``); re-runnable and additive (new columns extend the
+    sidecar tree, pages are never touched)."""
+    import ray
+
+    dirs = _part_dirs(out_dir)
+    pages_root = os.path.join(out_dir, "pages")
+    zones_root = os.path.join(out_dir, ZONES_DIRNAME)
+
+    @ray.remote
+    def one(d: str) -> dict:
+        return _build_zone_partition(os.path.join(pages_root, d),
+                                     os.path.join(zones_root, d),
+                                     columns)
+
+    return ray.get([one.remote(d) for d in dirs])
+
+
+def _overlap_pages(zones_dir: str, ranges: dict) -> list[int] | None:
+    """Page indexes that may satisfy ALL range predicates, or None when
+    the partition has no zone file for some predicate column (must keep
+    everything). Empty list = partition fully pruned."""
+    import pyarrow.parquet as pq
+
+    keep: set[int] | None = None
+    for col, (lo, hi) in ranges.items():
+        zf = os.path.join(zones_dir, f"{col}.parquet")
+        if not os.path.exists(zf):
+            return None
+        z = pq.read_table(zf)
+        zmin, zmax = z["zmin"], z["zmax"]
+        ok = pa.array([True] * z.num_rows)
+        if hi is not None:
+            ok = pc.and_kleene(ok, pc.less_equal(zmin, hi))
+        if lo is not None:
+            ok = pc.and_kleene(ok, pc.greater_equal(zmax, lo))
+        # all-null pages have null zmin/zmax → unknown → keep
+        ok = pc.fill_null(ok, True)
+        pages = set(np.asarray(z["page_idx"])[np.asarray(ok)].tolist())
+        keep = pages if keep is None else (keep & pages)
+    return sorted(keep) if keep is not None else None
+
+
+def zone_prune_plan(out_dir: str, ranges: dict) -> dict:
+    """Driver-side pruning plan from the zone sidecars (metadata only —
+    no page bytes touched): ``{part_dir: sorted page list | None}``.
+    ``None`` = decode all pages of that partition (no zones, or mixed
+    page boundaries where page pruning is unsound); fully pruned
+    partitions are omitted. ``ranges`` maps column → (lo, hi) closed
+    bounds, either side None for unbounded."""
+    plan: dict = {}
+    zones_root = os.path.join(out_dir, ZONES_DIRNAME)
+    for d in _part_dirs(out_dir):
+        zdir = os.path.join(zones_root, d)
+        meta_p = os.path.join(zdir, "meta.json")
+        if not os.path.exists(meta_p):
+            plan[d] = None
+            continue
+        with open(meta_p) as f:
+            meta = json.load(f)
+        pages = _overlap_pages(zdir, ranges)
+        if pages is None:
+            plan[d] = None
+        elif not pages:
+            continue  # partition fully pruned
+        elif not meta.get("uniform", False):
+            plan[d] = None  # mixed boundaries: partition-level only
+        else:
+            plan[d] = pages
+    return plan
+
+
+def decode_dir_where(out_dir: str, ranges: dict,
+                     columns: list[str] | None = None):
+    """Exactly-filtered decode over an encoded layout: zone maps prune
+    partitions and pages first (their bytes are never decoded), then the
+    surviving rows get the exact range filter — the result always equals
+    ``decode_dir(out_dir, columns)`` + filter, zones or not. One Ray task
+    per surviving partition, same scale shape as ``decode_dir``."""
+    import ray.data
+
+    from .pipeline import _decode_partition_dir
+
+    plan = zone_prune_plan(out_dir, ranges)
+    pages_root = os.path.join(out_dir, "pages")
+    want = columns
+    if want is not None:
+        missing = [c for c in ranges if c not in want]
+        want = [*want, *missing]  # predicate columns needed for the filter
+
+    def exact_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        mask = pa.array([True] * t.num_rows)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
+            if hi is not None:
+                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
+        out = t.filter(pc.fill_null(mask, False))
+        if columns is not None:
+            out = out.select([c for c in columns if c in out.schema.names])
+        return out
+
+    if not plan:
+        return ray.data.from_items([]).map_batches(
+            lambda t: t, batch_format="pyarrow")
+
+    items = [{"dir": d, "pages": json.dumps(p) if p is not None else ""}
+             for d, p in plan.items()]
+
+    def decode_one(batch: dict) -> pa.Table:
+        parts = []
+        for d, pj in zip(batch["dir"], batch["pages"]):
+            wl = json.loads(pj) if pj else None
+            t = _decode_partition_dir(os.path.join(pages_root, str(d)),
+                                      want, page_whitelist=wl)
+            if t.num_rows:
+                parts.append(exact_filter(t))
+        parts = [p for p in parts if p.num_rows]
+        return pa.concat_tables(parts, promote_options="default") \
+            if parts else pa.table({})
+
+    return ray.data.from_items(items) \
+        .map_batches(decode_one, batch_size=1, batch_format="numpy")

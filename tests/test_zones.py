@@ -1,0 +1,106 @@
+"""Zone maps: per-page min/max sidecars + pruned exact filtered decode
+over the encoded pages layout."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def encoded_dir(ray_session, tmp_path_factory):
+    import ray.data
+
+    from raystack import pipeline as pl
+    out = str(tmp_path_factory.mktemp("zones") / "enc")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pl.encode_partitioned(ds, out, url_col="source", num_partitions=4,
+                          page_rows=64)
+    return out
+
+
+def test_zone_build_and_plan_prunes(encoded_dir):
+    from raystack.zones import build_zone_maps, zone_prune_plan
+    res = build_zone_maps(encoded_dir, ["doc_id", "n_chars"])
+    assert len(res) >= 2 and all(r["columns"] == ["doc_id", "n_chars"]
+                                 for r in res)
+    zroot = os.path.join(encoded_dir, "zones")
+    assert all(os.path.exists(os.path.join(zroot, r["dir"], "doc_id.parquet"))
+               for r in res)
+    # doc_id is monotone within each partition's input order → a tight
+    # doc_id range must prune most pages
+    total_pages = 0
+    import pyarrow.parquet as pq
+    for r in res:
+        total_pages += pq.read_table(
+            os.path.join(zroot, r["dir"], "doc_id.parquet")).num_rows
+    plan = zone_prune_plan(encoded_dir, {"doc_id": (10, 20)})
+    kept = sum(len(p) if p is not None else 10**6 for p in plan.values())
+    assert all(p is not None for p in plan.values())  # uniform layout
+    assert kept < total_pages  # pruning actually happened
+    # a range beyond the data prunes EVERY partition
+    assert zone_prune_plan(encoded_dir, {"doc_id": (10**9, None)}) == {}
+
+
+def test_decode_where_exact(encoded_dir):
+    from raystack import pipeline as pl
+    from raystack.zones import build_zone_maps, decode_dir_where
+    build_zone_maps(encoded_dir, ["doc_id", "n_chars"])
+    full = pl.decode_dir(
+        encoded_dir, columns=["doc_id", "lang", "n_chars"]).to_pandas()
+
+    for ranges in ({"doc_id": (10, 20)},
+                   {"n_chars": (None, 300)},
+                   {"doc_id": (0, 100), "n_chars": (100, None)},
+                   {"doc_id": (10**9, None)}):
+        got = decode_dir_where(encoded_dir, ranges,
+                               columns=["doc_id", "lang", "n_chars"]) \
+            .to_pandas()
+        exp = full.copy()
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                exp = exp[exp[col] >= lo]
+            if hi is not None:
+                exp = exp[exp[col] <= hi]
+        assert len(got) == len(exp), ranges
+        if len(got):
+            got = got.sort_values("doc_id").reset_index(drop=True)
+            exp = exp.sort_values("doc_id") \
+                .reset_index(drop=True)[got.columns]
+            assert got.equals(exp), ranges
+
+
+def test_decode_where_without_zones_still_exact(ray_session, tmp_path):
+    # no sidecars built → plan keeps everything (None) and the exact
+    # filter alone produces the right answer
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import decode_dir_where, zone_prune_plan
+    out = str(tmp_path / "enc")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "events.parquet"),
+        columns=["event_id", "user_id", "value"])
+    pl.encode_partitioned(ds, out, url_col="user_id", num_partitions=2)
+    plan = zone_prune_plan(out, {"value": (0.0, 1.0)})
+    assert plan and all(p is None for p in plan.values())
+    got = decode_dir_where(out, {"value": (0.0, 1.0)},
+                           columns=["event_id", "value"]).to_pandas()
+    full = pl.decode_dir(out, columns=["event_id", "value"]).to_pandas()
+    exp = full[(full["value"] >= 0.0) & (full["value"] <= 1.0)]
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
+
+
+def test_string_zone_pruning(encoded_dir):
+    # min/max over a string column: lang ranges prune partitions too
+    from raystack.zones import build_zone_maps, decode_dir_where
+    build_zone_maps(encoded_dir, ["lang"])
+    got = decode_dir_where(encoded_dir, {"lang": ("en", "en")},
+                           columns=["doc_id", "lang"]).to_pandas()
+    assert len(got) and (got["lang"] == "en").all()
