@@ -441,7 +441,8 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        source_paths: list[str] | None = None,
                        logger=None, collect_stats: bool = False,
                        pre_packed: bool | None = None,
-                       host_map: dict[str, list[int]] | None = None) -> dict:
+                       host_map: dict[str, list[int]] | None = None,
+                       zone_columns: list[str] | None = None) -> dict:
     """Full co-located encode: partition → (skip done) → groupby shuffle →
     per-partition encode with lineage → partitioned Parquet + manifest.
 
@@ -530,8 +531,18 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         files = ""
         if has_prov:
             files = json.dumps(sorted(set(full["filename"].to_pylist())))
-        return _encode_table(full, pk, enc_cols + prov_cols, page_rows,
-                             input_files=files)
+        pages_t = _encode_table(full, pk, enc_cols + prov_cols, page_rows,
+                                input_files=files)
+        from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
+                            zone_sidecar_from_table)
+        invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
+        if zone_columns:
+            cols = [c for c in zone_columns if c in full.schema.names]
+            if cols:  # groupby path: every column shares page boundaries
+                zone_sidecar_from_table(
+                    os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
+                    full, cols, page_rows, uniform=True)
+        return pages_t
 
     log.send_log(f"encode_partitioned: "
                  f"{len(host_map) if host_map else len(hot_hosts or {})} "
@@ -848,10 +859,12 @@ def _unpack_segment(blob: bytes) -> tuple[list[pa.Table], dict]:
 
 def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       prov_cols: list[str], page_rows: int,
-                      has_prov: bool, *blobs: bytes) -> dict:
+                      has_prov: bool, zone_cols, *blobs: bytes) -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
-    parquet file under ``pages/part_key=<pk>/``. Returns tiny stats only."""
+    parquet file under ``pages/part_key=<pk>/``. ``zone_cols`` writes the
+    partition's zone-map sidecar from the in-memory table (free min/max,
+    :mod:`raystack.zones`). Returns tiny stats only."""
     import json as _json
 
     import pyarrow.parquet as pq
@@ -909,11 +922,23 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
         # zero-column light tables lose their row count over IPC
         first = next(iter(heavy.values()))
         n_rows = sum(EncodedChunk.from_bytes(b).length for _, b in first)
+    from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
+                        zone_sidecar_from_table)
+    invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
     part_dir = os.path.join(out_dir, "pages", f"part_key={pk}")
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
     pq.write_table(pages.drop_columns(["part_key"]), tmp)
     os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
+    if zone_cols:
+        cols = [c for c in zone_cols
+                if c in full.schema.names and c not in heavy]
+        if cols:
+            # precoded heavy columns carry their own page numbering →
+            # page boundaries differ → partition-level pruning only
+            zone_sidecar_from_table(
+                os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
+                full, cols, page_rows, uniform=not heavy)
     return {"part_key": pk, "rows": n_rows,
             "enc_bytes": int(pc.sum(pages["enc_bytes"]).as_py() or 0)}
 
@@ -951,7 +976,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              plan=None, dialect=None, logger=None,
                              map_bytes: int = TARGET_MAP_BYTES,
                              precode: bool = True,
-                             collect_stats: bool = False) -> dict:
+                             collect_stats: bool = False,
+                             zone_columns: list[str] | None = None) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of
     the Dataset ``groupby`` shuffle. Same output layout + manifest as
     :func:`encode_partitioned`; same keying (:func:`compute_part_keys`).
@@ -1060,7 +1086,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
-                              has_prov, *[m[pk] for m in map_refs])
+                              has_prov, zone_columns,
+                              *[m[pk] for m in map_refs])
                 for pk in range(num_partitions) if pk not in done]
     stats = None
     if collect_stats:

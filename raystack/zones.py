@@ -96,6 +96,57 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
             "columns": written}
 
 
+def invalidate_zone_sidecar(out_dir: str, part_key: int) -> None:
+    """Remove a partition's zone sidecar (called by the encode paths
+    before rewriting that partition's pages — stale min/max would make
+    pruning drop matching rows)."""
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, ZONES_DIRNAME,
+                               f"part_key={int(part_key)}"),
+                  ignore_errors=True)
+
+
+def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
+                            columns: list[str], page_rows: int,
+                            uniform: bool = True) -> list[str]:
+    """Write one partition's zone sidecar from the partition table the
+    encoder already holds in memory — zone maps for free at encode time
+    (no decode pass; page boundaries = the encoder's ``page_rows``
+    slicing, page_idx from 0). Columns whose type has no min/max kernel
+    (lists, structs) are skipped. ``uniform=False`` (e.g. precoded heavy
+    columns with their own page numbering) restricts the planner to
+    partition-level pruning."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(zones_dir, exist_ok=True)
+    written = []
+    n = table.num_rows
+    for col in columns:
+        if col not in table.schema.names:
+            continue
+        arr = table[col]
+        rows = {"page_idx": [], "nrows": [], "zmin": [], "zmax": []}
+        try:
+            for pidx, lo in enumerate(range(0, max(n, 1), page_rows)):
+                sl = arr.slice(lo, page_rows)
+                mm = pc.min_max(sl)
+                rows["page_idx"].append(pidx)
+                rows["nrows"].append(len(sl))
+                rows["zmin"].append(mm["min"].as_py())
+                rows["zmax"].append(mm["max"].as_py())
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            continue
+        t = pa.table({"page_idx": pa.array(rows["page_idx"], pa.int64()),
+                      "nrows": pa.array(rows["nrows"], pa.int64()),
+                      "zmin": pa.array(rows["zmin"], type=arr.type),
+                      "zmax": pa.array(rows["zmax"], type=arr.type)})
+        pq.write_table(t, os.path.join(zones_dir, f"{col}.parquet"))
+        written.append(col)
+    with open(os.path.join(zones_dir, "meta.json"), "w") as f:
+        json.dump({"uniform": uniform, "columns": written}, f)
+    return written
+
+
 def build_zone_maps(out_dir: str, columns: list[str]) -> list[dict]:
     """Build min/max zone maps for ``columns`` over every partition of an
     encoded layout — one Ray task per ``part_key=`` dir (same fan-out as

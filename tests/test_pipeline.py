@@ -490,4 +490,4 @@ def test_precode_divergence_detected(tmp_path):
     blob_light = pl._pack_dense(t, 1, None, None)[0]
     with pytest.raises(ValueError, match="both"):
         pl._encode_part_task(0, str(tmp_path / "enc"), ["url", "text"],
-                             [], 65536, False, blob_heavy, blob_light)
+                             [], 65536, False, None, blob_heavy, blob_light)

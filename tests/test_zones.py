@@ -104,3 +104,62 @@ def test_string_zone_pruning(encoded_dir):
     got = decode_dir_where(encoded_dir, {"lang": ("en", "en")},
                            columns=["doc_id", "lang"]).to_pandas()
     assert len(got) and (got["lang"] == "en").all()
+
+
+def test_encode_time_zone_columns_groupby(ray_session, tmp_path):
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import decode_dir_where, zone_prune_plan
+    out = str(tmp_path / "enc")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+    pl.encode_partitioned(ds, out, url_col="source", num_partitions=4,
+                          page_rows=64, zone_columns=["doc_id", "n_chars"])
+    # sidecars exist without a build pass, and prune
+    plan = zone_prune_plan(out, {"doc_id": (5, 15)})
+    assert plan and all(p is not None for p in plan.values())
+    got = decode_dir_where(out, {"doc_id": (5, 15)},
+                           columns=["doc_id", "n_chars"]).to_pandas()
+    assert sorted(got["doc_id"]) == list(range(5, 16))
+
+
+def test_encode_time_zone_columns_tasks(ray_session, tmp_path):
+    from raystack import pipeline as pl
+    from raystack.zones import decode_dir_where
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks(
+        [os.path.join(SF, "documents.parquet")], out, url_col="source",
+        num_partitions=4, page_rows=64,
+        zone_columns=["doc_id", "n_chars", "text"])
+    full = pl.decode_dir(out, columns=["doc_id", "n_chars"]).to_pandas()
+    got = decode_dir_where(out, {"n_chars": (None, 200)},
+                           columns=["doc_id", "n_chars"]).to_pandas()
+    exp = full[full["n_chars"] <= 200]
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    # heavy precoded columns (text is FSST-family) must not break zones:
+    # meta says non-uniform OR text skipped — either way results exact
+    got2 = decode_dir_where(out, {"doc_id": (0, 9)},
+                            columns=["doc_id"]).to_pandas()
+    assert sorted(got2["doc_id"]) == list(range(10))
+
+
+def test_reencode_invalidates_stale_zones(ray_session, tmp_path):
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import zone_prune_plan
+    out = str(tmp_path / "enc")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"])
+    pl.encode_partitioned(ds, out, url_col="source", num_partitions=2,
+                          page_rows=64, zone_columns=["doc_id"])
+    plan = zone_prune_plan(out, {"doc_id": (0, 5)})
+    assert any(p is not None for p in plan.values())
+    # re-encode WITHOUT zone_columns: sidecars must disappear, not go stale
+    pl.encode_partitioned(ds, out, url_col="source", num_partitions=2,
+                          page_rows=64)
+    plan2 = zone_prune_plan(out, {"doc_id": (0, 5)})
+    assert plan2 and all(p is None for p in plan2.values())
