@@ -71,7 +71,8 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
         sel = data_t.filter(pc.equal(data_t["column"], col))
         pages = sorted((int(p), i) for i, p in enumerate(
             np.asarray(sel["page_idx"])))
-        rows = {"page_idx": [], "nrows": [], "zmin": [], "zmax": []}
+        rows = {"page_idx": [], "nrows": [], "nnull": [],
+                "zmin": [], "zmax": []}
         ztype = None
         for p, i in pages:
             chunk = EncodedChunk.from_bytes(sel["data"][i].as_py())
@@ -80,12 +81,14 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
             mm = pc.min_max(arr)  # nulls ignored; all-null page → nulls
             rows["page_idx"].append(p)
             rows["nrows"].append(len(arr))
+            rows["nnull"].append(arr.null_count)
             rows["zmin"].append(mm["min"].as_py())
             rows["zmax"].append(mm["max"].as_py())
         if ztype is None:
             continue
         t = pa.table({"page_idx": pa.array(rows["page_idx"], pa.int64()),
                       "nrows": pa.array(rows["nrows"], pa.int64()),
+                      "nnull": pa.array(rows["nnull"], pa.int64()),
                       "zmin": pa.array(rows["zmin"], type=ztype),
                       "zmax": pa.array(rows["zmax"], type=ztype)})
         pq.write_table(t, os.path.join(zones_dir, f"{col}.parquet"))
@@ -125,19 +128,22 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
         if col not in table.schema.names:
             continue
         arr = table[col]
-        rows = {"page_idx": [], "nrows": [], "zmin": [], "zmax": []}
+        rows = {"page_idx": [], "nrows": [], "nnull": [],
+                "zmin": [], "zmax": []}
         try:
             for pidx, lo in enumerate(range(0, max(n, 1), page_rows)):
                 sl = arr.slice(lo, page_rows)
                 mm = pc.min_max(sl)
                 rows["page_idx"].append(pidx)
                 rows["nrows"].append(len(sl))
+                rows["nnull"].append(sl.null_count)
                 rows["zmin"].append(mm["min"].as_py())
                 rows["zmax"].append(mm["max"].as_py())
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
             continue
         t = pa.table({"page_idx": pa.array(rows["page_idx"], pa.int64()),
                       "nrows": pa.array(rows["nrows"], pa.int64()),
+                      "nnull": pa.array(rows["nnull"], pa.int64()),
                       "zmin": pa.array(rows["zmin"], type=arr.type),
                       "zmax": pa.array(rows["zmax"], type=arr.type)})
         pq.write_table(t, os.path.join(zones_dir, f"{col}.parquet"))
@@ -274,3 +280,100 @@ def decode_dir_where(out_dir: str, ranges: dict,
 
     return ray.data.from_items(items) \
         .map_batches(decode_one, batch_size=1, batch_format="numpy")
+
+
+def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
+    """Exact predicate COUNT for one partition: pages provably disjoint
+    from the range cost nothing, pages provably contained (min/max inside
+    the bounds, zero nulls) count from metadata alone, and only boundary
+    pages get their predicate columns decoded. Pure function run inside
+    one Ray task."""
+    import pyarrow.parquet as pq
+
+    from .pipeline import _decode_partition_dir
+
+    pred_cols = list(ranges)
+
+    def full_count() -> int:
+        t = _decode_partition_dir(pages_dir, pred_cols)
+        if t.num_rows == 0:
+            return 0
+        mask = pa.array([True] * t.num_rows)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
+            if hi is not None:
+                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
+        return int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+
+    zts = {}
+    for col in pred_cols:
+        zf = os.path.join(zones_dir, f"{col}.parquet")
+        if not os.path.exists(zf):
+            return full_count()
+        zts[col] = pq.read_table(zf)
+    layouts = {tuple(zip(np.asarray(z["page_idx"]).tolist(),
+                         np.asarray(z["nrows"]).tolist()))
+               for z in zts.values()}
+    if len(layouts) != 1:
+        # predicate columns don't share page boundaries — page-level math
+        # is unsound, fall back to the partition decode (always aligned)
+        return full_count()
+
+    ref = next(iter(zts.values()))
+    page_idx = np.asarray(ref["page_idx"])
+    nrows = np.asarray(ref["nrows"])
+    disjoint = np.zeros(len(page_idx), dtype=bool)
+    contained = np.ones(len(page_idx), dtype=bool)
+    for col, (lo, hi) in ranges.items():
+        z = zts[col]
+        zmin, zmax = z["zmin"], z["zmax"]
+        has_null = np.asarray(pc.greater(z["nnull"], 0)) \
+            if "nnull" in z.schema.names else np.ones(len(page_idx), bool)
+        stats_null = np.asarray(pc.is_null(zmin))
+        if lo is not None:
+            disjoint |= np.asarray(pc.fill_null(pc.less(zmax, lo), False))
+            contained &= np.asarray(pc.fill_null(
+                pc.greater_equal(zmin, lo), False))
+        if hi is not None:
+            disjoint |= np.asarray(pc.fill_null(pc.greater(zmin, hi), False))
+            contained &= np.asarray(pc.fill_null(
+                pc.less_equal(zmax, hi), False))
+        contained &= ~has_null & ~stats_null
+        # all-null pages have no value in range: every row fails the filter
+        disjoint |= stats_null & np.asarray(
+            pc.equal(z["nnull"], z["nrows"])) \
+            if "nnull" in z.schema.names else stats_null & False
+    total = int(nrows[contained & ~disjoint].sum())
+    boundary = sorted(page_idx[~contained & ~disjoint].tolist())
+    if boundary:
+        t = _decode_partition_dir(pages_dir, pred_cols,
+                                  page_whitelist=boundary)
+        if t.num_rows:
+            mask = pa.array([True] * t.num_rows)
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    mask = pc.and_kleene(mask,
+                                         pc.greater_equal(t[col], lo))
+                if hi is not None:
+                    mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
+            total += int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+    return total
+
+
+def count_where(out_dir: str, ranges: dict) -> int:
+    """Exact COUNT of rows matching every range predicate over an encoded
+    layout, accelerated by zone maps: one Ray task per partition; pages
+    proven contained count via sidecar metadata (nrows), proven-disjoint
+    pages cost nothing, and only boundary pages are decoded (predicate
+    columns only). Identical to ``decode_dir_where(...).count()`` —
+    without zones it degrades to a pruned decode, never a wrong answer."""
+    import ray
+
+    pages_root = os.path.join(out_dir, "pages")
+    zones_root = os.path.join(out_dir, ZONES_DIRNAME)
+    one = ray.remote(num_cpus=1)(_count_partition)
+    refs = [one.remote(os.path.join(pages_root, d),
+                       os.path.join(zones_root, d), ranges)
+            for d in _part_dirs(out_dir)]
+    return int(sum(ray.get(refs)))

@@ -163,3 +163,52 @@ def test_reencode_invalidates_stale_zones(ray_session, tmp_path):
                           page_rows=64)
     plan2 = zone_prune_plan(out, {"doc_id": (0, 5)})
     assert plan2 and all(p is None for p in plan2.values())
+
+
+def test_count_where_matches_filtered_decode(encoded_dir):
+    from raystack.zones import (build_zone_maps, count_where,
+                                decode_dir_where)
+    build_zone_maps(encoded_dir, ["doc_id", "n_chars"])
+    for ranges in ({"doc_id": (10, 20)},
+                   {"n_chars": (None, 300)},
+                   {"doc_id": (0, 100), "n_chars": (100, None)},
+                   {"doc_id": (10**9, None)},
+                   {"doc_id": (None, None)}):
+        got = count_where(encoded_dir, ranges)
+        exp = decode_dir_where(encoded_dir, ranges,
+                               columns=["doc_id"]).count()
+        assert got == exp, ranges
+
+
+def test_count_where_without_zones(ray_session, tmp_path):
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import count_where
+    out = str(tmp_path / "enc")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "events.parquet"),
+        columns=["event_id", "user_id", "value"])
+    pl.encode_partitioned(ds, out, url_col="user_id", num_partitions=2)
+    full = pl.decode_dir(out, columns=["value"]).to_pandas()
+    exp = int(((full["value"] >= 0.0) & (full["value"] <= 1.0)).sum())
+    assert count_where(out, {"value": (0.0, 1.0)}) == exp
+
+
+def test_count_where_null_pages(ray_session, tmp_path):
+    # pages containing nulls must never be counted via the metadata
+    # shortcut (null rows fail the filter but are included in nrows)
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import count_where
+    out = str(tmp_path / "enc")
+    n = 512
+    vals = [float(i) if i % 3 else None for i in range(n)]
+    t = pa.table({"k": pa.array([f"h{i % 4}" for i in range(n)]),
+                  "v": pa.array(vals, pa.float64())})
+    pl.encode_partitioned(ray.data.from_arrow(t), out, url_col="k",
+                          num_partitions=2, page_rows=64,
+                          zone_columns=["v"])
+    exp = sum(1 for v in vals if v is not None and v >= 0.0)
+    assert count_where(out, {"v": (0.0, None)}) == exp
