@@ -39,6 +39,10 @@ def main():
                     help="comma list old:new column renames (drift repair)")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="only for standalone local runs")
+    ap.add_argument("--zone-columns", default="",
+                    help="comma list of columns to zone-map at encode "
+                         "time (per-page min/max sidecars for pruned "
+                         "range queries; tasks/partitioned modes)")
     args = ap.parse_args()
 
     import ray
@@ -66,19 +70,24 @@ def main():
         8, 2 * int(ray.cluster_resources().get("CPU", 4)))
 
     t0 = time.perf_counter()
+    zone_cols = [c for c in args.zone_columns.split(",") if c] or None
     if args.mode == "tasks":
         summary = pl.encode_partitioned_tasks(
             paths, args.output, columns_rename=renames or None,
             url_col=args.url_col, num_partitions=num_partitions,
-            resume=args.resume, logger=PrintLogger(), collect_stats=True)
+            resume=args.resume, logger=PrintLogger(), collect_stats=True,
+            zone_columns=zone_cols)
     else:
         ds = read_aligned(paths, columns_rename=renames or None,
                           add_filename=True)
         fn = (pl.encode_partitioned if args.mode == "partitioned"
               else pl.encode_streaming)
+        kw = {}
+        if args.mode == "partitioned":  # streaming has no partition hook
+            kw["zone_columns"] = zone_cols
         summary = fn(ds, args.output, url_col=args.url_col,
                      num_partitions=num_partitions, resume=args.resume,
-                     source_paths=paths, logger=PrintLogger())
+                     source_paths=paths, logger=PrintLogger(), **kw)
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     summary["mode"] = args.mode
     summary["input_files"] = len(paths)

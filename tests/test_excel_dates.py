@@ -111,3 +111,33 @@ def test_unstyled_numbers_unchanged(tmp_path):
         p = str(tmp_path / f"plain.{ext}")
         writer(p, {"S": [[1, 2.5, "x", True]]})
         assert read_sheet_grid(p) == [[1, 2.5, "x", True]]
+
+
+# --- property tests (hypothesis) ------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.datetimes(min_value=dt.datetime(1900, 1, 1),
+                    max_value=dt.datetime(2200, 12, 31)))
+def test_serial_roundtrip_property(d):
+    d = d.replace(microsecond=(d.microsecond // 1000) * 1000)  # ms precision
+    assert serial_to_py(py_to_serial(d), "dt") == d
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.datetimes(min_value=dt.datetime(1904, 1, 1),
+                    max_value=dt.datetime(2200, 12, 31)))
+def test_serial_roundtrip_property_1904(d):
+    d = d.replace(microsecond=(d.microsecond // 1000) * 1000)
+    assert serial_to_py(py_to_serial(d, date1904=True), "dt",
+                        date1904=True) == d
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.times())
+def test_time_roundtrip_property(t):
+    t = t.replace(microsecond=(t.microsecond // 1000) * 1000)
+    assert serial_to_py(py_to_serial(t), "time") == t
