@@ -579,3 +579,158 @@ def exact_dup_ids(ds, content_col: str, id_col: str):
 
     return fp.select_columns(["__fp", id_col]) \
         .groupby("__fp").map_groups(non_min, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4/CCNet-style: drop repeated paragraphs
+# corpus-wide, keep the first occurrence, reassemble documents)
+# ---------------------------------------------------------------------------
+
+_PARA_IDX_BITS = 21  # ≤ 2M paragraphs per document in the packed key
+
+
+def _explode_paragraphs(t: pa.Table, text_col: str, id_col: str,
+                        sep: str) -> tuple:
+    """Vectorized paragraph explode for one batch → (flat paragraphs
+    Array, doc ids per paragraph, in-doc index per paragraph, list
+    offsets). No Python loop over rows."""
+    t = t.combine_chunks()
+    col = t[text_col]
+    col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    s = pc.cast(pc.fill_null(col, ""), pa.string())
+    parts = pc.split_pattern(s, sep)
+    offs = np.asarray(parts.offsets)
+    counts = np.diff(offs)
+    if len(counts) and counts.max() >= (1 << _PARA_IDX_BITS):
+        raise ValueError("document exceeds the packed paragraph-index "
+                         f"capacity (2^{_PARA_IDX_BITS})")
+    idcol = t[id_col]
+    ids = np.asarray(idcol.chunk(0) if isinstance(idcol, pa.ChunkedArray)
+                     else idcol).astype(np.int64)
+    doc_rep = np.repeat(ids, counts)
+    idx = (np.arange(len(doc_rep))
+           - np.repeat(np.cumsum(counts) - counts, counts))
+    return parts.flatten(), doc_rep, idx.astype(np.int64), offs
+
+
+def paragraph_drop_pairs(ds, text_col: str = "text",
+                         id_col: str = "doc_id", sep: str = "\n\n"):
+    """(id, idx) of every NON-first occurrence of each exact paragraph
+    across the corpus (first = lexicographic min of (id, in-doc index)).
+    One groupby over (paragraph, id, idx) rows; the result size is the
+    corpus's duplicate-paragraph count. Exact-string grouping like
+    :func:`exact_dedup` — ships paragraph text once; a fingerprint
+    variant (8 B keys) is the documented scale path, cf.
+    :func:`exact_dedup_by_hash`."""
+    def explode(t: pa.Table) -> pa.Table:
+        flat, doc_rep, idx, _ = _explode_paragraphs(t, text_col, id_col, sep)
+        return pa.table({"para": flat, id_col: pa.array(doc_rep),
+                         "idx": pa.array(idx)})
+
+    def non_first(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col])
+        idx = np.asarray(g["idx"])
+        if len(ids) < 2:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64())})
+        order = np.lexsort((idx, ids))
+        keep = order[1:]  # everything but the winner
+        return pa.table({id_col: pa.array(ids[keep]),
+                         "idx": pa.array(idx[keep])})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("para").map_groups(non_first, batch_format="pyarrow"))
+
+
+def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = "\n\n"):
+    """Corpus-wide exact paragraph dedup (the C4/CCNet curation stage):
+    every repeated paragraph is kept only at its first occurrence
+    (min (id, in-doc index)); documents are reassembled in order, with
+    an empty string when every paragraph was dropped. Returns
+    (id_col, text_col).
+
+    Scale shape: the winner groupby ships each paragraph once; the drop
+    set (duplicate count, small on real corpora) is count-gated —
+    broadcast packed (id, idx) keys below ``_BROADCAST_LIMIT`` and
+    rebuild documents IN PLACE per batch (no reassembly shuffle), else a
+    distributed anti-join over the exploded paragraphs + one
+    ``groupby(id)`` reassembly."""
+    drops = paragraph_drop_pairs(ds, text_col, id_col, sep).materialize()
+    n_drop = drops.count()
+
+    def pack(ids: np.ndarray, idx: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.int64) << _PARA_IDX_BITS) | idx.astype(np.int64)
+
+    if n_drop <= _BROADCAST_LIMIT:
+        if n_drop:
+            dt = drops.to_pandas()
+            drop_keys = np.sort(pack(dt[id_col].to_numpy(),
+                                     dt["idx"].to_numpy()))
+        else:
+            drop_keys = np.array([], dtype=np.int64)
+        import ray
+        ref = ray.put(drop_keys)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            import ray as _ray
+            dk = _ray.get(ref)
+            flat, doc_rep, idx, offs = _explode_paragraphs(
+                t, text_col, id_col, sep)
+            keep = ~np.isin(pack(doc_rep, idx), dk)
+            counts = np.diff(offs)
+            starts = offs[:-1]
+            new_counts = (np.add.reduceat(keep, starts)
+                          if len(keep) else np.zeros(len(counts), np.int64))
+            new_counts[counts == 0] = 0
+            new_offs = np.concatenate(
+                [[0], np.cumsum(new_counts)]).astype(np.int32)
+            kept = flat.filter(pa.array(keep)) if len(keep) else flat
+            lst = pa.ListArray.from_arrays(pa.array(new_offs,
+                                                    type=pa.int32()), kept)
+            joined = pc.binary_join(lst, sep)
+            ids_arr = t[id_col]
+            return pa.table({id_col: ids_arr, text_col: joined})
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # scale path: distributed anti-join on packed keys + one reassembly
+    from .join import semi_join_ds
+
+    def explode_keyed(t: pa.Table) -> pa.Table:
+        flat, doc_rep, idx, _ = _explode_paragraphs(t, text_col, id_col, sep)
+        # idx = -1 anchors guarantee all-dropped docs still reassemble
+        anchors_ids = np.asarray(
+            t.combine_chunks()[id_col].chunk(0)
+            if t.num_rows else np.array([], np.int64)).astype(np.int64)
+        return pa.table({
+            "__pk": pa.array(np.concatenate(
+                [pack(doc_rep, idx),
+                 (anchors_ids << _PARA_IDX_BITS) | ((1 << _PARA_IDX_BITS) - 1)])),
+            id_col: pa.array(np.concatenate([doc_rep, anchors_ids])),
+            "idx": pa.array(np.concatenate(
+                [idx, np.full(len(anchors_ids), -1, np.int64)])),
+            "para": pa.concat_arrays(
+                [flat, pa.array([""] * len(anchors_ids), pa.string())]),
+        })
+
+    def drop_keyed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col])
+        idx = np.asarray(t["idx"])
+        return pa.table({"__pk": pa.array(pack(ids, idx))})
+
+    exploded = ds.map_batches(explode_keyed, batch_format="pyarrow")
+    keys_ds = drops.map_batches(drop_keyed, batch_format="pyarrow")
+    kept = semi_join_ds(exploded, keys_ds, on="__pk", anti=True)
+
+    def reassemble(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col])
+        idx = np.asarray(g["idx"])
+        order = np.argsort(idx, kind="stable")
+        paras = [g["para"][int(i)].as_py() for i in order
+                 if idx[int(i)] >= 0]
+        return pa.table({id_col: pa.array([int(ids[0])], pa.int64()),
+                         text_col: pa.array([sep.join(paras)], pa.string())})
+
+    return kept.groupby(id_col).map_groups(reassemble,
+                                           batch_format="pyarrow")

@@ -873,3 +873,85 @@ def test_decode_media_stage(ray_session):
     assert got.loc[2, "duration_s"] == pytest.approx(0.5)
     # sine RMS ~ 1/sqrt(2)
     assert got.loc[2, "mean_level"] == pytest.approx(0.7071, abs=0.01)
+
+
+def _para_corpus():
+    boiler = "Subscribe to our newsletter!"
+    return pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            f"unique intro zero\n\n{boiler}\n\nbody zero",
+            f"{boiler}\n\nunique body one",
+            "all original here\n\nnothing shared",
+            f"{boiler}\n\n{boiler}",             # in-doc repeat + corpus dup
+            "unique intro zero\n\nfresh tail",    # cross-doc dup paragraph
+            "",                                   # empty doc
+        ]),
+    })
+
+
+def _para_oracle(df):
+    import duckdb
+    con = duckdb.connect()
+    con.register("t", df)
+    return con.execute("""
+        WITH ps AS (
+          SELECT doc_id,
+                 struct_extract(z, 1) AS para,
+                 struct_extract(z, 2) AS idx
+          FROM (SELECT doc_id,
+                       unnest(list_zip(parts, range(1, len(parts)+1))) AS z
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10)||chr(10)) AS parts
+                      FROM t))),
+        ranked AS (
+          SELECT doc_id, para, idx,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, idx) AS rn
+          FROM ps),
+        agg AS (
+          SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY idx)
+                   AS text
+          FROM ranked WHERE rn = 1 GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(agg.text, '') AS text
+        FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""").df()
+
+
+def test_dedup_paragraphs_oracle(ray_session):
+    import ray.data
+    from raystack.ops.dedup import dedup_paragraphs
+    t = _para_corpus()
+    got = dedup_paragraphs(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _para_oracle(t.to_pandas())
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    # the boilerplate survives exactly once, at its first occurrence
+    joined = "\n\n".join(got["text"])
+    assert joined.count("Subscribe to our newsletter!") == 1
+    assert "Subscribe" in got.loc[0, "text"]
+
+
+def test_dedup_paragraphs_real_corpus_oracle(ray_session):
+    import duckdb
+    import ray.data
+    from raystack.ops.dedup import dedup_paragraphs
+    df = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet'").df()
+    got = dedup_paragraphs(ray.data.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _para_oracle(df)
+    assert got["text"].tolist() == want["text"].tolist()
+
+
+def test_dedup_paragraphs_distributed_parity(ray_session, monkeypatch):
+    import ray.data
+    from raystack.ops import dedup
+    t = _para_corpus()
+    broadcast = dedup.dedup_paragraphs(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
+    dist = dedup.dedup_paragraphs(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert broadcast["doc_id"].tolist() == dist["doc_id"].tolist()
+    assert broadcast["text"].tolist() == dist["text"].tolist()
