@@ -255,12 +255,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "lang"])
         return strat(ds, "lang", k=5)
 
-    def char_stats(sf):
-        from raystack.ops.text import add_char_stats
+    def dedup_paragraphs(sf):
+        """Corpus-wide exact paragraph dedup (C4/CCNet curation stage):
+        keep-first winner per paragraph, documents reassembled in order
+        — oracled vs a DuckDB window-function mirror."""
+        from raystack.ops.dedup import dedup_paragraphs as dp
         ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
-        return add_char_stats(ds).select_columns(
-            ["doc_id", "n_chars_actual", "n_spaces", "n_digits"])
+        return dp(ds)
 
     def exact_dedup(sf):
         from raystack.ops.dedup import exact_dedup as dd
@@ -719,7 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": fingerprints,
         "token_counts": token_counts,
         "bpe_token_counts": bpe_token_counts,
-        "char_stats": char_stats,
+        "dedup_paragraphs": dedup_paragraphs,
         "holdout_split": holdout_split,
         "stratified_sample": stratified_sample,
         "multimodal_dims": multimodal_dims,
@@ -1028,10 +1030,29 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": ("SELECT doc_id, "
                          "len(regexp_extract_all(text, '\\S+')) AS n_tokens "
                          "FROM documents"),
-        "char_stats": ("SELECT doc_id, length(text) AS n_chars_actual, "
-                       "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
-                       "len(regexp_extract_all(text, '\\d')) AS n_digits "
-                       "FROM documents"),
+        "dedup_paragraphs": ("""
+            WITH ps AS (
+              SELECT doc_id,
+                     struct_extract(z, 1) AS para,
+                     struct_extract(z, 2) AS idx
+              FROM (SELECT doc_id,
+                           unnest(list_zip(parts, range(1, len(parts)+1)))
+                             AS z
+                    FROM (SELECT doc_id,
+                                 string_split(text, chr(10)||chr(10))
+                                   AS parts
+                          FROM documents))),
+            ranked AS (
+              SELECT doc_id, para, idx,
+                     row_number() OVER (PARTITION BY para
+                                        ORDER BY doc_id, idx) AS rn
+              FROM ps),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+              FROM ranked WHERE rn = 1 GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(agg.text, '') AS text
+            FROM documents d LEFT JOIN agg USING (doc_id)"""),
         "exact_dedup": ("SELECT text, min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
         "exact_dedup_hash": ("SELECT min(doc_id) AS doc_id FROM documents "
