@@ -859,12 +859,16 @@ def _unpack_segment(blob: bytes) -> tuple[list[pa.Table], dict]:
 
 def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       prov_cols: list[str], page_rows: int,
-                      has_prov: bool, zone_cols, *blobs: bytes) -> dict:
+                      has_prov: bool, zone_cols, *blobs: bytes,
+                      append: bool = False) -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
     parquet file under ``pages/part_key=<pk>/``. ``zone_cols`` writes the
     partition's zone-map sidecar from the in-memory table (free min/max,
-    :mod:`raystack.zones`). Returns tiny stats only."""
+    :mod:`raystack.zones`). ``append=True`` (incremental ingest,
+    :func:`encode_append`) numbers new pages after the partition's
+    existing maximum and writes the next ``part-<k>.parquet`` instead of
+    overwriting. Returns tiny stats only."""
     import json as _json
 
     import pyarrow.parquet as pq
@@ -895,8 +899,19 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
             pc.unique(full["filename"]).to_pylist())))
     light_cols = [c for c in enc_cols + prov_cols
                   if c in full.schema.names and c not in heavy]
+    part_dir = os.path.join(out_dir, "pages", f"part_key={pk}")
+    base_page, file_idx = 0, 0
+    if append and os.path.isdir(part_dir):
+        # metadata-only read: new pages number after the existing max so
+        # decode's (part_key, page_idx) grouping never collides
+        import pyarrow.dataset as pads
+        existing = pads.dataset(part_dir).to_table(columns=["page_idx"])
+        if existing.num_rows:
+            base_page = int(pc.max(existing["page_idx"]).as_py()) + 1
+        file_idx = len([f for f in os.listdir(part_dir)
+                        if f.endswith(".parquet")])
     pages = _encode_table(full, pk, light_cols, page_rows,
-                          input_files=files)
+                          first_page_idx=base_page, input_files=files)
     if heavy:
         # adopt the map-side FINAL pages untouched (page_idx numbering is
         # per-column; decode assembles columns independently)
@@ -905,7 +920,7 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
             for i, (raw, blob) in enumerate(pgs):
                 chunk = EncodedChunk.from_bytes(blob)
                 rows["part_key"].append(pk)
-                rows["page_idx"].append(i)
+                rows["page_idx"].append(base_page + i)
                 rows["column"].append(name)
                 rows["codec"].append(chunk.codec)
                 rows["nrows"].append(chunk.length)
@@ -925,11 +940,10 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
                         zone_sidecar_from_table)
     invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
-    part_dir = os.path.join(out_dir, "pages", f"part_key={pk}")
     os.makedirs(part_dir, exist_ok=True)
-    tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
+    tmp = os.path.join(part_dir, f".part-{file_idx}.parquet.tmp")
     pq.write_table(pages.drop_columns(["part_key"]), tmp)
-    os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
+    os.replace(tmp, os.path.join(part_dir, f"part-{file_idx}.parquet"))
     if zone_cols:
         cols = [c for c in zone_cols
                 if c in full.schema.names and c not in heavy]
@@ -1107,6 +1121,101 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     if stats is not None:
         summary["stats"] = stats
     log.send_log(f"encode_partitioned_tasks done: {summary['rows']} rows, "
+                 f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
+    return summary
+
+
+def encode_append(source_paths: list[str], out_dir: str, *,
+                  columns_select: list[str] | None = None,
+                  columns_rename: dict[str, str] | None = None,
+                  add_filename: bool = True,
+                  page_rows: int = DEFAULT_PAGE_ROWS,
+                  map_bytes: int = TARGET_MAP_BYTES,
+                  logger=None) -> dict:
+    """Incremental ingest: encode NEW files into an EXISTING layout (the
+    daily-increment case a 100 TB pipeline lives on). Routing reuses the
+    layout's persisted keyer config verbatim — rows land in the same
+    partitions ``lookup_rows`` already routes to, hosts unseen at
+    first-encode time hash deterministically — and each touched partition
+    gains one ``part-<k>.parquet`` whose pages number after the existing
+    maximum, so decode's (part_key, page_idx) grouping never collides.
+    Untouched partitions' files (and zone sidecars) are left alone;
+    touched partitions' sidecars are invalidated (re-run
+    :func:`raystack.zones.build_zone_maps` to restore pruning there). The
+    manifest is re-finalized over the whole layout. Precode is disabled
+    (per-column heavy numbering would need its own base offset); appended
+    schema must match the layout's columns exactly."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from .log import get_logger
+    from .plan import build_plan
+    log = get_logger(logger)
+    cfg = mf.load_config(out_dir)
+    if not cfg:
+        raise FileNotFoundError(f"no encode config under {out_dir} — "
+                                "encode_append needs an existing layout")
+    url_col = cfg["url_col"]
+    num_partitions = cfg["num_partitions"]
+    hot_hosts = cfg.get("hot_hosts")
+    host_map = cfg.get("host_map")
+
+    source_paths = sorted(source_paths)
+    is_csv = any(p.endswith((".csv", ".txt", ".tsv")) for p in source_paths)
+    dialect = None
+    if is_csv:
+        from .sources.csv import build_csv_plan
+        plan, dialect = build_csv_plan(
+            source_paths, columns_select=columns_select,
+            columns_rename=columns_rename, add_filename=add_filename)
+    else:
+        plan = build_plan(source_paths, columns_select=columns_select,
+                          columns_rename=columns_rename,
+                          add_filename=add_filename)
+    columns = list(plan.target_columns)
+    if plan.add_filename:
+        columns += ["filepath", "filename"]
+    enc_cols = [c for c in columns if c not in ("part_key", "filepath",
+                                                "filename")]
+    prov_cols = [c for c in ("filepath", "filename") if c in columns]
+    has_prov = bool(prov_cols)
+
+    # schema audit: appended pages must cover exactly the layout's columns
+    # or per-column decode row counts diverge (loud ValueError, but late)
+    pages_root = os.path.join(out_dir, "pages")
+    dirs = sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key="))
+    if dirs:
+        t = pads.dataset(os.path.join(pages_root, dirs[0])).to_table(
+            columns=["column"])
+        existing = sorted(pc.unique(t["column"]).to_pylist())
+        if existing != sorted(enc_cols + prov_cols):
+            raise ValueError(
+                f"encode_append: new files' columns {sorted(enc_cols + prov_cols)} "
+                f"!= existing layout's {existing} — repair with "
+                "columns_select/columns_rename first")
+
+    groups = _group_files(source_paths, map_bytes)
+    log.send_log(f"encode_append: {len(groups)} map task(s) → "
+                 f"{num_partitions} partitions (existing layout) → {out_dir}")
+    if num_partitions == 1:
+        map_fn = ray.remote(num_cpus=1)(_map_pack_single)
+    else:
+        map_fn = ray.remote(num_returns=num_partitions,
+                            num_cpus=1)(_map_pack_files)
+    enc_fn = ray.remote(num_cpus=1)(_encode_part_task)
+    map_refs = [map_fn.remote(g, plan, num_partitions, url_col, hot_hosts,
+                              host_map, frozenset(), dialect, {})
+                for g in groups]
+    if num_partitions == 1:
+        map_refs = [[r] for r in map_refs]
+    enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
+                              has_prov, None, *[m[pk] for m in map_refs],
+                              append=True)
+                for pk in range(num_partitions)]
+    ray.get(enc_refs)
+    summary = _finalize_manifest(out_dir, enc_cols)
+    log.send_log(f"encode_append done: {summary['rows']} rows total, "
                  f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
     return summary
 

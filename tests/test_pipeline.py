@@ -491,3 +491,65 @@ def test_precode_divergence_detected(tmp_path):
     with pytest.raises(ValueError, match="both"):
         pl._encode_part_task(0, str(tmp_path / "enc"), ["url", "text"],
                              [], 65536, False, None, blob_heavy, blob_light)
+
+
+def test_encode_append_incremental(ray_session, tmp_path):
+    # day-1 encode + day-2 append == single encode of the full corpus
+    # (url-keyed comparison; appended rows also reachable via lookup_rows)
+    import duckdb
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 300), day1)
+    pq.write_table(t.slice(300), day2)
+    out = str(tmp_path / "enc")
+
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False,
+                                zone_columns=["doc_id"])
+    s1 = pl.encode_append([day2], out, add_filename=False)
+    assert s1["rows"] == t.num_rows
+
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
+
+    # appended rows route through the persisted config
+    some = t.slice(300, 3)["source"].to_pylist()
+    found = pl.lookup_rows(out, some).to_pandas()
+    assert set(some) <= set(found["source"])
+
+    # touched partitions' zone sidecars were invalidated, not left stale
+    from raystack.zones import zone_prune_plan
+    plan = zone_prune_plan(out, {"doc_id": (0, 10)})
+    import os as _os
+    import json as _json
+    for d, pages in plan.items():
+        zmeta = _os.path.join(out, "zones", d, "meta.json")
+        if pages is not None:  # still has a sidecar → must not be stale
+            meta = _json.load(open(zmeta))
+            assert meta["columns"] == ["doc_id"]
+            # a surviving sidecar implies the partition got no appends;
+            # verify by checking it still has exactly one page file
+            pdir = _os.path.join(out, "pages", d)
+            assert len([f for f in _os.listdir(pdir)
+                        if f.endswith(".parquet")]) == 1
+
+
+def test_encode_append_schema_mismatch(ray_session, tmp_path):
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    day1 = str(tmp_path / "day1.parquet")
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(t.slice(0, 100), day1)
+    pq.write_table(t.slice(100).drop_columns(["text"]), bad)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=2, add_filename=False)
+    with pytest.raises(ValueError, match="columns"):
+        pl.encode_append([bad], out, add_filename=False)
+    with pytest.raises(FileNotFoundError):
+        pl.encode_append([day1], str(tmp_path / "nowhere"),
+                         add_filename=False)
