@@ -1620,3 +1620,71 @@ def lookup_rows(out_dir: str, values: list[str],
     return decoded.map_batches(
         lambda t: t.filter(pc.is_in(t[url_col], value_set=vals)),
         batch_format="pyarrow")
+
+
+def compact_partitions(out_dir: str, min_files: int = 2,
+                       page_rows: int = DEFAULT_PAGE_ROWS,
+                       zone_columns: list[str] | None = None,
+                       logger=None) -> dict:
+    """Maintenance companion to :func:`encode_append`: partitions that
+    accumulated ``min_files`` or more page files (one per append) are
+    decoded locally and rewritten as a single freshly-encoded file —
+    restoring one-file-per-partition reads, re-picking codecs over the
+    full partition, renumbering pages from 0, and (optionally) rebuilding
+    the zone sidecar. One Ray task per qualifying partition; partitions
+    below the threshold are untouched. The manifest is re-finalized."""
+    import ray
+
+    from .log import get_logger
+    log = get_logger(logger)
+    pages_root = os.path.join(out_dir, "pages")
+    todo = []
+    for d in sorted(os.listdir(pages_root)):
+        if not d.startswith("part_key="):
+            continue
+        files = [f for f in os.listdir(os.path.join(pages_root, d))
+                 if f.endswith(".parquet")]
+        if len(files) >= min_files:
+            todo.append(d)
+    if not todo:
+        return {"compacted": 0}
+
+    def one(d: str) -> int:
+        import pyarrow.parquet as _pq
+
+        from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
+                            zone_sidecar_from_table)
+        part_dir = os.path.join(pages_root, d)
+        pk = int(d.split("=", 1)[1])
+        full = _decode_partition_dir(part_dir)
+        cols = list(full.schema.names)
+        files_meta = ""
+        pages = _encode_table(full, pk, cols, page_rows,
+                              input_files=files_meta)
+        invalidate_zone_sidecar(out_dir, pk)
+        old = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+        tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
+        _pq.write_table(pages.drop_columns(["part_key"]), tmp)
+        for f in old:  # new file lands atomically after the olds are gone
+            os.remove(os.path.join(part_dir, f))
+        os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
+        if zone_columns:
+            zcols = [c for c in zone_columns if c in full.schema.names]
+            if zcols:
+                zone_sidecar_from_table(
+                    os.path.join(out_dir, ZONES_DIRNAME, d),
+                    full, zcols, page_rows, uniform=True)
+        return full.num_rows
+
+    task = ray.remote(num_cpus=1)(one)
+    rows = ray.get([task.remote(d) for d in todo])
+    import pyarrow.dataset as pads
+    t0 = pads.dataset(os.path.join(pages_root, todo[0])).to_table(
+        columns=["column"])
+    enc_cols = sorted(c for c in pc.unique(t0["column"]).to_pylist()
+                      if c not in ("filepath", "filename"))
+    summary = _finalize_manifest(out_dir, enc_cols)
+    summary["compacted"] = len(todo)
+    summary["compacted_rows"] = int(sum(rows))
+    log.send_log(f"compact_partitions: rewrote {len(todo)} partition(s)")
+    return summary

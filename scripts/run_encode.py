@@ -34,6 +34,9 @@ def main():
                          "= Dataset groupby shuffle; streaming = per-batch "
                          "pages, no co-location")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--append", action="store_true",
+                    help="incremental ingest: add the input files to an "
+                         "EXISTING layout (reuses its keyer config)")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--rename", default="",
                     help="comma list old:new column renames (drift repair)")
@@ -71,7 +74,11 @@ def main():
 
     t0 = time.perf_counter()
     zone_cols = [c for c in args.zone_columns.split(",") if c] or None
-    if args.mode == "tasks":
+    if args.append:
+        summary = pl.encode_append(paths, args.output,
+                                   columns_rename=renames or None,
+                                   logger=PrintLogger())
+    elif args.mode == "tasks":
         summary = pl.encode_partitioned_tasks(
             paths, args.output, columns_rename=renames or None,
             url_col=args.url_col, num_partitions=num_partitions,

@@ -553,3 +553,42 @@ def test_encode_append_schema_mismatch(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         pl.encode_append([day1], str(tmp_path / "nowhere"),
                          add_filename=False)
+
+
+def test_compact_partitions_after_appends(ray_session, tmp_path):
+    # three appends → multiple files per partition; compaction restores
+    # one file per partition with identical decoded content
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    parts = [str(tmp_path / f"d{i}.parquet") for i in range(3)]
+    for i, p in enumerate(parts):
+        pq.write_table(t.slice(i * 150, 150 if i < 2 else None), p)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([parts[0]], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    pl.encode_append([parts[1]], out, add_filename=False)
+    pl.encode_append([parts[2]], out, add_filename=False)
+
+    import os as _os
+    n_files_before = sum(
+        len([f for f in _os.listdir(_os.path.join(out, "pages", d))
+             if f.endswith(".parquet")])
+        for d in _os.listdir(_os.path.join(out, "pages")))
+    assert n_files_before > 4  # appends really stacked files
+
+    before = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    s = pl.compact_partitions(out, min_files=2, zone_columns=["doc_id"])
+    assert s["compacted"] >= 1 and s["rows"] == t.num_rows
+    for d in _os.listdir(_os.path.join(out, "pages")):
+        files = [f for f in _os.listdir(_os.path.join(out, "pages", d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    after = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert after.equals(before)
+
+    # rebuilt sidecars prune again
+    from raystack.zones import zone_prune_plan
+    plan = zone_prune_plan(out, {"doc_id": (0, 5)})
+    assert plan and all(p is not None for p in plan.values())
