@@ -238,6 +238,23 @@ def run_bench(num_cpus: int) -> dict:
         t_mh = min(t_mh, time.perf_counter() - t0)
     queries["minhash_dedup"] = round(t_mh, 3)
 
+    t0 = time.perf_counter()
+    from raystack.ops.dedup import dedup_paragraphs
+    dedup_paragraphs(docs).count()
+    queries["paragraph_dedup"] = round(time.perf_counter() - t0, 3)
+
+    # zone-mapped range count over the already-encoded headline layout
+    from raystack.zones import build_zone_maps, count_where
+    t0 = time.perf_counter()
+    build_zone_maps(out, ["warc_ts"])
+    queries["zone_build"] = round(time.perf_counter() - t0, 3)
+    import datetime as _dt
+    t0 = time.perf_counter()
+    n_zone = count_where(out, {"warc_ts": (_dt.datetime(2024, 3, 1),
+                                           _dt.datetime(2024, 3, 1, 6))})
+    queries["zone_count"] = round(time.perf_counter() - t0, 3)
+    assert 0 < n_zone <= n_rows, n_zone
+
     ray.shutdown()
     return {
         "metric": "webtext encode wall sec (align + codec encode + "
