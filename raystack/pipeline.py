@@ -860,15 +860,19 @@ def _unpack_segment(blob: bytes) -> tuple[list[pa.Table], dict]:
 def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       prov_cols: list[str], page_rows: int,
                       has_prov: bool, zone_cols, *blobs: bytes,
-                      append: bool = False) -> dict:
+                      append: bool = False, file_tag: str = "") -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
     parquet file under ``pages/part_key=<pk>/``. ``zone_cols`` writes the
     partition's zone-map sidecar from the in-memory table (free min/max,
     :mod:`raystack.zones`). ``append=True`` (incremental ingest,
     :func:`encode_append`) numbers new pages after the partition's
-    existing maximum and writes the next ``part-<k>.parquet`` instead of
-    overwriting. Returns tiny stats only."""
+    existing maximum and writes ``part-<file_tag>.parquet`` instead of
+    overwriting — the tag is derived from the appended file set, so a
+    retried reduce task (or re-running the same append) atomically
+    REPLACES its own output rather than duplicating rows; this run's own
+    file is excluded from the base-page computation. Returns tiny stats
+    only."""
     import json as _json
 
     import pyarrow.parquet as pq
@@ -900,16 +904,21 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     light_cols = [c for c in enc_cols + prov_cols
                   if c in full.schema.names and c not in heavy]
     part_dir = os.path.join(out_dir, "pages", f"part_key={pk}")
-    base_page, file_idx = 0, 0
+    base_page = 0
+    out_name = f"part-{file_tag}" if append else "part-0"
     if append and os.path.isdir(part_dir):
         # metadata-only read: new pages number after the existing max so
-        # decode's (part_key, page_idx) grouping never collides
+        # decode's (part_key, page_idx) grouping never collides. This
+        # run's own file (same tag — a retry/re-run) is excluded, making
+        # the task idempotent.
         import pyarrow.dataset as pads
-        existing = pads.dataset(part_dir).to_table(columns=["page_idx"])
-        if existing.num_rows:
-            base_page = int(pc.max(existing["page_idx"]).as_py()) + 1
-        file_idx = len([f for f in os.listdir(part_dir)
-                        if f.endswith(".parquet")])
+        prior = [os.path.join(part_dir, f) for f in os.listdir(part_dir)
+                 if f.endswith(".parquet")
+                 and f != f"{out_name}.parquet"]
+        if prior:
+            existing = pads.dataset(prior).to_table(columns=["page_idx"])
+            if existing.num_rows:
+                base_page = int(pc.max(existing["page_idx"]).as_py()) + 1
     pages = _encode_table(full, pk, light_cols, page_rows,
                           first_page_idx=base_page, input_files=files)
     if heavy:
@@ -941,9 +950,9 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                         zone_sidecar_from_table)
     invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
     os.makedirs(part_dir, exist_ok=True)
-    tmp = os.path.join(part_dir, f".part-{file_idx}.parquet.tmp")
+    tmp = os.path.join(part_dir, f".{out_name}.parquet.tmp")
     pq.write_table(pages.drop_columns(["part_key"]), tmp)
-    os.replace(tmp, os.path.join(part_dir, f"part-{file_idx}.parquet"))
+    os.replace(tmp, os.path.join(part_dir, f"{out_name}.parquet"))
     if zone_cols:
         cols = [c for c in zone_cols
                 if c in full.schema.names and c not in heavy]
@@ -1144,7 +1153,13 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     :func:`raystack.zones.build_zone_maps` to restore pruning there). The
     manifest is re-finalized over the whole layout. Precode is disabled
     (per-column heavy numbering would need its own base offset); appended
-    schema must match the layout's columns exactly."""
+    schema must match the layout's columns exactly.
+
+    Exactly-once per file set: each append run writes
+    ``part-<tag>.parquet`` where the tag is a digest of the appended file
+    names — a retried reduce task, or re-running the same append after a
+    crash, atomically replaces its own output instead of duplicating
+    rows."""
     import pyarrow.dataset as pads
     import ray
 
@@ -1209,9 +1224,12 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                 for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]
+    import hashlib
+    tag = hashlib.sha1("\n".join(
+        os.path.basename(p) for p in source_paths).encode()).hexdigest()[:12]
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, None, *[m[pk] for m in map_refs],
-                              append=True)
+                              append=True, file_tag=tag)
                 for pk in range(num_partitions)]
     ray.get(enc_refs)
     summary = _finalize_manifest(out_dir, enc_cols)

@@ -592,3 +592,24 @@ def test_compact_partitions_after_appends(ray_session, tmp_path):
     from raystack.zones import zone_prune_plan
     plan = zone_prune_plan(out, {"doc_id": (0, 5)})
     assert plan and all(p is not None for p in plan.values())
+
+
+def test_encode_append_idempotent_rerun(ray_session, tmp_path):
+    # re-running the same append (crash recovery / task retry semantics)
+    # must replace its own output, never duplicate rows
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 300), day1)
+    pq.write_table(t.slice(300), day2)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    pl.encode_append([day2], out, add_filename=False)
+    s2 = pl.encode_append([day2], out, add_filename=False)  # same file set
+    assert s2["rows"] == t.num_rows  # not t.num_rows + 200
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
