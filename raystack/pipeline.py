@@ -951,7 +951,10 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, f".{out_name}.parquet.tmp")
-    pq.write_table(pages.drop_columns(["part_key"]), tmp)
+    # bounded row groups: predicate pushdown on (column, page_idx) then
+    # skips unwanted page blobs' bytes instead of reading the whole file
+    pq.write_table(pages.drop_columns(["part_key"]), tmp,
+                   row_group_size=PAGES_ROW_GROUP)
     os.replace(tmp, os.path.join(part_dir, f"{out_name}.parquet"))
     if zone_cols:
         cols = [c for c in zone_cols
@@ -1462,6 +1465,12 @@ def decode_pages(pages_ds, columns: list[str] | None = None):
         decode_group, batch_format="pyarrow")
 
 
+#: rows per row group in the pages parquet files (tasks/compact writers):
+#: small enough that a (column, page_idx) pushdown filter skips most of a
+#: pruned file's bytes, large enough that metadata stays negligible
+PAGES_ROW_GROUP = 8
+
+
 def _decode_partition_dir(dir_path: str,
                           columns: list[str] | None = None,
                           page_whitelist=None) -> pa.Table:
@@ -1474,14 +1483,18 @@ def _decode_partition_dir(dir_path: str,
     — only valid when every decoded column shares the same page row
     boundaries (the zone builder records that as ``uniform``)."""
     import pyarrow.dataset as pads
-    t = pads.dataset(dir_path).to_table(
-        columns=["page_idx", "column", "data"])
+    # push the filters into the scan: with bounded row groups
+    # (PAGES_ROW_GROUP) parquet statistics let the reader skip the
+    # unwanted pages' blob bytes entirely
+    expr = None
     if columns:
-        t = t.filter(pc.is_in(t["column"],
-                              value_set=pa.array(sorted(columns))))
+        expr = pc.field("column").isin(sorted(columns))
     if page_whitelist is not None:
-        t = t.filter(pc.is_in(t["page_idx"], value_set=pa.array(
-            [int(p) for p in page_whitelist], type=pa.int64())))
+        pw = pc.field("page_idx").isin(
+            [int(p) for p in page_whitelist])
+        expr = pw if expr is None else (expr & pw)
+    t = pads.dataset(dir_path).to_table(
+        columns=["page_idx", "column", "data"], filter=expr)
     if t.num_rows == 0:
         return pa.table({})
     # per-COLUMN assembly: decode each column's pages in page_idx order and
@@ -1682,7 +1695,8 @@ def compact_partitions(out_dir: str, min_files: int = 2,
         invalidate_zone_sidecar(out_dir, pk)
         old = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
         tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
-        _pq.write_table(pages.drop_columns(["part_key"]), tmp)
+        _pq.write_table(pages.drop_columns(["part_key"]), tmp,
+                        row_group_size=PAGES_ROW_GROUP)
         for f in old:  # new file lands atomically after the olds are gone
             os.remove(os.path.join(part_dir, f))
         os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
