@@ -347,3 +347,68 @@ def stratified_sample(ds, group_col: str, id_col: str = "doc_id",
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text",
+               per_batch_cut: int = 4096):
+    """Corpus-wide top-k word n-grams (vocab / boilerplate /
+    benchmark-contamination analysis). Per batch: Arrow token split →
+    numpy factorize → packed-key ``np.unique`` counts, cut to the top
+    ``per_batch_cut`` n-grams BEFORE the shuffle (a true heavy hitter
+    appears in most batches, so a generous per-batch cut preserves the
+    global top-k while the groupby moves O(cut x blocks) rows, never the
+    corpus' n-gram multiset). Final: one small groupby + top-k, ties
+    broken by the n-gram string. Returns a pandas DataFrame
+    (ngram, n_occurrences)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        col = t[text_col]
+        col = col.chunk(0) if getattr(col, "num_chunks", 0) else col
+        s = pc.cast(pc.fill_null(col, ""), pa.string())
+        toks = pc.split_pattern_regex(s, r"\s+")
+        offs = np.asarray(toks.offsets)
+        counts = np.diff(offs)
+        flat = toks.flatten()
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        doc = np.repeat(np.arange(t.num_rows), counts)[keep]
+        vals = flat.to_numpy(zero_copy_only=False)[keep]
+        codes, uniq = pd.factorize(vals)
+        if len(codes) < n:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # packed key over a sliding window of n token codes within a doc
+        same = np.ones(len(codes) - (n - 1), dtype=bool)
+        key = codes[: len(codes) - (n - 1)].astype(np.uint64)
+        for j in range(1, n):
+            sl = slice(j, len(codes) - (n - 1) + j)
+            same &= doc[sl] == doc[: len(codes) - (n - 1)]
+            key = key * np.uint64(len(uniq) + 1) + codes[sl].astype(np.uint64)
+        key = key[same]
+        if not len(key):
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uk, cnt = np.unique(key, return_counts=True)
+        if len(uk) > per_batch_cut:
+            top = np.argpartition(-cnt, per_batch_cut - 1)[:per_batch_cut]
+            uk, cnt = uk[top], cnt[top]
+        # unpack the key back to the n-gram string
+        parts = []
+        rem = uk.copy()
+        for _ in range(n):
+            parts.append(rem % np.uint64(len(uniq) + 1))
+            rem //= np.uint64(len(uniq) + 1)
+        parts.reverse()
+        grams = uniq[parts[0].astype(np.int64)].astype(object)
+        for pcol in parts[1:]:
+            grams = grams + " " + uniq[pcol.astype(np.int64)]
+        return pa.table({"ngram": pa.array(grams, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    totals = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ngram").sum("n").to_pandas()
+    totals = totals.rename(columns={"sum(n)": "n"})
+    return totals.sort_values(["n", "ngram"],
+                              ascending=[False, True]).head(k) \
+        .reset_index(drop=True)

@@ -119,3 +119,39 @@ def test_repetition_stats_real_corpus_sane():
         f"SELECT text FROM '{DOCS}' WHERE doc_id = {row['doc_id']}"
     ).fetchone()[0]
     assert row["top_2gram_frac"] == pytest.approx(_top_2gram_ref(text))
+
+
+def test_top_ngrams_oracle():
+    import duckdb
+    import pandas as pd
+    from raystack.ops.text import top_ngrams
+    df = duckdb.sql(f"SELECT doc_id, text FROM '{DOCS}'").df()
+    got = top_ngrams(ray.data.from_pandas(df), n=2, k=15,
+                     per_batch_cut=1 << 20)  # no cut → exact
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(r"""
+        WITH toks AS (
+          SELECT list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '') AS p FROM t),
+        grams AS (
+          SELECT struct_extract(z, 1) || ' ' || struct_extract(z, 2) AS g
+          FROM (SELECT unnest(list_zip(p[1:len(p)-1], p[2:])) AS z
+                FROM toks WHERE len(p) >= 2))
+        SELECT g AS ngram, count(*) AS n FROM grams
+        GROUP BY g ORDER BY n DESC, g LIMIT 15""").df()
+    assert got["ngram"].tolist() == want["ngram"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_top_ngrams_trigram_and_boundaries(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from raystack.ops.text import top_ngrams
+    t = pa.table({"doc_id": [0, 1, 2],
+                  "text": ["a b c a b c", "c a b", ""]})
+    got = top_ngrams(ray.data.from_arrow(t), n=3, k=3,
+                     per_batch_cut=1 << 20)
+    # "a b c" x2 (doc0) — no n-gram may span documents (doc1's "c a b"
+    # would otherwise create a third "a b c" with doc2)
+    assert got.iloc[0]["ngram"] == "a b c" and got.iloc[0]["n"] == 2
