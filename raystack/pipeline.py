@@ -1468,7 +1468,8 @@ def decode_pages(pages_ds, columns: list[str] | None = None):
 #: rows per row group in the pages parquet files (tasks/compact writers):
 #: small enough that a (column, page_idx) pushdown filter skips most of a
 #: pruned file's bytes, large enough that metadata stays negligible
-PAGES_ROW_GROUP = 8
+#: (env-overridable for A/B benchmarking)
+PAGES_ROW_GROUP = int(os.environ.get("RAYSTACK_PAGES_ROW_GROUP", "8"))
 
 
 def _decode_partition_dir(dir_path: str,
