@@ -11,6 +11,7 @@ from .delta import ByteSplitCodec, DeltaBitpackCodec
 from .dictionary import DictionaryCodec
 from .forbp import ForBitpackCodec
 from .fsst import FsstCodec
+from .nulls import NullsCodec
 from .plain import PlainCodec
 from .rle import RleCodec
 from .zwrap import ZlibWrapCodec, ZstdWrapCodec
@@ -23,6 +24,8 @@ def get_codec(name: str) -> Codec:
         return ZlibWrapCodec(get_codec(name[:-2]))
     if name == "plain":
         return PlainCodec()
+    if name == "nulls":
+        return NullsCodec()
     if name == "dict":
         return DictionaryCodec()
     if name == "dict->fsst":

@@ -860,7 +860,8 @@ def _unpack_segment(blob: bytes) -> tuple[list[pa.Table], dict]:
 def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       prov_cols: list[str], page_rows: int,
                       has_prov: bool, zone_cols, *blobs: bytes,
-                      append: bool = False, file_tag: str = "") -> dict:
+                      append: bool = False, file_tag: str = "",
+                      backfill: dict | None = None) -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
     parquet file under ``pages/part_key=<pk>/``. ``zone_cols`` writes the
@@ -871,8 +872,13 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     overwriting — the tag is derived from the appended file set, so a
     retried reduce task (or re-running the same append) atomically
     REPLACES its own output rather than duplicating rows; this run's own
-    file is excluded from the base-page computation. Returns tiny stats
-    only."""
+    file is excluded from the base-page computation. ``backfill`` (union
+    schema-drift append) maps newly-appearing column names to their Arrow
+    types: each gets ONE all-null page (codec ``nulls``, ``page_idx=-1``
+    so it sorts before every real page) covering this partition's
+    pre-append rows — computed locally from the existing pages' metadata,
+    and skipped for columns the partition already carries. Returns tiny
+    stats only."""
     import json as _json
 
     import pyarrow.parquet as pq
@@ -883,7 +889,8 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
         tables.extend(lt)
         for name, pgs in hv.items():
             heavy.setdefault(name, []).extend(pgs)
-    if not tables and not heavy:
+    do_backfill = bool(backfill) and append
+    if not tables and not heavy and not do_backfill:
         return {"part_key": pk, "rows": 0}
     if heavy:
         # invariant: a column is heavy (map-side precoded) in EVERY map
@@ -896,16 +903,21 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                 f"part {pk}: column(s) {sorted(mixed)} arrived both "
                 "precoded (heavy) and in light segments — inconsistent "
                 "precode maps across map tasks")
-    full = pa.concat_tables(tables, promote_options="default")
+    if tables:
+        full = pa.concat_tables(tables, promote_options="default")
+    else:  # backfill-only task: partition got no new rows this append
+        full = None
     files = ""
-    if has_prov:
+    if has_prov and full is not None:
         files = _json.dumps(sorted(set(
             pc.unique(full["filename"]).to_pylist())))
     light_cols = [c for c in enc_cols + prov_cols
-                  if c in full.schema.names and c not in heavy]
+                  if full is not None and c in full.schema.names
+                  and c not in heavy]
     part_dir = os.path.join(out_dir, "pages", f"part_key={pk}")
     base_page = 0
     out_name = f"part-{file_tag}" if append else "part-0"
+    prior_meta = None
     if append and os.path.isdir(part_dir):
         # metadata-only read: new pages number after the existing max so
         # decode's (part_key, page_idx) grouping never collides. This
@@ -916,11 +928,13 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                  if f.endswith(".parquet")
                  and f != f"{out_name}.parquet"]
         if prior:
-            existing = pads.dataset(prior).to_table(columns=["page_idx"])
-            if existing.num_rows:
-                base_page = int(pc.max(existing["page_idx"]).as_py()) + 1
+            prior_meta = pads.dataset(prior).to_table(
+                columns=["page_idx", "column", "nrows"])
+            if prior_meta.num_rows:
+                base_page = int(pc.max(prior_meta["page_idx"]).as_py()) + 1
     pages = _encode_table(full, pk, light_cols, page_rows,
-                          first_page_idx=base_page, input_files=files)
+                          first_page_idx=base_page, input_files=files) \
+        if full is not None else PAGES_SCHEMA.empty_table()
     if heavy:
         # adopt the map-side FINAL pages untouched (page_idx numbering is
         # per-column; decode assembles columns independently)
@@ -941,11 +955,46 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                 rows["data"].append(blob)
         pages = pa.concat_tables(
             [pages, pa.table(rows, schema=PAGES_SCHEMA)])
-    n_rows = full.num_rows
+    n_rows = full.num_rows if full is not None else 0
     if not light_cols and heavy:
         # zero-column light tables lose their row count over IPC
         first = next(iter(heavy.values()))
         n_rows = sum(EncodedChunk.from_bytes(b).length for _, b in first)
+    if do_backfill and prior_meta is not None and prior_meta.num_rows:
+        # union schema drift: give each newly-appearing column one
+        # all-null page over this partition's PRE-append rows, so every
+        # column decodes to the same total row count. Columns the
+        # partition already carries are skipped (idempotent under
+        # repeated drifted appends).
+        present = set(prior_meta["column"].to_pylist())
+        todo = {c: t for c, t in backfill.items() if c not in present}
+        if todo:
+            from .codecs.nulls import NullsCodec
+            any_col = prior_meta["column"][0].as_py()
+            prior_rows = int(pc.sum(pc.filter(
+                prior_meta["nrows"],
+                pc.equal(prior_meta["column"], any_col))).as_py())
+            if prior_rows:
+                nc = NullsCodec()
+                brows = {name: [] for name in PAGES_SCHEMA.names}
+                for cname in sorted(todo):
+                    blob = nc.encode(
+                        pa.nulls(prior_rows, type=todo[cname])).to_bytes()
+                    brows["part_key"].append(pk)
+                    brows["page_idx"].append(-1)  # sorts before real pages
+                    brows["column"].append(cname)
+                    brows["codec"].append("nulls")
+                    brows["nrows"].append(prior_rows)
+                    brows["raw_bytes"].append(0)
+                    brows["enc_bytes"].append(len(blob))
+                    brows["checksum"].append(_crc(blob))
+                    brows["input_files"].append(files)
+                    brows["encode_ms"].append(0)
+                    brows["data"].append(blob)
+                pages = pa.concat_tables(
+                    [pa.table(brows, schema=PAGES_SCHEMA), pages])
+    if pages.num_rows == 0:
+        return {"part_key": pk, "rows": 0}
     from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
                         zone_sidecar_from_table)
     invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
@@ -956,7 +1005,7 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     pq.write_table(pages.drop_columns(["part_key"]), tmp,
                    row_group_size=PAGES_ROW_GROUP)
     os.replace(tmp, os.path.join(part_dir, f"{out_name}.parquet"))
-    if zone_cols:
+    if zone_cols and full is not None:
         cols = [c for c in zone_cols
                 if c in full.schema.names and c not in heavy]
         if cols:
@@ -1137,10 +1186,44 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     return summary
 
 
+def _layout_column_types(out_dir: str) -> dict[str, "pa.DataType"]:
+    """Column name → Arrow type of an encoded layout, read from the first
+    non-empty partition's page-blob headers (every non-empty partition
+    carries every column — encode's invariant, maintained across drifted
+    appends by the union back-fill). Metadata columns scan first; then one
+    ``data`` blob per column is fetched with a pushed-down
+    ``(column, page_idx)`` filter, so with bounded page row groups the
+    read touches a few pages, not the partition."""
+    import pyarrow.dataset as pads
+    pages_root = os.path.join(out_dir, "pages")
+    dirs = sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key=")) \
+        if os.path.isdir(pages_root) else []
+    for d in dirs:
+        ds = pads.dataset(os.path.join(pages_root, d))
+        meta = ds.to_table(columns=["column", "page_idx"])
+        if not meta.num_rows:
+            continue
+        first_page: dict[str, int] = {}
+        for name, i in zip(meta["column"].to_pylist(),
+                           meta["page_idx"].to_pylist()):
+            if name not in first_page or i < first_page[name]:
+                first_page[name] = i
+        types: dict[str, pa.DataType] = {}
+        for name, i in first_page.items():
+            t = ds.to_table(columns=["data"],
+                            filter=(pc.field("column") == name)
+                            & (pc.field("page_idx") == i))
+            types[name] = EncodedChunk.from_bytes(t["data"][0].as_py()).type
+        return types
+    return {}
+
+
 def encode_append(source_paths: list[str], out_dir: str, *,
                   columns_select: list[str] | None = None,
                   columns_rename: dict[str, str] | None = None,
                   add_filename: bool = True,
+                  schema: str = "strict",
                   page_rows: int = DEFAULT_PAGE_ROWS,
                   map_bytes: int = TARGET_MAP_BYTES,
                   logger=None) -> dict:
@@ -1155,15 +1238,22 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     touched partitions' sidecars are invalidated (re-run
     :func:`raystack.zones.build_zone_maps` to restore pruning there). The
     manifest is re-finalized over the whole layout. Precode is disabled
-    (per-column heavy numbering would need its own base offset); appended
-    schema must match the layout's columns exactly.
+    (per-column heavy numbering would need its own base offset).
+
+    ``schema="strict"`` (default) requires the appended files' columns to
+    match the layout's exactly. ``schema="union"`` absorbs schema drift
+    with d6tstack's union-align semantics: columns missing from the new
+    files are null-filled (using the layout's stored Arrow types), and
+    columns new to the layout are back-filled over every existing
+    partition's prior rows with zero-byte all-null pages (codec
+    ``nulls``, ``page_idx=-1``), so ``day1(A,B) + append(B,C)`` decodes
+    exactly like a fresh union encode of both days.
 
     Exactly-once per file set: each append run writes
     ``part-<tag>.parquet`` where the tag is a digest of the appended file
     names — a retried reduce task, or re-running the same append after a
     crash, atomically replaces its own output instead of duplicating
     rows."""
-    import pyarrow.dataset as pads
     import ray
 
     from .log import get_logger
@@ -1198,20 +1288,58 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     prov_cols = [c for c in ("filepath", "filename") if c in columns]
     has_prov = bool(prov_cols)
 
-    # schema audit: appended pages must cover exactly the layout's columns
-    # or per-column decode row counts diverge (loud ValueError, but late)
-    pages_root = os.path.join(out_dir, "pages")
-    dirs = sorted(d for d in os.listdir(pages_root)
-                  if d.startswith("part_key="))
-    if dirs:
-        t = pads.dataset(os.path.join(pages_root, dirs[0])).to_table(
-            columns=["column"])
-        existing = sorted(pc.unique(t["column"]).to_pylist())
-        if existing != sorted(enc_cols + prov_cols):
-            raise ValueError(
-                f"encode_append: new files' columns {sorted(enc_cols + prov_cols)} "
-                f"!= existing layout's {existing} — repair with "
-                "columns_select/columns_rename first")
+    # schema audit: in strict mode appended pages must cover exactly the
+    # layout's columns or per-column decode row counts diverge (loud
+    # ValueError, but late). Union mode absorbs drift instead: columns
+    # the new files LACK are null-filled by the align plan (the layout's
+    # stored types, not a guess), and columns the layout lacks are
+    # back-filled over existing rows with all-null pages in the reduce
+    # task — the d6tstack union-align semantics (combine_csv.py) applied
+    # to an encoded layout.
+    if schema not in ("strict", "union"):
+        raise ValueError(f"schema must be 'strict' or 'union', got {schema!r}")
+    backfill: dict[str, pa.DataType] = {}
+    existing_types = _layout_column_types(out_dir)
+    if existing_types:
+        appended = sorted(enc_cols + prov_cols)
+        existing = sorted(existing_types)
+        if schema == "strict":
+            if existing != appended:
+                raise ValueError(
+                    f"encode_append: new files' columns {appended} "
+                    f"!= existing layout's {existing} — repair with "
+                    "columns_select/columns_rename, or pass "
+                    "schema='union' to absorb the drift")
+        else:
+            missing = [c for c in existing if c not in set(appended)]
+            prov_missing = [c for c in missing
+                            if c in ("filepath", "filename")]
+            if prov_missing:
+                raise ValueError(
+                    "encode_append: layout has provenance columns "
+                    f"{prov_missing}; pass add_filename=True")
+            if missing:
+                import dataclasses
+                fields = list(plan.unified_schema) + \
+                    [pa.field(c, existing_types[c]) for c in missing]
+                plan = dataclasses.replace(
+                    plan,
+                    target_columns=list(plan.target_columns) + missing,
+                    unified_schema=pa.schema(fields))
+                columns = list(plan.target_columns)
+                if plan.add_filename:
+                    columns += ["filepath", "filename"]
+                enc_cols = [c for c in columns
+                            if c not in ("part_key", "filepath", "filename")]
+            # pass EVERY appended column as a back-fill candidate — each
+            # reduce task skips the ones its own prior files already
+            # carry. Deciding "new to the layout" here instead would
+            # break re-runs: the layout scan sees the column in the very
+            # file the re-run is about to replace, so the replacement
+            # would drop the back-fill page (silent row-count divergence)
+            for c in enc_cols + prov_cols:
+                backfill[c] = pa.string() if c in prov_cols \
+                    else plan.unified_schema.field(c).type
 
     groups = _group_files(source_paths, map_bytes)
     log.send_log(f"encode_append: {len(groups)} map task(s) → "
@@ -1232,7 +1360,8 @@ def encode_append(source_paths: list[str], out_dir: str, *,
         os.path.basename(p) for p in source_paths).encode()).hexdigest()[:12]
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, None, *[m[pk] for m in map_refs],
-                              append=True, file_tag=tag)
+                              append=True, file_tag=tag,
+                              backfill=backfill or None)
                 for pk in range(num_partitions)]
     ray.get(enc_refs)
     summary = _finalize_manifest(out_dir, enc_cols)
@@ -1273,7 +1402,12 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
                                         columns=meta_cols)
 
     def summarize(g):  # pandas group → one manifest row
-        first = g[g["page_idx"] == g["page_idx"].min()]
+        # codecs/input_files from each column's first REAL page: union
+        # schema-drift back-fill pages sit at page_idx=-1 with codec
+        # "nulls" and would otherwise mask the data codecs
+        ranked = g.assign(_nul=g["codec"].eq("nulls")) \
+            .sort_values(["_nul", "page_idx"])
+        first = ranked.drop_duplicates("column")
         return pd_DataFrame([{
             "part_key": int(g["part_key"].iloc[0]),
             "rows": int(g[g["column"] == enc_cols[0]]["nrows"].sum()),
@@ -1444,7 +1578,10 @@ def decode_pages(pages_ds, columns: list[str] | None = None):
     """Encoded-pages Dataset → original-schema Dataset (bit-identical).
     Groups by (part_key, page_idx); each group holds one page per column.
     Column pruning happens BEFORE the grouping shuffle so unwanted pages
-    never move."""
+    never move. Valid only for uniform page boundaries (one fresh encode);
+    layouts with per-column numbering — precoded heavy columns, union
+    schema-drift appends — decode with :func:`decode_dir`, which
+    assembles columns independently."""
     if columns:
         want = pa.array(sorted(columns))
         pages_ds = pages_ds.map_batches(

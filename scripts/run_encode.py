@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--append", action="store_true",
                     help="incremental ingest: add the input files to an "
                          "EXISTING layout (reuses its keyer config)")
+    ap.add_argument("--append-schema", choices=["strict", "union"],
+                    default="strict",
+                    help="union = absorb schema drift on --append: "
+                         "missing columns null-fill, new columns "
+                         "back-fill existing rows with null pages")
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--rename", default="",
                     help="comma list old:new column renames (drift repair)")
@@ -77,6 +82,7 @@ def main():
     if args.append:
         summary = pl.encode_append(paths, args.output,
                                    columns_rename=renames or None,
+                                   schema=args.append_schema,
                                    logger=PrintLogger())
     elif args.mode == "tasks":
         summary = pl.encode_partitioned_tasks(

@@ -149,3 +149,19 @@ def test_nullable_temporal_all_codecs(typ):
             continue  # codec legitimately doesn't support the type
         dec = codec.decode(EncodedChunk.from_bytes(chunk.to_bytes()))
         assert arrays_bit_identical(arr, dec), (name, typ)
+
+
+def test_nulls_codec_roundtrip():
+    # zero-byte all-null pages (union schema-drift back-fill)
+    import pyarrow as pa
+    from raystack.codecs import decode_blob, get_codec
+    from raystack.codecs.base import arrays_bit_identical
+    import pytest
+    for t in (pa.string(), pa.int64(), pa.float64(),
+              pa.timestamp("us"), pa.large_binary()):
+        arr = pa.nulls(37, type=t)
+        blob = get_codec("nulls").encode(arr).to_bytes()
+        assert len(blob) < 200  # no value bytes stored
+        assert arrays_bit_identical(decode_blob(blob), arr)
+    with pytest.raises(ValueError, match="all-null"):
+        get_codec("nulls").encode(pa.array([1, None]))

@@ -613,3 +613,99 @@ def test_encode_append_idempotent_rerun(ray_session, tmp_path):
         .reset_index(drop=True)
     want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert got[want.columns.tolist()].equals(want)
+
+
+def test_encode_append_union_schema_drift(ray_session, tmp_path):
+    # day-2 files DROP a column and ADD a new one; schema="union" must
+    # absorb both drifts so the layout decodes exactly like one fresh
+    # union encode of all files (d6tstack union-align semantics applied
+    # to an encoded layout)
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 300).drop_columns(["n_chars"]), day1)
+    pq.write_table(t.slice(300).drop_columns(["text"]), day2)
+    out = str(tmp_path / "enc")
+    ref = str(tmp_path / "ref")
+
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    # strict mode refuses the drift (and points at the union escape hatch)
+    with pytest.raises(ValueError, match="columns"):
+        pl.encode_append([day2], out, add_filename=False)
+    s = pl.encode_append([day2], out, add_filename=False, schema="union")
+    assert s["rows"] == t.num_rows
+
+    pl.encode_partitioned_tasks([day1, day2], ref, url_col="source",
+                                num_partitions=4, add_filename=False)
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = pl.decode_dir(ref).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    # drift landed as real nulls on both sides of the day boundary
+    assert got["n_chars"].isna().sum() == 300
+    assert got["text"].isna().sum() == t.num_rows - 300
+
+    # appended rows still route through the persisted keyer config
+    some = t.slice(300, 3)["source"].to_pylist()
+    found = pl.lookup_rows(out, some).to_pandas()
+    assert set(some) <= set(found["source"])
+
+
+def test_encode_append_union_missing_only(ray_session, tmp_path):
+    # union with only a MISSING column (no new ones): no back-fill pages,
+    # appended rows null-fill the gap with the layout's stored type
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 200), day1)
+    pq.write_table(t.slice(200).drop_columns(["text"]), day2)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=2, add_filename=False)
+    pl.encode_append([day2], out, add_filename=False, schema="union")
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got["text"].notna().sum() == 200
+    assert str(got["text"].dtype) == "object"  # stored string type, not f64
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].equals(want["doc_id"])
+    day1_ids = set(t.slice(0, 200)["doc_id"].to_pylist())
+    assert set(got.loc[got["text"].notna(), "doc_id"]) == day1_ids
+    w1 = t.slice(0, 200).to_pandas().sort_values("doc_id")
+    assert got.loc[got["text"].notna()].sort_values("doc_id")["text"] \
+        .tolist() == w1["text"].tolist()
+
+
+def test_encode_append_union_rerun_and_compact(ray_session, tmp_path):
+    # re-running the same drifted append replaces its output (no dup
+    # rows, no dup back-fill pages); compaction then folds the null
+    # pages away with identical decoded content
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 300).drop_columns(["n_chars"]), day1)
+    pq.write_table(t.slice(300), day2)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    pl.encode_append([day2], out, add_filename=False, schema="union")
+    s2 = pl.encode_append([day2], out, add_filename=False, schema="union")
+    assert s2["rows"] == t.num_rows
+    before = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert before["n_chars"].isna().sum() == 300
+    pl.compact_partitions(out, min_files=2)
+    after = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert after[sorted(after.columns)].equals(before[sorted(before.columns)])
+    # compaction re-encoded the null ranges: no "nulls" pages remain
+    import pyarrow.dataset as pads
+    codecs = pads.dataset(os.path.join(out, "pages"), partitioning="hive") \
+        .to_table(columns=["codec"])
+    assert "nulls" not in set(codecs["codec"].to_pylist())
