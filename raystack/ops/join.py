@@ -75,6 +75,112 @@ def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
                    on=(on,), num_partitions=num_partitions)
 
 
+#: bloom filters above this size fall back to the plain distributed join
+#: (the bitmap must broadcast to every probe task and briefly live on the
+#: driver during the build)
+_BLOOM_MAX_BYTES = 256 << 20
+
+
+def build_key_bloom(keys_ds, on: str, bits_per_key: int = 12,
+                    n_hashes: int = 6):
+    """Bloom filter over a key Dataset's ``on`` column. Returns
+    ``(bitmap uint64 array, mask, n_hashes)`` or ``None`` when the sized
+    bitmap would exceed ``_BLOOM_MAX_BYTES``. Key hashes are pandas'
+    fixed-key siphash (deterministic across workers, any dtype); the j-th
+    probe position is ``splitmix64(h ^ seed_j)``. The build STREAMS the
+    key column through the driver (`iter_batches`) — bounded memory (the
+    bitmap), O(n_keys) driver CPU; at key cardinalities where that loop
+    matters the bitmap has outgrown the cap anyway and the caller should
+    be on the plain shuffle path."""
+    import numpy as np
+
+    from .hashing import splitmix64
+    n = keys_ds.count()
+    m_bits = 1 << max(10, int(np.ceil(np.log2(max(1, n) * bits_per_key))))
+    if m_bits // 8 > _BLOOM_MAX_BYTES:
+        return None
+    mask = np.uint64(m_bits - 1)
+    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+    seeds = splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
+    for batch in keys_ds.select_columns([on]) \
+            .iter_batches(batch_format="pandas"):
+        if not len(batch):
+            continue
+        h = pd.util.hash_array(batch[on].to_numpy(), categorize=False)
+        for s in seeds:
+            idx = splitmix64(h ^ s) & mask
+            w = (idx >> np.uint64(6)).astype(np.int64)
+            bit = np.uint64(1) << (idx & np.uint64(63))
+            order = np.argsort(w, kind="stable")
+            w, bit = w[order], bit[order]
+            uw, starts = np.unique(w, return_index=True)
+            bloom[uw] |= np.bitwise_or.reduceat(bit, starts)
+    return bloom, mask, seeds
+
+
+def _bloom_probe(t: pa.Table, on: str, bloom, mask, seeds):
+    """Boolean numpy mask: which rows' keys MIGHT be in the bloom set."""
+    import numpy as np
+
+    from .hashing import splitmix64
+    h = pd.util.hash_array(
+        t[on].combine_chunks().to_numpy(zero_copy_only=False),
+        categorize=False)
+    hit = np.ones(len(h), dtype=bool)
+    for s in seeds:
+        idx = splitmix64(h ^ s) & mask
+        hit &= (bloom[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))) & np.uint64(1) > 0
+    return hit
+
+
+def semi_join_bloom(ds, keys_ds, on: str, anti: bool = False,
+                    num_partitions: int = 16, bits_per_key: int = 12,
+                    n_hashes: int = 6):
+    """Bloom-accelerated distributed (anti-)semi join — the big-corpus ×
+    big-key-set shape (e.g. anti-joining a 100 TB crawl against a
+    billion-row drop list). A bloom filter over the key side broadcasts
+    once (~``bits_per_key``/8 bytes per key; 12 bits + 6 hashes ≈ 0.1%
+    false positives) and every batch probes it locally, so only rows
+    that MIGHT match enter the all-to-all exchange of the exact join —
+    the shuffle shrinks from the corpus to roughly the match volume.
+    Results are EXACT regardless of bloom false positives:
+
+    - semi: a bloom miss proves the key absent → drop locally; bloom
+      hits go through the exact distributed semi join.
+    - anti: a bloom miss proves the key absent → keep locally (map-only,
+      no shuffle for typically >99% of a lightly-contaminated corpus);
+      bloom hits go through the exact distributed anti join and the two
+      streams union.
+
+    Falls back to :func:`semi_join_ds` when the sized bitmap would
+    exceed ``_BLOOM_MAX_BYTES``. The anti path scans ``ds`` twice (two
+    map-only passes beat shuffling the full corpus once)."""
+    import ray
+
+    # one execution of the key pipeline, reused by count, the bloom
+    # stream AND the exact join (object-store blocks, spillable)
+    keys_ds = keys_ds.materialize()
+    built = build_key_bloom(keys_ds, on, bits_per_key, n_hashes)
+    if built is None:
+        return semi_join_ds(ds, keys_ds, on, anti=anti,
+                            num_partitions=num_partitions)
+    bloom, mask, seeds = built
+    ref = ray.put(bloom)
+
+    def probe(t: pa.Table, keep_hits: bool) -> pa.Table:
+        hit = _bloom_probe(t, on, ray.get(ref), mask, seeds)
+        return t.filter(pa.array(hit if keep_hits else ~hit))
+
+    cand = ds.map_batches(lambda t: probe(t, True), batch_format="pyarrow")
+    exact = semi_join_ds(cand, keys_ds, on, anti=anti,
+                         num_partitions=num_partitions)
+    if not anti:
+        return exact
+    sure = ds.map_batches(lambda t: probe(t, False), batch_format="pyarrow")
+    return sure.union(exact)
+
+
 def hash_join(left, right, on, how: str = "inner", num_partitions: int = 32):
     """Both-sides-large join → Ray's hash-partitioned ``Dataset.join``.
     Partitioning assumption: ``on`` hashes evenly; salt hot keys upstream

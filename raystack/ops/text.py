@@ -412,3 +412,84 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text",
     return totals.sort_values(["n", "ngram"],
                               ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def _ngram_hashes(texts, n: int, lowercase: bool = True):
+    """Deterministic 64-bit hashes of word n-grams, one flat array plus
+    the doc id of each window. ``texts`` is an Arrow string array (or
+    chunked). Token hashes come from pandas' fixed-key siphash
+    (``pd.util.hash_array`` — identical on every worker, unlike Python's
+    salted ``hash``); windows combine them order-sensitively with a
+    polynomial roll + splitmix64 finalizer. Vectorized end to end."""
+    import pandas as pd
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pc.cast(pc.fill_null(texts, ""), pa.string())
+    if lowercase:
+        s = pc.utf8_lower(s)
+    toks = pc.split_pattern_regex(s, r"\W+")
+    offs = np.asarray(toks.offsets)
+    counts = np.diff(offs)
+    flat = toks.flatten()
+    keep = np.asarray(pc.utf8_length(flat)) > 0
+    doc = np.repeat(np.arange(len(s)), counts)[keep]
+    vals = flat.to_numpy(zero_copy_only=False)[keep]
+    if len(vals) < n:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64))
+    # hash the UNIQUES only (small), then map through the codes
+    codes, uniq = pd.factorize(vals)
+    th = pd.util.hash_array(np.asarray(uniq, dtype=object),
+                            categorize=False)[codes]
+    m = len(th) - (n - 1)
+    same = np.ones(m, dtype=bool)
+    key = th[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            sl = slice(j, m + j)
+            same &= doc[sl] == doc[:m]
+            key = key * np.uint64(0x100000001B3) + th[sl]
+    return splitmix64(key[same]), doc[:m][same]
+
+
+def flag_contamination(ds, benchmark, text_col: str = "text", n: int = 8,
+                       bench_col: str = "text", lowercase: bool = True):
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    check): flag every training document that shares at least one word
+    ``n``-gram with a held-out evaluation set. The benchmark (small: an
+    eval set, not a corpus) is reduced driver-side to a SORTED array of
+    n-gram hashes — ~8 bytes per distinct benchmark n-gram — and
+    broadcast once via ``ray.put``; each batch then probes it with one
+    ``np.searchsorted`` pass. Adds ``contam_ngrams`` (number of windows
+    hitting the benchmark set) and ``contaminated`` (bool). Matching is
+    by 64-bit hash: a false flag needs a 2^-64 collision.
+
+    At 100 TB this is one streaming ``map_batches`` — no shuffle; the
+    only cross-task state is the read-only benchmark hash array in the
+    object store."""
+    import ray
+
+    if hasattr(benchmark, "to_arrow"):  # pandas → arrow
+        benchmark = pa.Table.from_pandas(benchmark)
+    if isinstance(benchmark, pa.Table):
+        bench_texts = benchmark[bench_col]
+    else:
+        bench_texts = benchmark
+    bh, _ = _ngram_hashes(bench_texts, n, lowercase)
+    bench_ref = ray.put(np.unique(bh))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        h, doc = _ngram_hashes(t[text_col], n, lowercase)
+        hits = np.zeros(t.num_rows, dtype=np.int64)
+        if len(h) and len(bench):
+            pos = np.searchsorted(bench, h)
+            ok = (pos < len(bench)) & (bench[np.minimum(pos, len(bench) - 1)]
+                                       == h)
+            if ok.any():
+                np.add.at(hits, doc[ok], 1)
+        return t.append_column(
+            "contam_ngrams", pa.array(hits, pa.int64())).append_column(
+            "contaminated", pa.array(hits > 0, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -955,3 +955,68 @@ def test_dedup_paragraphs_distributed_parity(ray_session, monkeypatch):
         .sort_values("doc_id").reset_index(drop=True)
     assert broadcast["doc_id"].tolist() == dist["doc_id"].tolist()
     assert broadcast["text"].tolist() == dist["text"].tolist()
+
+
+def test_semi_join_bloom_exact(ray_session):
+    # bloom-accelerated semi/anti must be EXACTLY equivalent to the
+    # broadcast reference on both string and int keys
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.join import semi_join, semi_join_bloom
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "source"])
+    ds = ray.data.from_arrow(t)
+    drop = [s for i, s in enumerate(sorted(set(t["source"].to_pylist())))
+            if i % 3 == 0]
+    keys = ray.data.from_arrow(pa.table({"source": drop}))
+    for anti in (False, True):
+        got = semi_join_bloom(ds, keys, on="source", anti=anti,
+                              num_partitions=4) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = semi_join(ds, drop, on="source", anti=anti) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want), f"anti={anti}"
+    # int keys
+    ids = t["doc_id"].to_pylist()[::7]
+    keys_i = ray.data.from_arrow(pa.table({"doc_id": ids}))
+    got = semi_join_bloom(ds, keys_i, on="doc_id", anti=True,
+                          num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = semi_join(ds, ids, on="doc_id", anti=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_semi_join_bloom_exact_under_false_positives(ray_session):
+    # a deliberately starved bloom (1 bit/key, 1 hash → massive fp rate)
+    # must still return exact results — fp rows are re-checked by the
+    # exact distributed join
+    import numpy as np
+    import ray.data
+    from raystack.ops import join as j
+    from raystack.ops.join import semi_join, semi_join_bloom
+    t = pa.table({"k": [f"key{i}" for i in range(500)],
+                  "v": list(range(500))})
+    ds = ray.data.from_arrow(t)
+    drop = [f"key{i}" for i in range(0, 500, 5)]
+    keys = ray.data.from_arrow(pa.table({"k": drop}))
+    for anti in (False, True):
+        got = semi_join_bloom(ds, keys, on="k", anti=anti,
+                              num_partitions=2, bits_per_key=1,
+                              n_hashes=1) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        want = semi_join(ds, drop, on="k", anti=anti) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        assert got.equals(want), f"anti={anti}"
+    # the byte-cap fallback path returns the same thing
+    old = j._BLOOM_MAX_BYTES
+    try:
+        j._BLOOM_MAX_BYTES = 0
+        got = semi_join_bloom(ds, keys, on="k", anti=True,
+                              num_partitions=2).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        want = semi_join(ds, drop, on="k", anti=True).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert got.equals(want)
+    finally:
+        j._BLOOM_MAX_BYTES = old

@@ -155,3 +155,85 @@ def test_top_ngrams_trigram_and_boundaries(ray_session):
     # "a b c" x2 (doc0) — no n-gram may span documents (doc1's "c a b"
     # would otherwise create a third "a b c" with doc2)
     assert got.iloc[0]["ngram"] == "a b c" and got.iloc[0]["n"] == 2
+
+
+def test_flag_contamination_vs_duckdb(ray_session):
+    # semantic mirror: a doc is contaminated iff it shares a word
+    # 3-gram (lowercased, \W+ tokenized) with the benchmark set —
+    # DuckDB computes the overlap on the STRINGS, the op on 64-bit
+    # hashes (a disagreement needs a 2^-64 collision)
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.text import flag_contamination
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    # benchmark: eval-style snippets — some lifted from the corpus
+    # (planted contamination), some novel
+    lifted = [" ".join(s.split()[2:9]) for s in
+              t["text"].to_pylist()[:5] if len(s.split()) >= 9]
+    bench = pa.table({"text": lifted + [
+        "the quick brown fox jumps over benchmarks",
+        "zzz entirely novel held out sequence qqq"]})
+
+    got = flag_contamination(ray.data.from_arrow(t), bench, n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    con.register("bench", bench.to_pandas())
+    want = con.execute(r"""
+        WITH dt AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\W+'), x -> x <> '') p
+          FROM docs),
+        dg AS (
+          SELECT doc_id, struct_extract(z,1) || ' ' || struct_extract(z,2)
+                 || ' ' || struct_extract(z,3) AS g
+          FROM (SELECT doc_id, unnest(list_zip(p[1:len(p)-2], p[2:len(p)-1],
+                       p[3:])) z FROM dt WHERE len(p) >= 3)),
+        bt AS (
+          SELECT list_filter(
+            string_split_regex(lower(text), '\W+'), x -> x <> '') p
+          FROM bench),
+        bg AS (
+          SELECT DISTINCT struct_extract(z,1) || ' ' || struct_extract(z,2)
+                 || ' ' || struct_extract(z,3) AS g
+          FROM (SELECT unnest(list_zip(p[1:len(p)-2], p[2:len(p)-1],
+                       p[3:])) z FROM bt WHERE len(p) >= 3))
+        SELECT d.doc_id,
+               count(*) FILTER (WHERE bg.g IS NOT NULL) > 0 AS contaminated,
+               count(bg.g) AS contam_ngrams
+        FROM dg d LEFT JOIN bg ON d.g = bg.g
+        GROUP BY d.doc_id ORDER BY d.doc_id""").df()
+    # docs with no 3-grams at all never appear in `want` — they are
+    # trivially clean
+    merged = got.merge(want, on="doc_id", how="left",
+                       suffixes=("", "_sql"))
+    merged["contaminated_sql"] = merged["contaminated_sql"].fillna(False)
+    merged["contam_ngrams_sql"] = \
+        merged["contam_ngrams_sql"].fillna(0).astype(int)
+    assert merged["contaminated"].equals(
+        merged["contaminated_sql"].astype(bool))
+    assert merged["contam_ngrams"].tolist() == \
+        merged["contam_ngrams_sql"].tolist()
+    # the plant worked: some contamination found, not everything flagged
+    assert 0 < merged["contaminated"].sum() < len(merged)
+
+
+def test_flag_contamination_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from raystack.ops.text import flag_contamination
+    t = pa.table({"doc_id": [0, 1, 2, 3],
+                  "text": ["alpha beta gamma delta", "alpha beta", "",
+                           None]})
+    bench = pa.table({"text": ["ALPHA beta?? gamma", "nope"]})
+    got = flag_contamination(ray.data.from_arrow(t), bench, n=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # lowercasing + \W+ tokenizing make "ALPHA beta?? gamma" hit doc 0;
+    # doc 1 is shorter than n; empty/null docs never flag
+    assert got["contaminated"].tolist() == [True, False, False, False]
+    assert got["contam_ngrams"].tolist() == [1, 0, 0, 0]
