@@ -320,14 +320,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (ds.sort(["o_totalprice", "o_orderkey"],
                         descending=[True, False]).limit(10))
 
-    def events_semi_join(sf):
-        from raystack.ops.join import semi_join
-        keys = pq.read_table(os.path.join(sf, "customer.parquet"),
-                             columns=["c_custkey"])["c_custkey"].to_pylist()
-        keys = [k for k in keys if k < 20]
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
-                                   columns=["event_id", "user_id"])
-        return semi_join(ds, keys, on="user_id")
+    def contamination(sf):
+        """Benchmark decontamination (the GPT-3/PaLM-style training-data
+        check): flag every document sharing a word 5-gram with a
+        "benchmark" of every 97th document — whole lifted documents, so
+        contamination is planted by construction. The op matches on
+        fixed-key siphash n-gram hashes; the oracle overlaps the STRINGS
+        — a disagreement needs a 2^-64 hash collision.
+        (raystack.ops.text.flag_contamination; semi_join stays covered
+        by events_anti_join — same broadcast-filter code path.)"""
+        from raystack.ops.text import flag_contamination
+        t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        bench = t.filter(pa.array(t["doc_id"].to_numpy() % 97 == 0))
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return flag_contamination(ds, bench, n=5).select_columns(
+            ["doc_id", "contam_ngrams", "contaminated"])
 
     def events_anti_join(sf):
         # threshold 5 keeps the anti side non-empty at every sf (sf0.001
@@ -732,7 +741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionized_events": sessionized_events,
         "events_asof": events_asof,
         "events_range_join": events_range_join,
-        "events_semi_join": events_semi_join,
+        "contamination": contamination,
         "events_anti_join": events_anti_join,
         "orders_by_segment": orders_by_segment,
         "top_orders": top_orders,
@@ -1076,9 +1085,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey"),
         "top_orders": ("SELECT o_orderkey, o_totalprice FROM orders "
                        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
-        "events_semi_join": (
-            "SELECT event_id, user_id FROM events WHERE user_id IN "
-            "(SELECT c_custkey FROM customer WHERE c_custkey < 20)"),
+        "contamination": (r"""
+            WITH dt AS (
+              SELECT doc_id, list_filter(
+                string_split_regex(lower(text), '\W+'), x -> x <> '') p
+              FROM documents),
+            dg AS (
+              SELECT doc_id,
+                     struct_extract(z,1) || ' ' || struct_extract(z,2) ||
+                     ' ' || struct_extract(z,3) || ' ' ||
+                     struct_extract(z,4) || ' ' || struct_extract(z,5) AS g
+              FROM (SELECT doc_id,
+                           unnest(list_zip(p[1:len(p)-4], p[2:len(p)-3],
+                                           p[3:len(p)-2], p[4:len(p)-1],
+                                           p[5:])) z
+                    FROM dt WHERE len(p) >= 5)),
+            bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+            hits AS (SELECT d.doc_id, count(*) AS c
+                     FROM dg d JOIN bg USING (g) GROUP BY d.doc_id)
+            SELECT t.doc_id, coalesce(h.c, 0) AS contam_ngrams,
+                   coalesce(h.c, 0) > 0 AS contaminated
+            FROM documents t LEFT JOIN hits h USING (doc_id)"""),
         "value_quantiles": ("""
             SELECT 0.5 AS quantile, quantile_disc(value, 0.5) AS value
             FROM events

@@ -11,7 +11,7 @@ SQL). Ray-Data shape: the filter/split stages are pure ``map_batches``
 (no shuffle); exact dedup shuffles 8-byte fingerprints; the near-dedup
 candidate filter is distributed (see ops/dedup.py); and both drop lists
 are count-gated — broadcast only when provably ≤ _BROADCAST_LIMIT, else
-a distributed hash anti-join (a duplicate-heavy crawl has O(corpus)
+a bloom-accelerated distributed anti-join (a duplicate-heavy crawl has O(corpus)
 drop rows, which must never be collected to the driver).
 """
 
@@ -42,7 +42,7 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     # duplicate-heavy crawl the drop list is O(corpus) and must never be
     # collected to the driver.
     from .ops.dedup import _BROADCAST_LIMIT, exact_dup_ids
-    from .ops.join import semi_join, semi_join_ds
+    from .ops.join import semi_join, semi_join_bloom
     dup_ds = exact_dup_ids(kept, text_col, id_col).materialize()
     n_dups = dup_ds.count()  # count() tolerates schema-less empty groups
     if n_dups:
@@ -50,13 +50,18 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
             kept = semi_join(kept, list(dup_ds.to_pandas()[id_col]),
                              on=id_col, anti=True)
         else:
-            # checkpoint after the distributed anti-join: each hash-join
-            # operator reserves its whole aggregator pool up front, so two
-            # chained joins in ONE executing graph can starve each other
-            # on a small cluster (and the checkpoint spares the upstream
-            # langid/quality recompute in the later passes)
-            kept = semi_join_ds(kept, dup_ds, on=id_col,
-                                anti=True).materialize()
+            # scale branch: bloom-accelerated anti-join — the clean
+            # majority of the corpus never enters the exact join's
+            # shuffle (semi_join_bloom falls back to the plain hash
+            # anti-join when the drop list outgrows the bitmap cap).
+            # Checkpoints bracket it: before, because the bloom anti
+            # path scans its input twice (don't recompute the langid/
+            # quality chain); after, because each hash-join operator
+            # reserves its whole aggregator pool up front, so two
+            # chained joins in ONE executing graph can starve each
+            # other on a small cluster
+            kept = semi_join_bloom(kept.materialize(), dup_ds,
+                                   on=id_col, anti=True).materialize()
 
     # near-dedup: drop the non-minimal member of each duplicate set —
     # same count gate on the pair list
@@ -68,8 +73,9 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
             kept = semi_join(kept, list(pairs_ds.to_pandas()[id_col]),
                              on=id_col, anti=True)
         else:
-            kept = semi_join_ds(kept, pairs_ds.select_columns([id_col]),
-                                on=id_col, anti=True)
+            kept = semi_join_bloom(kept.materialize(),
+                                   pairs_ds.select_columns([id_col]),
+                                   on=id_col, anti=True)
 
     out = hash_split(kept, id_col=id_col, fraction=holdout_fraction)
     return out.map_batches(
