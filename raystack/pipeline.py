@@ -1224,6 +1224,7 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                   columns_rename: dict[str, str] | None = None,
                   add_filename: bool = True,
                   schema: str = "strict",
+                  precode: bool = True,
                   page_rows: int = DEFAULT_PAGE_ROWS,
                   map_bytes: int = TARGET_MAP_BYTES,
                   logger=None) -> dict:
@@ -1237,8 +1238,11 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     Untouched partitions' files (and zone sidecars) are left alone;
     touched partitions' sidecars are invalidated (re-run
     :func:`raystack.zones.build_zone_maps` to restore pruning there). The
-    manifest is re-finalized over the whole layout. Precode is disabled
-    (per-column heavy numbering would need its own base offset).
+    manifest is re-finalized over the whole layout. Heavy plain-family
+    columns precode on the map side exactly as in
+    :func:`encode_partitioned_tasks` (the global append base page
+    upper-bounds every column's numbering, so per-column heavy page ids
+    never collide with prior pages).
 
     ``schema="strict"`` (default) requires the appended files' columns to
     match the layout's exactly. ``schema="union"`` absorbs schema drift
@@ -1341,9 +1345,22 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                 backfill[c] = pa.string() if c in prov_cols \
                     else plan.unified_schema.field(c).type
 
+    # precode works for appends too: heavy plain-family columns compress
+    # ONCE on the map side exactly as in encode_partitioned_tasks. The
+    # append base page (global max over ALL existing pages + 1) upper-
+    # bounds every column's own numbering, so per-column heavy page ids
+    # never collide with prior pages either. The map is decided once on
+    # the driver (sampled from THIS append's first file, after any union
+    # plan extension) — the reduce's divergence check applies per run;
+    # across runs a column may legally switch heavy/light (decode
+    # assembles columns independently, any codec mix).
+    precode_map = plan_precode_columns(source_paths, plan, enc_cols,
+                                       dialect) if precode else {}
     groups = _group_files(source_paths, map_bytes)
     log.send_log(f"encode_append: {len(groups)} map task(s) → "
-                 f"{num_partitions} partitions (existing layout) → {out_dir}")
+                 f"{num_partitions} partitions (existing layout) → {out_dir}"
+                 + (f"; precoded columns: {sorted(precode_map)}"
+                    if precode_map else ""))
     if num_partitions == 1:
         map_fn = ray.remote(num_cpus=1)(_map_pack_single)
     else:
@@ -1351,7 +1368,7 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                             num_cpus=1)(_map_pack_files)
     enc_fn = ray.remote(num_cpus=1)(_encode_part_task)
     map_refs = [map_fn.remote(g, plan, num_partitions, url_col, hot_hosts,
-                              host_map, frozenset(), dialect, {})
+                              host_map, frozenset(), dialect, precode_map)
                 for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]

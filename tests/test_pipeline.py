@@ -709,3 +709,36 @@ def test_encode_append_union_rerun_and_compact(ray_session, tmp_path):
     codecs = pads.dataset(os.path.join(out, "pages"), partitioning="hive") \
         .to_table(columns=["codec"])
     assert "nulls" not in set(codecs["codec"].to_pylist())
+
+
+def test_encode_append_precode_heavy(ray_session, web, tmp_path):
+    # appends precode heavy (html) columns map-side like the first
+    # encode: day1 + precoded append ≡ full encode, and the appended
+    # html pages actually arrive precoded (plain-family codec at a page
+    # index past the first encode's)
+    out = str(tmp_path / "enc")
+    ref = str(tmp_path / "ref")
+    day1, day2 = list(web)[:2], list(web)[2:]
+    pl.encode_partitioned_tasks(day1, out, num_partitions=4)
+    s = pl.encode_append(day2, out)
+    pl.encode_partitioned_tasks(list(web), ref, num_partitions=4)
+    assert s["rows"] == 3000
+    got = _df_by_url(pl.decode_dir(out).to_pandas())
+    exp = _df_by_url(pl.decode_dir(ref).to_pandas())
+    for col in ["url", "warc_ts", "html", "text", "lang", "filename"]:
+        assert got[col].tolist() == exp[col].tolist(), col
+    # the appended html pages are map-side precoded (plain-family),
+    # not re-encoded at the reduce
+    import pyarrow.dataset as pads
+    meta = pads.dataset(os.path.join(out, "pages"), partitioning="hive") \
+        .to_table(columns=["column", "page_idx", "codec"])
+    html = meta.filter(pa.compute.equal(meta["column"], "html")).to_pandas()
+    appended = html[html["page_idx"] > html["page_idx"].min()]
+    assert len(appended) and all(
+        c.startswith("plain") for c in appended["codec"])
+    # precode=False still decodes identically (codec choice is metadata)
+    out2 = str(tmp_path / "enc2")
+    pl.encode_partitioned_tasks(day1, out2, num_partitions=4)
+    pl.encode_append(day2, out2, precode=False)
+    got2 = _df_by_url(pl.decode_dir(out2).to_pandas())
+    assert got2["html"].tolist() == exp["html"].tolist()
