@@ -243,6 +243,32 @@ def run_bench(num_cpus: int) -> dict:
     dedup_paragraphs(docs).count()
     queries["paragraph_dedup"] = round(time.perf_counter() - t0, 3)
 
+    # benchmark decontamination: every 97th doc lifted as the "eval set",
+    # one broadcast hash array + one searchsorted probe per batch
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raystack.ops.text import flag_contamination
+    t_doc = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                          columns=["doc_id", "text"])
+    bench_docs = t_doc.filter(
+        pa.array(t_doc["doc_id"].to_numpy() % 97 == 0))
+    t0 = time.perf_counter()
+    n_contam = flag_contamination(docs, bench_docs, n=8) \
+        .map_batches(lambda t: t.filter(t["contaminated"]),
+                     batch_format="pyarrow").count()
+    queries["contamination"] = round(time.perf_counter() - t0, 3)
+    assert n_contam >= len(bench_docs), n_contam  # plants must be found
+
+    # bloom-accelerated anti-join: drop list = every 7th doc_id
+    from raystack.ops.join import semi_join_bloom
+    drop = ray.data.from_arrow(pa.table(
+        {"doc_id": t_doc["doc_id"].to_pylist()[::7]}))
+    t0 = time.perf_counter()
+    n_kept = semi_join_bloom(docs, drop, on="doc_id", anti=True).count()
+    queries["bloom_anti_join"] = round(time.perf_counter() - t0, 3)
+    assert n_kept < t_doc.num_rows, n_kept
+
     # zone-mapped range count over the already-encoded headline layout
     from raystack.zones import build_zone_maps, count_where
     t0 = time.perf_counter()

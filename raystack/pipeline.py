@@ -1808,6 +1808,45 @@ def lookup_rows(out_dir: str, values: list[str],
         batch_format="pyarrow")
 
 
+def layout_stats(out_dir: str) -> dict:
+    """Operator-facing health summary of an encoded layout
+    (``run_encode.py --stats``): manifest totals + compression ratio,
+    per-column codec mix across partitions (a column split across many
+    codecs hints at value drift), files per partition (append
+    accumulation — the compaction signal), and zone-sidecar coverage.
+    Driver-side METADATA only: manifest json + directory listings; never
+    opens a page file."""
+    from .zones import ZONES_DIRNAME
+    m = mf.load_manifest(out_dir)
+    summary = mf.manifest_summary(out_dir)
+    codec_mix: dict[str, dict[str, int]] = {}
+    for row in m.values():
+        for col, codec in row.get("codecs", {}).items():
+            codec_mix.setdefault(col, {})
+            codec_mix[col][codec] = codec_mix[col].get(codec, 0) + 1
+    pages_root = os.path.join(out_dir, "pages")
+    files_per_part = {
+        d: sum(f.endswith(".parquet")
+               for f in os.listdir(os.path.join(pages_root, d)))
+        for d in sorted(os.listdir(pages_root))
+        if d.startswith("part_key=")} if os.path.isdir(pages_root) else {}
+    zones_root = os.path.join(out_dir, ZONES_DIRNAME)
+    zoned = sum(
+        os.path.exists(os.path.join(zones_root, d, "meta.json"))
+        for d in os.listdir(zones_root)) if os.path.isdir(zones_root) else 0
+    summary.update({
+        "config": mf.load_config(out_dir),
+        "compression": round(summary["encoded_bytes"]
+                             / max(1, summary["raw_bytes"]), 4),
+        "codec_mix": codec_mix,
+        "page_files": sum(files_per_part.values()),
+        "multi_file_partitions": sum(v > 1 for v in files_per_part.values()),
+        "max_files_per_partition": max(files_per_part.values(), default=0),
+        "zone_sidecars": int(zoned),
+    })
+    return summary
+
+
 def compact_partitions(out_dir: str, min_files: int = 2,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        zone_columns: list[str] | None = None,

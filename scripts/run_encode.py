@@ -22,9 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True,
-                    help="directory of (drifting) parquet files, or a glob")
+    ap.add_argument("--input", default="",
+                    help="directory of (drifting) parquet files, or a glob "
+                         "(not needed with --stats)")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--stats", action="store_true",
+                    help="print the layout health summary (manifest "
+                         "totals, codec mix, files/partition, zone "
+                         "coverage — metadata only, no Ray) and exit")
     ap.add_argument("--partitions", type=int, default=0,
                     help="0 = 2x cluster CPUs")
     ap.add_argument("--mode", choices=["tasks", "partitioned", "streaming"],
@@ -52,6 +57,13 @@ def main():
                          "time (per-page min/max sidecars for pruned "
                          "range queries; tasks/partitioned modes)")
     args = ap.parse_args()
+
+    if args.stats:  # metadata-only: no Ray session, no page reads
+        from raystack import pipeline as pl
+        print(json.dumps(pl.layout_stats(args.output)))
+        return
+    if not args.input:
+        raise SystemExit("--input is required (except with --stats)")
 
     import ray
     if not ray.is_initialized():

@@ -742,3 +742,22 @@ def test_encode_append_precode_heavy(ray_session, web, tmp_path):
     pl.encode_append(day2, out2, precode=False)
     got2 = _df_by_url(pl.decode_dir(out2).to_pandas())
     assert got2["html"].tolist() == exp["html"].tolist()
+
+
+def test_layout_stats(ray_session, web, tmp_path):
+    out = str(tmp_path / "enc")
+    day1, day2 = list(web)[:2], list(web)[2:]
+    pl.encode_partitioned_tasks(day1, out, num_partitions=4,
+                                zone_columns=["warc_ts"])
+    s1 = pl.layout_stats(out)
+    assert s1["partitions"] == 4 and s1["rows"] == 1500
+    assert s1["max_files_per_partition"] == 1
+    assert s1["multi_file_partitions"] == 0
+    assert s1["zone_sidecars"] == 4
+    assert 0 < s1["compression"] < 1
+    assert "html" in s1["codec_mix"] and s1["config"]["num_partitions"] == 4
+    pl.encode_append(day2, out)
+    s2 = pl.layout_stats(out)
+    assert s2["rows"] == 3000
+    assert s2["multi_file_partitions"] >= 1  # append accumulation visible
+    assert s2["zone_sidecars"] < 4  # touched sidecars invalidated
