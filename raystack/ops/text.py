@@ -493,3 +493,120 @@ def flag_contamination(ds, benchmark, text_col: str = "text", n: int = 8,
             "contaminated", pa.array(hits > 0, pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    target_chars: int = 4096, overlap_chars: int = 256):
+    """Training-prep chunking: split long documents into overlapping
+    chunks of at most ``target_chars`` BYTES, boundaries snapped to
+    whitespace (falling back to a UTF-8-safe backoff when a window has
+    none). Deterministic and per-chunk independent — chunk *k* of a doc
+    derives from fixed stride positions, so the whole op is one
+    vectorized ``map_batches`` pass over the flat string buffer (no
+    per-row Python, no shuffle). Every non-whitespace byte of the
+    original lands in at least one chunk, and consecutive chunks overlap
+    by ~``overlap_chars`` (context carry-over for training windows).
+
+    Output: one row per chunk — ``(id_col, chunk_idx, chunk_start,
+    chunk_text)`` with ``chunk_start`` the byte offset into the original
+    document.
+
+    Geometry (all guarantees hold for ANY whitespace layout): start
+    boundaries anchor at ``k * (target - 2*overlap)`` and may snap BACK
+    by at most ``overlap - 4`` bytes to land after a whitespace; ends
+    cap at ``start + target`` and may snap back by the same margin.
+    With both snaps at their extremes consecutive chunks still overlap,
+    and the chunk count is sized so the final chunk always reaches the
+    document end — so every chunk is ≤ ``target_chars`` bytes AND every
+    non-whitespace byte is covered."""
+    if overlap_chars < 8 or target_chars <= 2 * overlap_chars:
+        raise ValueError("need overlap_chars >= 8 and "
+                         "target_chars > 2*overlap_chars")
+    stride = target_chars - 2 * overlap_chars
+
+    from .hashing import flatten_column
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        data, starts, lengths = flatten_column(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)
+        n_docs = len(lengths)
+        if n_docs == 0:
+            return pa.table({id_col: t[id_col],
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_start": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.large_string())})
+        is_ws = (data == 32) | (data == 10) | (data == 9) | (data == 13)
+        # leading -1 sentinel: whitespace-free buffers still index safely
+        # (the ok1/ok2 position guards reject it)
+        ws_pos = np.concatenate([[-1], np.flatnonzero(is_ws)])
+        L = lengths
+        # sized so the LAST anchor + target reaches the doc end even if
+        # its start snapped back the full overlap margin
+        n_chunks = np.where(
+            L <= target_chars, 1,
+            ((L - target_chars + overlap_chars + stride - 1) // stride)
+            + 1).astype(np.int64)
+        total = int(n_chunks.sum())
+        doc = np.repeat(np.arange(n_docs), n_chunks)
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        k = np.arange(total) - first[doc]
+        doc_abs = starts[doc]
+        abs_s = doc_abs + k * stride
+        doc_end = doc_abs + L[doc]
+
+        def utf8_backoff(p, lo):
+            # move back over UTF-8 continuation bytes (≤3 steps) so a
+            # hard cut never splits a codepoint
+            for _ in range(3):
+                # a cut at p splits a codepoint iff the byte AT p is a
+                # continuation byte; p == len(data) is a valid end cut
+                inside = (p > lo) & (p < len(data))
+                cont = np.zeros(len(p), dtype=bool)
+                cont[inside] = (data[p[inside]] & 0xC0) == 0x80
+                p = np.where(cont, p - 1, p)
+            return p
+
+        # snap starts (k>0) back ≤ overlap-4 bytes to just after a
+        # whitespace (the -4 reserves room for the ≤3-byte UTF-8 backoff
+        # to stay inside the window); snap ends the same way. The margin
+        # arithmetic keeps every chunk ≤ target AND consecutive chunks
+        # overlapping — see the docstring.
+        win = overlap_chars - 4
+        i1 = np.searchsorted(ws_pos, abs_s, side="right") - 1
+        c1 = np.maximum(i1, 0)
+        ok1 = (i1 >= 0) & (ws_pos[c1] > abs_s - win) \
+            & (ws_pos[c1] >= doc_abs)
+        S = np.where(k == 0, doc_abs,
+                     np.where(ok1, ws_pos[c1] + 1,
+                              utf8_backoff(abs_s, doc_abs)))
+        raw_e = np.minimum(S + target_chars, doc_end)
+        at_end = raw_e >= doc_end
+        i2 = np.searchsorted(ws_pos, raw_e, side="right") - 1
+        c2 = np.maximum(i2, 0)
+        ok2 = (i2 >= 0) & (ws_pos[c2] > raw_e - win) & (ws_pos[c2] > S)
+        E = np.where(at_end, doc_end,
+                     np.where(ok2, ws_pos[c2], utf8_backoff(raw_e, S)))
+        E = np.maximum(E, S)
+
+        # one gather for every chunk's bytes → LargeString from buffers
+        out_len = E - S
+        gather = np.repeat(S, out_len) + (
+            np.arange(int(out_len.sum())) -
+            np.repeat(np.concatenate([[0], np.cumsum(out_len)[:-1]]),
+                      out_len))
+        buf = data[gather].tobytes()
+        offs = np.concatenate([[0], np.cumsum(out_len)]).astype(np.int64)
+        text_arr = pa.Array.from_buffers(
+            pa.large_utf8(), total,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)])
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col],
+                                                       pa.ChunkedArray) \
+            else t[id_col]
+        return pa.table({id_col: ids.take(pa.array(doc, pa.int64())),
+                         "chunk_idx": pa.array(k, pa.int64()),
+                         "chunk_start": pa.array(S - doc_abs, pa.int64()),
+                         "chunk_text": text_arr})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

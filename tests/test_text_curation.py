@@ -237,3 +237,73 @@ def test_flag_contamination_edges(ray_session):
     # doc 1 is shorter than n; empty/null docs never flag
     assert got["contaminated"].tolist() == [True, False, False, False]
     assert got["contam_ngrams"].tolist() == [1, 0, 0, 0]
+
+
+def test_chunk_documents_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.text import chunk_documents
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    target, overlap = 200, 40
+    got = chunk_documents(ray.data.from_arrow(t), target_chars=target,
+                          overlap_chars=overlap).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    orig = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    assert set(got["doc_id"]) == set(orig)  # every doc represented
+    for doc_id, g in got.groupby("doc_id"):
+        s = orig[doc_id].encode()
+        covered = np.zeros(len(s), dtype=bool)
+        for _, r in g.iterrows():
+            cb = r["chunk_text"].encode()
+            assert len(cb) <= target
+            # substring at the recorded offset
+            assert s[r["chunk_start"]:r["chunk_start"] + len(cb)] == cb
+            covered[r["chunk_start"]:r["chunk_start"] + len(cb)] = True
+        # every non-whitespace byte is in at least one chunk
+        ws = np.frombuffer(s, np.uint8)
+        is_ws = (ws == 32) | (ws == 10) | (ws == 9) | (ws == 13)
+        assert covered[~is_ws].all()
+        # consecutive chunks overlap (context carry-over)
+        st = g["chunk_start"].to_numpy()
+        en = st + g["chunk_text"].str.encode("utf-8").str.len().to_numpy()
+        if len(st) > 1:
+            assert (st[1:] < en[:-1]).all()
+
+    # short docs pass through as themselves
+    small = pa.table({"doc_id": [1], "text": ["tiny doc"]})
+    one = chunk_documents(ray.data.from_arrow(small), target_chars=100,
+                          overlap_chars=10).to_pandas()
+    assert one["chunk_text"].tolist() == ["tiny doc"] \
+        and one["chunk_idx"].tolist() == [0]
+
+    # multibyte text with NO whitespace: hard cuts must stay UTF-8-valid
+    uni = pa.table({"doc_id": [7], "text": ["é" * 501]})
+    u = chunk_documents(ray.data.from_arrow(uni), target_chars=100,
+                        overlap_chars=20).to_pandas()
+    assert all(isinstance(x, str) for x in u["chunk_text"])
+    recon = set("".join(u["chunk_text"]))
+    assert recon == {"é"}
+    # deterministic
+    u2 = chunk_documents(ray.data.from_arrow(uni), target_chars=100,
+                         overlap_chars=20).to_pandas()
+    assert u["chunk_text"].tolist() == u2["chunk_text"].tolist()
+
+
+def test_chunk_documents_degenerate(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from raystack.ops.text import chunk_documents
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["", "   \n\t  ", None]})
+    got = chunk_documents(ray.data.from_arrow(t), target_chars=64,
+                          overlap_chars=8).to_pandas()
+    # degenerate docs each yield exactly one (empty-ish) chunk row
+    assert sorted(got["doc_id"]) == [1, 2, 3]
+    assert (got["chunk_idx"] == 0).all()
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(ray.data.from_arrow(t), target_chars=10,
+                        overlap_chars=8)
