@@ -175,3 +175,73 @@ def frequent_items(ds, col: str, k: int = 10):
     return totals.sort_values(["n", "value"],
                               ascending=[False, True]).head(k) \
         .reset_index(drop=True)
+
+
+def _summarize_weighted(vals: "np.ndarray", wts: "np.ndarray", k: int):
+    """Collapse weighted points to ≤k equi-depth order statistics
+    (value, weight) — sorted by value, deterministic."""
+    import numpy as np
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    total = wts.sum()
+    if len(vals) <= k:
+        return vals, wts
+    # k ranks evenly spaced through the cumulative weight; each summary
+    # point is the value AT that rank and carries 1/k of the total weight
+    cum = np.cumsum(wts)
+    ranks = (np.arange(1, k + 1) * (total / k))
+    idx = np.searchsorted(cum, ranks - 1e-9)
+    idx = np.minimum(idx, len(vals) - 1)
+    return vals[idx], np.full(k, total / k)
+
+
+def approx_quantiles(ds, col: str, quantiles=(0.5, 0.9, 0.99),
+                     k: int = 512, fanin: int = 32):
+    """One-pass MERGEABLE approximate quantiles — the 100 TB companion
+    to :func:`value_quantiles` (which is exact but needs a bounded
+    distinct count). Each batch collapses to ≤``k`` equi-depth order
+    statistics (value, weight); summaries tree-reduce through a
+    ``fanin``-way repartition level and a final single-task merge, so no
+    stage — driver included — ever sees more than ``k × fanin`` rows,
+    regardless of corpus size. Rank error is O(1/k) per merge level
+    (two levels here → ~``2/k`` of the total weight, ≈0.4% at the
+    default k); values returned are always actual column values, and
+    the result is deterministic for a fixed block layout.
+    Returns a pandas DataFrame (quantile, value)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = np.asarray(arr.drop_null())
+        if not len(vals):
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        v, w = _summarize_weighted(vals.astype(np.float64),
+                                   np.ones(len(vals)), k)
+        return pa.table({"v": pa.array(v), "w": pa.array(w)})
+
+    def remerge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        v, w = _summarize_weighted(np.asarray(t["v"]), np.asarray(t["w"]), k)
+        return pa.table({"v": pa.array(v), "w": pa.array(w)})
+
+    summ = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(fanin).map_batches(remerge, batch_format="pyarrow") \
+        .repartition(1).map_batches(remerge, batch_format="pyarrow")
+    final = summ.to_pandas()  # ≤ k rows
+    rows = []
+    if not len(final):
+        return pd.DataFrame([{"quantile": q, "value": None}
+                             for q in quantiles])
+    final = final.sort_values("v").reset_index(drop=True)
+    cum = final["w"].cumsum()
+    total = float(cum.iloc[-1])
+    for q in quantiles:
+        idx = int((cum >= q * total - 1e-9).idxmax())
+        rows.append({"quantile": q, "value": final["v"].iloc[idx]})
+    return pd.DataFrame(rows)

@@ -1020,3 +1020,26 @@ def test_semi_join_bloom_exact_under_false_positives(ray_session):
         assert got.equals(want)
     finally:
         j._BLOOM_MAX_BYTES = old
+
+
+def test_approx_quantiles_close_to_exact(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.colstats import approx_quantiles, value_quantiles
+    ds = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet",
+                               columns=["value"]).repartition(16)
+    exact = value_quantiles(ds, "value", quantiles=(0.1, 0.5, 0.9, 0.99))
+    approx = approx_quantiles(ds, "value", quantiles=(0.1, 0.5, 0.9, 0.99))
+    vals = ray.data.read_parquet("/root/testdata/sf0.01/events.parquet",
+                                 columns=["value"]).to_pandas()["value"] \
+        .dropna().sort_values().reset_index(drop=True)
+    n = len(vals)
+    for (_, e), (_, a) in zip(exact.iterrows(), approx.iterrows()):
+        # rank error bound: the approximate value's true rank must be
+        # within ~2% of the requested rank
+        import numpy as np
+        rank_a = np.searchsorted(vals.to_numpy(), a["value"]) / n
+        assert abs(rank_a - a["quantile"]) < 0.02, (a["quantile"], rank_a)
+    # deterministic for a fixed block layout
+    again = approx_quantiles(ds, "value", quantiles=(0.1, 0.5, 0.9, 0.99))
+    assert approx["value"].tolist() == again["value"].tolist()
