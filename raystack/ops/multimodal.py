@@ -5,9 +5,11 @@ Decode support has two tiers:
 
 - **Real decoders** for formats that need no external library:
   binary PPM/PGM images (:func:`decode_pnm` — header parse +
-  ``np.frombuffer``, plus :func:`resize_nearest`) and PCM WAV audio
-  (:func:`decode_wav` — stdlib ``wave``). :class:`MediaDecoder` sniffs
-  each payload's magic bytes and emits real width/height/channels or
+  ``np.frombuffer``, plus :func:`resize_nearest`), uncompressed BMP
+  (:func:`decode_bmp` — BITMAPINFOHEADER, 24/32-bit, row padding + BGR
+  + bottom-up normalized) and PCM WAV audio (:func:`decode_wav` —
+  stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
+  bytes and emits real width/height/channels or
   sample-rate/duration/RMS features.
 - **STUBS** for library-bound formats (JPEG/PNG/MP4 need PIL/ffmpeg,
   which this container doesn't ship — clearly marked below). Everything
@@ -77,6 +79,56 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed Windows BMP (BITMAPINFOHEADER+, 24/32-bit ``BI_RGB``)
+    → ``(h, w, 3|4)`` uint8 RGB(A). Rows are 4-byte aligned and stored
+    bottom-up (top-down when the height field is negative), pixels BGR —
+    both normalized here. Real decode per the published BMP file-format
+    spec, no external library."""
+    import struct
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs unsupported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    top_down, h = h < 0, abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, count=row_bytes * h,
+                        offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(
+        rows[..., [2, 1, 0, 3] if nch == 4 else [2, 1, 0]])
+
+
+def encode_bmp(img: np.ndarray, top_down: bool = False) -> bytes:
+    """(h, w, 3|4) uint8 RGB(A) → BMP bytes (fixture writer for tests;
+    inverse of :func:`decode_bmp`)."""
+    import struct
+    h, w, nch = img.shape
+    bpp = nch * 8
+    row_bytes = (w * nch + 3) & ~3
+    bgr = img[..., [2, 1, 0, 3] if nch == 4 else [2, 1, 0]]
+    if not top_down:
+        bgr = bgr[::-1]
+    rows = np.zeros((h, row_bytes), np.uint8)
+    rows[:, : w * nch] = bgr.reshape(h, w * nch)
+    body = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1,
+                       bpp, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0,
+                         14 + 40)
+    return header + info + body
+
+
 def decode_wav(payload: bytes):
     """PCM WAV → (samples ``(n, channels)`` float64 in [-1, 1], rate).
     Stdlib ``wave`` container parse + ``np.frombuffer`` sample decode;
@@ -99,7 +151,7 @@ def decode_wav(payload: bytes):
 
 class MediaDecoder:
     """Actor-pool decode stage: sniff each payload's magic bytes and run
-    the REAL decoder where one exists (PPM/PGM, PCM WAV), else mark the
+    the REAL decoder where one exists (PPM/PGM, BMP, PCM WAV), else mark the
     row undecoded (library-bound formats are the documented stub tier).
     The per-payload loop is intentional — each payload is one multi-KB
     media file and the heavy work inside (pixel/sample math) is numpy;
@@ -122,6 +174,7 @@ class MediaDecoder:
         mean_level = np.zeros(n, np.float64)
         decoded = np.zeros(n, bool)
         payloads = t["payload"]
+        import struct
         import wave
         for i in range(n):
             p = payloads[i].as_py()
@@ -135,6 +188,11 @@ class MediaDecoder:
                     mean_level[i] = float(img.mean()) / \
                         (255.0 if img.dtype == np.uint8 else 65535.0)
                     kind[i], decoded[i] = "image", True
+                elif head[:2] == b"BM":
+                    img = decode_bmp(p)
+                    height[i], width[i], channels[i] = img.shape
+                    mean_level[i] = float(img.mean()) / 255.0
+                    kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                     samples, rate = decode_wav(p)
                     sample_rate[i] = rate
@@ -143,7 +201,8 @@ class MediaDecoder:
                     mean_level[i] = float(np.sqrt((samples ** 2).mean())) \
                         if samples.size else 0.0
                     kind[i], decoded[i] = "audio", True
-            except (ValueError, EOFError, IndexError, wave.Error):
+            except (ValueError, EOFError, IndexError, wave.Error,
+                    struct.error):
                 pass  # sniffed magic but malformed body → stays undecoded
         return pa.table({
             "media_id": t["media_id"],
@@ -159,7 +218,7 @@ class MediaDecoder:
 
 def decode_media(ds, concurrency=(1, 4), batch_size: int = MEDIA_BATCH_SIZE):
     """Actor-pool media decode over a :data:`MEDIA_SCHEMA`-shaped dataset:
-    real PPM/PGM + WAV decoding, unknown formats flagged not decoded."""
+    real PPM/PGM + BMP + WAV decoding, unknown formats flagged not decoded."""
     return ds.map_batches(MediaDecoder, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
 

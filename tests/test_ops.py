@@ -1043,3 +1043,31 @@ def test_approx_quantiles_close_to_exact(ray_session):
     # deterministic for a fixed block layout
     again = approx_quantiles(ds, "value", quantiles=(0.1, 0.5, 0.9, 0.99))
     assert approx["value"].tolist() == again["value"].tolist()
+
+
+def test_decode_bmp_roundtrip(ray_session):
+    import ray.data
+    from raystack.ops.multimodal import (MEDIA_SCHEMA, decode_bmp,
+                                         decode_media, encode_bmp)
+    rng = np.random.default_rng(11)
+    img24 = rng.integers(0, 256, (13, 10, 3), dtype=np.uint8)
+    img32 = rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+    # bit-exact round trips, both row orders, both depths (odd widths
+    # exercise the 4-byte row padding)
+    assert np.array_equal(decode_bmp(encode_bmp(img24)), img24)
+    assert np.array_equal(decode_bmp(encode_bmp(img24, top_down=True)),
+                          img24)
+    assert np.array_equal(decode_bmp(encode_bmp(img32)), img32)
+    # the actor stage decodes it and flags malformed bodies undecoded
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_bmp(img24), encode_bmp(img24)[:20]],
+                            pa.large_binary()),
+        "mime": pa.array(["image/bmp"] * 2),
+        "meta": pa.array(["{}"] * 2),
+    }, schema=MEDIA_SCHEMA)
+    got = decode_media(ray.data.from_arrow(t), concurrency=1).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert got["decoded"].tolist() == [True, False]
+    assert got.loc[0, ["width", "height", "channels"]].tolist() == [10, 13, 3]
+    assert got.loc[0, "mean_level"] == pytest.approx(img24.mean() / 255)
