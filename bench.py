@@ -281,6 +281,23 @@ def run_bench(num_cpus: int) -> dict:
     queries["zone_count"] = round(time.perf_counter() - t0, 3)
     assert 0 < n_zone <= n_rows, n_zone
 
+    # incremental ingest: append a 1/8-size day-2 increment into the
+    # headline layout (persisted-keyer routing, map-side precode,
+    # exactly-once tagging). The layout was just written by the headline
+    # loop above — this measures the marginal cost of a daily increment.
+    from raystack.gen import write_webtext as _ww
+    inc_dir = os.path.join(CACHE, f"web_inc_{n_rows}")
+    if not os.path.isdir(inc_dir) or not os.listdir(inc_dir):
+        _ww(inc_dir, n_rows=n_rows // 8, n_files=2, seed=777, drift=False)
+    inc_paths = sorted(glob.glob(os.path.join(inc_dir, "*.parquet")))
+    t0 = time.perf_counter()
+    # union: the headline corpus drifts a `mime` column the increment
+    # lacks — the increment's rows null-fill it (schema-drift append)
+    s_app = pl.encode_append(inc_paths, out, columns_rename={"body": "text"},
+                             schema="union")
+    queries["append_increment"] = round(time.perf_counter() - t0, 3)
+    assert s_app["rows"] == n_rows + n_rows // 8, s_app["rows"]
+
     ray.shutdown()
     return {
         "metric": "webtext encode wall sec (align + codec encode + "

@@ -307,3 +307,40 @@ def test_chunk_documents_degenerate(ray_session):
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(ray.data.from_arrow(t), target_chars=10,
                         overlap_chars=8)
+
+
+def test_chunk_documents_property(ray_session):
+    # property check of the chunking geometry over adversarial text:
+    # whitespace runs, multibyte codepoints, boundary-aligned spaces
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from hypothesis import given, settings, strategies as st
+    from raystack.ops.text import chunk_documents
+
+    alphabet = st.sampled_from(list("ab \n\twordé中🙂  "))
+    texts = st.lists(st.text(alphabet, min_size=0, max_size=600),
+                     min_size=1, max_size=6)
+    params = st.sampled_from([(64, 8), (100, 20), (48, 16), (257, 31)])
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts=texts, tp=params)
+    def run(texts, tp):
+        target, overlap = tp
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        got = chunk_documents(ray.data.from_arrow(t), target_chars=target,
+                              overlap_chars=overlap).to_pandas()
+        assert set(got["doc_id"]) == set(range(len(texts)))
+        for doc_id, g in got.groupby("doc_id"):
+            s = texts[doc_id].encode()
+            covered = np.zeros(len(s), dtype=bool)
+            for _, r in g.iterrows():
+                cb = r["chunk_text"].encode()
+                assert len(cb) <= target  # hard cap
+                assert s[r["chunk_start"]:r["chunk_start"] + len(cb)] == cb
+                covered[r["chunk_start"]:r["chunk_start"] + len(cb)] = True
+            b = np.frombuffer(s, np.uint8)
+            is_ws = (b == 32) | (b == 10) | (b == 9) | (b == 13)
+            assert covered[~is_ws].all()  # full non-ws coverage
+
+    run()
