@@ -1071,3 +1071,47 @@ def test_decode_bmp_roundtrip(ray_session):
     assert got["decoded"].tolist() == [True, False]
     assert got.loc[0, ["width", "height", "channels"]].tolist() == [10, 13, 3]
     assert got.loc[0, "mean_level"] == pytest.approx(img24.mean() / 255)
+
+
+def test_text_index_build_query_vs_duckdb(ray_session, tmp_path):
+    # persisted inverted index: AND/OR keyword queries must match
+    # DuckDB computing the same membership on the raw strings, and the
+    # query path must only read the query words' bucket dirs
+    import os
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.textindex import build_text_index, query_text_index
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    idx = str(tmp_path / "tidx")
+    meta = build_text_index(ray.data.from_arrow(t), idx, num_buckets=16)
+    assert meta["num_buckets"] == 16
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+
+    def oracle(words, mode):
+        conds = [("list_contains(list_filter(string_split_regex("
+                  f"lower(text), '\\W+'), x -> x <> ''), '{w}')")
+                 for w in words]
+        glue = " AND " if mode == "and" else " OR "
+        return sorted(con.execute(
+            "SELECT doc_id FROM docs WHERE " + glue.join(conds)
+        ).df()["doc_id"])
+
+    words = ["stream", "query"]
+    for mode in ("and", "or"):
+        got = query_text_index(idx, words, mode=mode).to_pandas()
+        assert sorted(got["doc_id"]) == oracle(words, mode), mode
+    # single rare-ish word + case folding
+    got1 = query_text_index(idx, ["Spark"]).to_pandas()
+    assert sorted(got1["doc_id"]) == oracle(["spark"], "and")
+    # a word absent from the corpus matches nothing (even under OR with
+    # a present word, AND must go empty)
+    assert query_text_index(idx, ["zzzyxx"]).count() == 0
+    assert query_text_index(idx, ["stream", "zzzyxx"]).count() == 0
+    or_only = query_text_index(idx, ["stream", "zzzyxx"],
+                               mode="or").to_pandas()
+    assert sorted(or_only["doc_id"]) == oracle(["stream"], "and")
