@@ -212,3 +212,39 @@ def test_count_where_null_pages(ray_session, tmp_path):
                           zone_columns=["v"])
     exp = sum(1 for v in vals if v is not None and v >= 0.0)
     assert count_where(out, {"v": (0.0, None)}) == exp
+
+
+def test_zone_maps_after_union_drift_append(ray_session, tmp_path):
+    # a drifted append makes column page boundaries non-uniform (the
+    # back-fill page covers many rows); rebuilt sidecars must degrade to
+    # partition-level pruning and filtered decode must stay exact
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from raystack import pipeline as pl
+    from raystack.zones import build_zone_maps, decode_dir_where
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 300).drop_columns(["n_chars"]), day1)
+    pq.write_table(t.slice(300), day2)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    pl.encode_append([day2], out, add_filename=False, schema="union")
+    res = build_zone_maps(out, ["doc_id"])
+    assert any(not r["uniform"] for r in res)  # drift detected
+
+    lo, hi = 100, 260
+    got = decode_dir_where(out, {"doc_id": (lo, hi)}).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = t.to_pandas().query("@lo <= doc_id <= @hi") \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # null back-fill visible through the pruned decode too: exactly the
+    # day-1 rows in range have a null n_chars
+    day1_ids = set(t.slice(0, 300)["doc_id"].to_pylist())
+    assert set(got.loc[got["n_chars"].isna(), "doc_id"]) == \
+        {i for i in want["doc_id"] if i in day1_ids}
+    assert sorted(got.columns) == sorted(want.columns)
