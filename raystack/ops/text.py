@@ -492,7 +492,9 @@ def flag_contamination(ds, benchmark, text_col: str = "text", n: int = 8,
             "contam_ngrams", pa.array(hits, pa.int64())).append_column(
             "contaminated", pa.array(hits > 0, pa.bool_()))
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # bounded batches: token-hash arrays scale with the batch's text —
+    # see chunk_documents for the first-touch page-fault rationale
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
 
 
 def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",

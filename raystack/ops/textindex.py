@@ -79,7 +79,9 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
                          id_col: ids.take(pa.array(dpos)),
                          "bucket": pa.array(bucket)})
 
-    ds.map_batches(postings, batch_format="pyarrow") \
+    # bounded batches: the factorize/pack arrays scale with the batch's
+    # token count (see chunk_documents' first-touch rationale)
+    ds.map_batches(postings, batch_format="pyarrow", batch_size=4096) \
         .write_parquet(out_dir, partition_cols=["bucket"])
     meta = {"num_buckets": int(num_buckets), "text_col": text_col,
             "id_col": id_col, "lowercase": bool(lowercase)}
