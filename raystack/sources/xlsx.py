@@ -544,6 +544,15 @@ class XLStoCSVMultiFile(XLStoBase):
         self.set_select_mode(cfg_xls_sheets_sel_mode, cfg_xls_sheets_sel)
 
     def set_files(self, fname_list: list[str]):
+        # reference convert_xls.py:121 runs check_valid_xls (equal
+        # extensions, xls/xlsx only); raystack dispatches on magic bytes
+        # so MIXED .xls + .xlsx lists are fine — only non-Excel names
+        # are rejected here
+        from ..helpers import file_extensions_get
+        bad = [e for e in file_extensions_get(fname_list)
+               if e not in (".xls", ".xlsx")]
+        if bad or not fname_list:
+            raise IOError("Only .xls, .xlsx files can be processed")
         self.fname_list = fname_list
         self.xlsSniffer = XLSSniffer(fname_list)
 

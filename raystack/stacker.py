@@ -39,6 +39,8 @@ class Stacker:
                  add_filename: bool = True,
                  apply_after_read: Callable | None = None,
                  nrows_preview: int = 3):
+        from .helpers import check_valid_extensions
+        check_valid_extensions(fname_list)  # fail fast on mixed lists
         self.fname_list = sorted(fname_list)
         self.apply_after_read = apply_after_read
         self.nrows_preview = nrows_preview

@@ -173,3 +173,29 @@ def test_unified_read_matches_grouped(ray_session, tmp_path):
     assert list(a.columns) == list(b.columns)
     for c in a.columns:
         assert a[c].fillna("∅").tolist() == b[c].fillna("∅").tolist(), c
+
+
+def test_helpers_extension_validation():
+    import pytest
+    from raystack.helpers import (check_valid_extensions, check_valid_xls,
+                                  columns_all_equal, file_extensions_get)
+    assert file_extensions_get(["a.CSV", "b.csv"]) == [".csv", ".csv"]
+    assert check_valid_extensions(["a.parquet", "b.parquet"])
+    with pytest.raises(IOError, match="equal"):
+        check_valid_extensions(["a.csv", "b.xlsx"])
+    with pytest.raises(IOError, match="Unsupported"):
+        check_valid_extensions(["a.json", "b.json"])
+    with pytest.raises(ValueError, match="empty"):
+        check_valid_extensions([])
+    assert check_valid_xls(["a.xls", "b.xls"])
+    with pytest.raises(IOError, match="xls"):
+        check_valid_xls(["a.csv", "b.csv"])
+    assert columns_all_equal([["a", "b"], ["a", "b"]])
+    assert not columns_all_equal([["a", "b"], ["b", "a"]])
+
+
+def test_stacker_rejects_mixed_extensions(tmp_path):
+    import pytest
+    from raystack.stacker import Stacker
+    with pytest.raises(IOError, match="equal"):
+        Stacker([str(tmp_path / "a.csv"), str(tmp_path / "b.parquet")])
