@@ -1847,6 +1847,114 @@ def layout_stats(out_dir: str) -> dict:
     return summary
 
 
+def alter_layout(out_dir: str, drop: list[str] | None = None,
+                 rename: dict[str, str] | None = None,
+                 logger=None) -> dict:
+    """ALTER-TABLE-style maintenance on an encoded layout WITHOUT
+    re-encoding: ``drop`` removes columns (their page rows are filtered
+    out of each partition file), ``rename`` relabels them (the pages'
+    ``column`` field and the zone sidecar file move; the page BLOBS are
+    untouched — a rename of a 100 TB column costs one metadata rewrite
+    per partition file, not an encode). One Ray task per partition;
+    sidecars of dropped columns are deleted, everything else is
+    preserved; the manifest is re-finalized. Fails loudly if a rename
+    target already exists or a named column is absent from the layout."""
+    import ray
+
+    from .log import get_logger
+    drop = list(drop or [])
+    rename = dict(rename or {})
+    log = get_logger(logger)
+    if not drop and not rename:
+        return mf.manifest_summary(out_dir)
+    existing = set(_layout_column_types(out_dir))
+    missing = [c for c in drop + list(rename) if c not in existing]
+    if missing:
+        raise ValueError(f"alter_layout: column(s) {missing} not in layout "
+                         f"{sorted(existing)}")
+    clobber = [n for n in rename.values()
+               if n in existing - set(rename) - set(drop)]
+    if clobber:
+        raise ValueError(f"alter_layout: rename target(s) {clobber} "
+                         "already exist")
+    overlap = set(drop) & set(rename)
+    if overlap:
+        raise ValueError(f"alter_layout: {sorted(overlap)} both dropped "
+                         "and renamed")
+    if len(set(rename.values())) != len(rename):
+        raise ValueError("alter_layout: two renames share a target")
+    # the routing key column backs lookup_rows/append: it may be renamed
+    # (the persisted config follows) but never dropped
+    cfg = mf.load_config(out_dir)
+    url_col = cfg.get("url_col") if cfg else None
+    if url_col in drop:
+        raise ValueError(f"alter_layout: {url_col!r} is the layout's "
+                         "routing key; it cannot be dropped")
+    pages_root = os.path.join(out_dir, "pages")
+    dirs = sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key="))
+
+    @ray.remote(num_cpus=1)
+    def one(d: str) -> int:
+        import pyarrow.parquet as _pq
+
+        from .zones import ZONES_DIRNAME
+        part_dir = os.path.join(pages_root, d)
+        zdir = os.path.join(out_dir, ZONES_DIRNAME, d)
+        for f in sorted(os.listdir(part_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(part_dir, f)
+            t = _pq.read_table(path)
+            names = t["column"]
+            if drop:
+                t = t.filter(pc.invert(pc.is_in(
+                    names, value_set=pa.array(sorted(drop)))))
+                names = t["column"]
+            if rename:
+                arr = names.to_pylist()
+                new = pa.array([rename.get(c, c) for c in arr],
+                               type=pa.string())
+                t = t.set_column(t.schema.get_field_index("column"),
+                                 "column", new)
+            tmp = path + ".tmp"
+            _pq.write_table(t, tmp, row_group_size=PAGES_ROW_GROUP)
+            os.replace(tmp, path)
+        # zone sidecars: dropped columns' files go away; renamed move.
+        # meta.json's column list is rewritten to match
+        if os.path.isdir(zdir):
+            import json as _json
+            meta_p = os.path.join(zdir, "meta.json")
+            for c in drop:
+                zf = os.path.join(zdir, f"{c}.parquet")
+                if os.path.exists(zf):
+                    os.remove(zf)
+            for old, new_name in rename.items():
+                zf = os.path.join(zdir, f"{old}.parquet")
+                if os.path.exists(zf):
+                    os.replace(zf, os.path.join(zdir,
+                                                f"{new_name}.parquet"))
+            if os.path.exists(meta_p):
+                with open(meta_p) as fh:
+                    zm = _json.load(fh)
+                zm["columns"] = [rename.get(c, c) for c in zm["columns"]
+                                 if c not in drop]
+                with open(meta_p, "w") as fh:
+                    _json.dump(zm, fh)
+        return 1
+
+    ray.get([one.remote(d) for d in dirs])
+    if url_col in rename:  # keep lookup_rows/append routing working
+        cfg["url_col"] = rename[url_col]
+        mf.save_config(out_dir, cfg)
+    log.send_log(f"alter_layout: drop={drop} rename={rename} over "
+                 f"{len(dirs)} partitions")
+    final_cols = sorted((existing - set(drop) - set(rename))
+                        | set(rename.values()))
+    enc_like = [c for c in final_cols if c not in ("filepath", "filename")]
+    return _finalize_manifest(out_dir, enc_like or final_cols)
+
+
 def compact_partitions(out_dir: str, min_files: int = 2,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        zone_columns: list[str] | None = None,

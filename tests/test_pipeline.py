@@ -761,3 +761,42 @@ def test_layout_stats(ray_session, web, tmp_path):
     assert s2["rows"] == 3000
     assert s2["multi_file_partitions"] >= 1  # append accumulation visible
     assert s2["zone_sidecars"] < 4  # touched sidecars invalidated
+
+
+def test_alter_layout_drop_rename(ray_session, web, tmp_path):
+    # metadata-only column maintenance: drop + rename without re-encoding
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks(list(web), out, num_partitions=4,
+                                zone_columns=["warc_ts", "lang"])
+    s = pl.alter_layout(out, drop=["lang"], rename={"warc_ts": "fetched"})
+    assert s["rows"] == 3000
+    got = _df_by_url(pl.decode_dir(out).to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
+    assert "lang" not in got.columns and "warc_ts" not in got.columns
+    assert got["fetched"].tolist() == exp["warc_ts"].tolist()
+    assert got["html"].tolist() == exp["html"].tolist()
+    # zone sidecar followed the rename, dropped column's is gone
+    import glob as _glob
+    zfiles = {os.path.basename(p) for p in _glob.glob(
+        os.path.join(out, "zones", "*", "*.parquet"))}
+    assert zfiles == {"fetched.parquet"}
+    # pruned decode still works on the renamed column
+    from raystack.zones import count_where
+    import datetime as _dt
+    n = count_where(out, {"fetched": (_dt.datetime(2024, 3, 1),
+                                      _dt.datetime(2024, 3, 2))})
+    assert 0 < n <= 3000
+    # lookup routing survives (url untouched here)
+    some = exp["url"].iloc[:2].tolist()
+    assert set(pl.lookup_rows(out, some).to_pandas()["url"]) == set(some)
+    # guards
+    with pytest.raises(ValueError, match="routing key"):
+        pl.alter_layout(out, drop=["url"])
+    with pytest.raises(ValueError, match="not in layout"):
+        pl.alter_layout(out, drop=["nope"])
+    with pytest.raises(ValueError, match="already exist"):
+        pl.alter_layout(out, rename={"text": "html"})
+    # renaming the routing key updates the persisted config
+    pl.alter_layout(out, rename={"url": "uri"})
+    assert mf.load_config(out)["url_col"] == "uri"
+    assert set(pl.lookup_rows(out, some).to_pandas()["uri"]) == set(some)
