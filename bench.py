@@ -265,7 +265,8 @@ def run_bench(num_cpus: int) -> dict:
     drop = ray.data.from_arrow(pa.table(
         {"doc_id": t_doc["doc_id"].to_pylist()[::7]}))
     t0 = time.perf_counter()
-    n_kept = semi_join_bloom(docs, drop, on="doc_id", anti=True).count()
+    n_kept = semi_join_bloom(docs, drop, on="doc_id", anti=True,
+                             broadcast_limit=0).count()
     queries["bloom_anti_join"] = round(time.perf_counter() - t0, 3)
     assert n_kept < t_doc.num_rows, n_kept
 

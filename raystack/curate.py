@@ -61,7 +61,9 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
             # chained joins in ONE executing graph can starve each
             # other on a small cluster
             kept = semi_join_bloom(kept.materialize(), dup_ds,
-                                   on=id_col, anti=True).materialize()
+                                   on=id_col, anti=True,
+                                   broadcast_limit=_BROADCAST_LIMIT) \
+                .materialize()
 
     # near-dedup: drop the non-minimal member of each duplicate set —
     # same count gate on the pair list
@@ -75,7 +77,8 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
         else:
             kept = semi_join_bloom(kept.materialize(),
                                    pairs_ds.select_columns([id_col]),
-                                   on=id_col, anti=True)
+                                   on=id_col, anti=True,
+                                   broadcast_limit=_BROADCAST_LIMIT)
 
     out = hash_split(kept, id_col=id_col, fraction=holdout_fraction)
     return out.map_batches(

@@ -136,7 +136,7 @@ def _bloom_probe(t: pa.Table, on: str, bloom, mask, seeds):
 
 def semi_join_bloom(ds, keys_ds, on: str, anti: bool = False,
                     num_partitions: int = 16, bits_per_key: int = 12,
-                    n_hashes: int = 6):
+                    n_hashes: int = 6, broadcast_limit: int = 65536):
     """Bloom-accelerated distributed (anti-)semi join — the big-corpus ×
     big-key-set shape (e.g. anti-joining a 100 TB crawl against a
     billion-row drop list). A bloom filter over the key side broadcasts
@@ -153,14 +153,22 @@ def semi_join_bloom(ds, keys_ds, on: str, anti: bool = False,
       bloom hits go through the exact distributed anti join and the two
       streams union.
 
-    Falls back to :func:`semi_join_ds` when the sized bitmap would
-    exceed ``_BLOOM_MAX_BYTES``. The anti path scans ``ds`` twice (two
-    map-only passes beat shuffling the full corpus once)."""
+    This is the universal (anti-)semi-join entry point — it degrades to
+    the cheapest exact plan for the key count: ≤ ``broadcast_limit``
+    keys collect to an exact broadcast ``is_in`` filter (no join
+    operator at all); above it the bloom pre-filter + exact join; and
+    when even the sized bitmap would exceed ``_BLOOM_MAX_BYTES`` it
+    falls back to the plain hash join (:func:`semi_join_ds`). The anti
+    path's bloom tier scans ``ds`` twice (two map-only passes beat
+    shuffling the full corpus once)."""
     import ray
 
     # one execution of the key pipeline, reused by count, the bloom
     # stream AND the exact join (object-store blocks, spillable)
     keys_ds = keys_ds.materialize()
+    if keys_ds.count() <= broadcast_limit:
+        keys = keys_ds.select_columns([on]).to_pandas()[on].tolist()
+        return semi_join(ds, keys, on=on, anti=anti)
     built = build_key_bloom(keys_ds, on, bits_per_key, n_hashes)
     if built is None:
         return semi_join_ds(ds, keys_ds, on, anti=anti,

@@ -971,7 +971,7 @@ def test_semi_join_bloom_exact(ray_session):
     keys = ray.data.from_arrow(pa.table({"source": drop}))
     for anti in (False, True):
         got = semi_join_bloom(ds, keys, on="source", anti=anti,
-                              num_partitions=4) \
+                              num_partitions=4, broadcast_limit=0) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
         want = semi_join(ds, drop, on="source", anti=anti) \
             .to_pandas().sort_values("doc_id").reset_index(drop=True)
@@ -980,7 +980,7 @@ def test_semi_join_bloom_exact(ray_session):
     ids = t["doc_id"].to_pylist()[::7]
     keys_i = ray.data.from_arrow(pa.table({"doc_id": ids}))
     got = semi_join_bloom(ds, keys_i, on="doc_id", anti=True,
-                          num_partitions=4).to_pandas() \
+                          num_partitions=4, broadcast_limit=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     want = semi_join(ds, ids, on="doc_id", anti=True).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
@@ -1003,7 +1003,7 @@ def test_semi_join_bloom_exact_under_false_positives(ray_session):
     for anti in (False, True):
         got = semi_join_bloom(ds, keys, on="k", anti=anti,
                               num_partitions=2, bits_per_key=1,
-                              n_hashes=1) \
+                              n_hashes=1, broadcast_limit=0) \
             .to_pandas().sort_values("v").reset_index(drop=True)
         want = semi_join(ds, drop, on="k", anti=anti) \
             .to_pandas().sort_values("v").reset_index(drop=True)
@@ -1013,7 +1013,8 @@ def test_semi_join_bloom_exact_under_false_positives(ray_session):
     try:
         j._BLOOM_MAX_BYTES = 0
         got = semi_join_bloom(ds, keys, on="k", anti=True,
-                              num_partitions=2).to_pandas() \
+                              num_partitions=2,
+                              broadcast_limit=0).to_pandas() \
             .sort_values("v").reset_index(drop=True)
         want = semi_join(ds, drop, on="k", anti=True).to_pandas() \
             .sort_values("v").reset_index(drop=True)

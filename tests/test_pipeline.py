@@ -800,3 +800,27 @@ def test_alter_layout_drop_rename(ray_session, web, tmp_path):
     pl.alter_layout(out, rename={"url": "uri"})
     assert mf.load_config(out)["url_col"] == "uri"
     assert set(pl.lookup_rows(out, some).to_pandas()["uri"]) == set(some)
+
+
+def test_encode_append_union_csv_inputs(ray_session, tmp_path):
+    # union drift absorption must work through the CSV plan branch too
+    import csv
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    df = t.to_pandas()
+
+    def wcsv(path, frame, cols):
+        frame[cols].to_csv(path, index=False, quoting=csv.QUOTE_MINIMAL)
+    day1, day2 = str(tmp_path / "d1.csv"), str(tmp_path / "d2.csv")
+    wcsv(day1, df.iloc[:200], ["doc_id", "text", "source"])
+    wcsv(day2, df.iloc[200:], ["doc_id", "source", "n_chars"])
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=2, add_filename=False)
+    s = pl.encode_append([day2], out, add_filename=False, schema="union")
+    assert s["rows"] == len(df)
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got["text"].isna().sum() == len(df) - 200
+    assert got["n_chars"].isna().sum() == 200
+    assert got["doc_id"].tolist() == sorted(df["doc_id"])
