@@ -1116,3 +1116,27 @@ def test_text_index_build_query_vs_duckdb(ray_session, tmp_path):
     or_only = query_text_index(idx, ["stream", "zzzyxx"],
                                mode="or").to_pandas()
     assert sorted(or_only["doc_id"]) == oracle(["stream"], "and")
+
+
+def test_approx_quantiles_skewed_distributions(ray_session):
+    # rank-error bound must hold on adversarial shapes: heavy-tailed,
+    # near-constant, and few-distinct columns
+    import ray.data
+    from raystack.ops.colstats import approx_quantiles
+    rng = np.random.default_rng(0)
+    cases = {
+        "lognormal": rng.lognormal(0, 3, 60_000),
+        "mostly_constant": np.where(rng.random(60_000) < 0.98, 7.0,
+                                    rng.random(60_000) * 1e6),
+        "few_distinct": rng.integers(0, 5, 60_000).astype(float),
+    }
+    for name, vals in cases.items():
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(16)
+        got = approx_quantiles(ds, "v", quantiles=(0.1, 0.5, 0.9, 0.99))
+        sv = np.sort(vals)
+        for _, r in got.iterrows():
+            lo = np.searchsorted(sv, r["value"], side="left") / len(sv)
+            hi = np.searchsorted(sv, r["value"], side="right") / len(sv)
+            # the value's true rank INTERVAL must cover q within 2%
+            assert lo - 0.02 <= r["quantile"] <= hi + 0.02, \
+                (name, r["quantile"], lo, hi)

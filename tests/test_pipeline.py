@@ -824,3 +824,18 @@ def test_encode_append_union_csv_inputs(ray_session, tmp_path):
     assert got["text"].isna().sum() == len(df) - 200
     assert got["n_chars"].isna().sum() == 200
     assert got["doc_id"].tolist() == sorted(df["doc_id"])
+
+
+def test_encode_append_onto_groupby_layout(ray_session, web, tmp_path):
+    # appends must also work on layouts created by the Dataset-groupby
+    # encode path (same persisted config contract as the tasks path)
+    out = str(tmp_path / "enc")
+    day1, day2 = list(web)[:2], list(web)[2:]
+    pl.encode_partitioned(read_aligned(day1, add_filename=False), out,
+                          num_partitions=4)
+    s = pl.encode_append(day2, out, add_filename=False)
+    assert s["rows"] == 3000
+    got = _df_by_url(pl.decode_dir(out).to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=False).to_pandas())
+    for col in ["url", "warc_ts", "html", "text", "lang"]:
+        assert got[col].tolist() == exp[col].tolist(), col
