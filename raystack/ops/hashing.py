@@ -144,3 +144,24 @@ def min_hash_per_row(h: np.ndarray, starts: np.ndarray, lengths: np.ndarray,
     none = counts == 0  # reduceat artifacts on empty segments
     mins[none] = short_fill[none]
     return mins
+
+
+def tokenize_words(texts, lowercase: bool = True):
+    """(token strings as an object array, doc ordinal per token) —
+    lowercase + ``\\W+`` split with empties dropped. The ONE tokenizer
+    the contamination check, the inverted text index and their DuckDB
+    oracle mirrors (``string_split_regex(lower(text), '\\W+')``) share;
+    fixing it here keeps them in lockstep."""
+    import pyarrow.compute as pc
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pc.cast(pc.fill_null(texts, ""), pa.string())
+    if lowercase:
+        s = pc.utf8_lower(s)
+    toks = pc.split_pattern_regex(s, r"\W+")
+    counts = np.diff(np.asarray(toks.offsets))
+    flat = toks.flatten()
+    keep = np.asarray(pc.utf8_length(flat)) > 0
+    doc = np.repeat(np.arange(len(s)), counts)[keep]
+    vals = flat.to_numpy(zero_copy_only=False)[keep]
+    return vals, doc

@@ -42,8 +42,11 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner",
 
 
 def semi_join(ds, keys, on: str, anti: bool = False):
-    """Keep rows whose ``on`` value is (not) in the broadcast key set."""
+    """Keep rows whose ``on`` value is (not) in the broadcast key set.
+    Null/NaN keys are dropped from the set — a null never equals
+    anything (SQL join semantics), so it can't select rows."""
     import ray
+    keys = [k for k in keys if k is not None and k == k]
     key_arr = pa.array(sorted(set(keys)))
     ref = ray.put(key_arr)
 
@@ -80,6 +83,40 @@ def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
 #: driver during the build)
 _BLOOM_MAX_BYTES = 256 << 20
 
+#: hash assigned to NULL keys (any constant works: a collision with a real
+#: key's hash only creates a bloom false positive, which the exact join
+#: re-checks — never a false negative)
+_NULL_KEY_HASH = 0x9E3779B97F4A7C15
+
+
+def _key_hashes(arr) -> "np.ndarray":
+    """Deterministic uint64 hash of a key column, IDENTICAL for the same
+    value regardless of which batch it sits in. The naive route (hash the
+    batch's numpy view) breaks exactly there: an int64 batch containing
+    one null materializes as float64, so the same key hashes differently
+    across batches and a bloom membership test silently inverts. Keys
+    are therefore canonicalized per Arrow TYPE first — integers/
+    temporals/bools via null-filled int64, floats via null-filled
+    float64, everything else via the object path — and null slots get a
+    fixed sentinel hash afterwards."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if (pa.types.is_integer(t) or pa.types.is_temporal(t)
+            or pa.types.is_boolean(t)):
+        base = np.asarray(pc.fill_null(arr.cast(pa.int64()), 0))
+    elif pa.types.is_floating(t):
+        base = np.asarray(pc.fill_null(arr.cast(pa.float64()), 0.0))
+    else:
+        base = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object)
+    h = pd.util.hash_array(base, categorize=False)
+    if arr.null_count:
+        h = h.copy()
+        h[~np.asarray(arr.is_valid())] = np.uint64(_NULL_KEY_HASH)
+    return h
+
 
 def build_key_bloom(keys_ds, on: str, bits_per_key: int = 12,
                     n_hashes: int = 6):
@@ -103,10 +140,10 @@ def build_key_bloom(keys_ds, on: str, bits_per_key: int = 12,
     bloom = np.zeros(m_bits // 64, dtype=np.uint64)
     seeds = splitmix64(np.arange(1, n_hashes + 1, dtype=np.uint64))
     for batch in keys_ds.select_columns([on]) \
-            .iter_batches(batch_format="pandas"):
-        if not len(batch):
+            .iter_batches(batch_format="pyarrow"):
+        if not batch.num_rows:
             continue
-        h = pd.util.hash_array(batch[on].to_numpy(), categorize=False)
+        h = _key_hashes(batch[on])
         for s in seeds:
             idx = splitmix64(h ^ s) & mask
             w = (idx >> np.uint64(6)).astype(np.int64)
@@ -123,9 +160,7 @@ def _bloom_probe(t: pa.Table, on: str, bloom, mask, seeds):
     import numpy as np
 
     from .hashing import splitmix64
-    h = pd.util.hash_array(
-        t[on].combine_chunks().to_numpy(zero_copy_only=False),
-        categorize=False)
+    h = _key_hashes(t[on])
     hit = np.ones(len(h), dtype=bool)
     for s in seeds:
         idx = splitmix64(h ^ s) & mask

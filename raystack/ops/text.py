@@ -423,18 +423,8 @@ def _ngram_hashes(texts, n: int, lowercase: bool = True):
     polynomial roll + splitmix64 finalizer. Vectorized end to end."""
     import pandas as pd
 
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    s = pc.cast(pc.fill_null(texts, ""), pa.string())
-    if lowercase:
-        s = pc.utf8_lower(s)
-    toks = pc.split_pattern_regex(s, r"\W+")
-    offs = np.asarray(toks.offsets)
-    counts = np.diff(offs)
-    flat = toks.flatten()
-    keep = np.asarray(pc.utf8_length(flat)) > 0
-    doc = np.repeat(np.arange(len(s)), counts)[keep]
-    vals = flat.to_numpy(zero_copy_only=False)[keep]
+    from .hashing import tokenize_words
+    vals, doc = tokenize_words(texts, lowercase)
     if len(vals) < n:
         return (np.empty(0, np.uint64), np.empty(0, np.int64))
     # hash the UNIQUES only (small), then map through the codes
@@ -469,7 +459,8 @@ def flag_contamination(ds, benchmark, text_col: str = "text", n: int = 8,
     object store."""
     import ray
 
-    if hasattr(benchmark, "to_arrow"):  # pandas → arrow
+    import pandas as pd
+    if isinstance(benchmark, pd.DataFrame):
         benchmark = pa.Table.from_pandas(benchmark)
     if isinstance(benchmark, pa.Table):
         bench_texts = benchmark[bench_col]

@@ -29,18 +29,8 @@ def _doc_tokens(texts, lowercase: bool):
     ``np.unique``."""
     import pandas as pd
 
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    s = pc.cast(pc.fill_null(texts, ""), pa.string())
-    if lowercase:
-        s = pc.utf8_lower(s)
-    toks = pc.split_pattern_regex(s, r"\W+")
-    offs = np.asarray(toks.offsets)
-    counts = np.diff(offs)
-    flat = toks.flatten()
-    keep = np.asarray(pc.utf8_length(flat)) > 0
-    doc = np.repeat(np.arange(len(s)), counts)[keep]
-    vals = flat.to_numpy(zero_copy_only=False)[keep]
+    from .hashing import tokenize_words
+    vals, doc = tokenize_words(texts, lowercase)
     if not len(vals):
         return np.empty(0, object), np.empty(0, np.int64)
     codes, uniq = pd.factorize(vals)
@@ -103,10 +93,19 @@ def query_text_index(index_dir: str, words: list[str], mode: str = "and"):
     import pandas as pd
     import ray.data
 
+    import re
+
     with open(os.path.join(index_dir, _META)) as f:
         meta = json.load(f)
-    words = sorted({w.lower() if meta["lowercase"] else w
-                    for w in words if w})
+    # normalize query words EXACTLY like the build tokenizes documents
+    # (lowercase + \W+ split) — a verbatim "state-of-the-art" probe
+    # would otherwise hash a token the index can never contain and
+    # silently match nothing; here it expands to its four tokens
+    norm = []
+    for w in words:
+        w = w.lower() if meta["lowercase"] else w
+        norm.extend(tok for tok in re.split(r"\W+", w or "") if tok)
+    words = sorted(set(norm))
     if not words:
         raise ValueError("query_text_index needs at least one word")
     if mode not in ("and", "or"):

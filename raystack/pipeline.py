@@ -1322,19 +1322,25 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                 raise ValueError(
                     "encode_append: layout has provenance columns "
                     f"{prov_missing}; pass add_filename=True")
-            if missing:
-                import dataclasses
-                fields = list(plan.unified_schema) + \
-                    [pa.field(c, existing_types[c]) for c in missing]
-                plan = dataclasses.replace(
-                    plan,
-                    target_columns=list(plan.target_columns) + missing,
-                    unified_schema=pa.schema(fields))
-                columns = list(plan.target_columns)
-                if plan.add_filename:
-                    columns += ["filepath", "filename"]
-                enc_cols = [c for c in columns
-                            if c not in ("part_key", "filepath", "filename")]
+            import dataclasses
+            # columns present on BOTH sides align to the LAYOUT's stored
+            # Arrow type (a fresh union encode would unify types too; a
+            # layout whose column mixes int64 and string pages would
+            # only fail at decode time, after the append committed).
+            # Arrow's cast raises loudly in the map tasks — before any
+            # partition file is written — when values can't convert.
+            fields = [pa.field(f.name, existing_types.get(f.name, f.type))
+                      for f in plan.unified_schema]
+            fields += [pa.field(c, existing_types[c]) for c in missing]
+            plan = dataclasses.replace(
+                plan,
+                target_columns=list(plan.target_columns) + missing,
+                unified_schema=pa.schema(fields))
+            columns = list(plan.target_columns)
+            if plan.add_filename:
+                columns += ["filepath", "filename"]
+            enc_cols = [c for c in columns
+                        if c not in ("part_key", "filepath", "filename")]
             # pass EVERY appended column as a back-fill candidate — each
             # reduce task skips the ones its own prior files already
             # carry. Deciding "new to the layout" here instead would
@@ -1929,11 +1935,19 @@ def alter_layout(out_dir: str, drop: list[str] | None = None,
                 zf = os.path.join(zdir, f"{c}.parquet")
                 if os.path.exists(zf):
                     os.remove(zf)
+            # two-phase rename: swap/chain renames (a->b, b->a) are legal
+            # for the page labels (applied simultaneously per element),
+            # so the sidecar moves must not clobber each other either
+            staged = []
             for old, new_name in rename.items():
                 zf = os.path.join(zdir, f"{old}.parquet")
                 if os.path.exists(zf):
-                    os.replace(zf, os.path.join(zdir,
-                                                f"{new_name}.parquet"))
+                    tmp = os.path.join(zdir, f".pending-{new_name}.parquet")
+                    os.replace(zf, tmp)
+                    staged.append((tmp, new_name))
+            for tmp, new_name in staged:
+                os.replace(tmp, os.path.join(zdir,
+                                             f"{new_name}.parquet"))
             if os.path.exists(meta_p):
                 with open(meta_p) as fh:
                     zm = _json.load(fh)

@@ -1140,3 +1140,57 @@ def test_approx_quantiles_skewed_distributions(ray_session):
             # the value's true rank INTERVAL must cover q within 2%
             assert lo - 0.02 <= r["quantile"] <= hi + 0.02, \
                 (name, r["quantile"], lo, hi)
+
+
+def test_semi_join_bloom_null_int_keys_exact(ray_session):
+    # regression: int64 key batches containing a null used to promote to
+    # float64 on one side of the bloom, hashing the SAME key differently
+    # per batch — real members then looked like bloom misses and the
+    # anti-join silently kept rows it should drop
+    import ray.data
+    from raystack.ops.join import semi_join, semi_join_bloom
+    t = pa.table({"k": pa.array(list(range(400)) + [None, None],
+                                pa.int64()),
+                  "v": list(range(402))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    drop = list(range(0, 400, 3))
+    keys = ray.data.from_arrow(
+        pa.table({"k": pa.array(drop + [None], pa.int64())}))
+    for anti in (False, True):
+        got = semi_join_bloom(ds, keys, on="k", anti=anti,
+                              num_partitions=2, broadcast_limit=0) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        want = semi_join(ds, drop, on="k", anti=anti) \
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        assert got["v"].tolist() == want["v"].tolist(), f"anti={anti}"
+    # broadcast tier tolerates the null key too
+    got = semi_join_bloom(ds, keys, on="k", anti=True).to_pandas()
+    assert len(got) == len(t) - len(drop)  # nulls never match → kept
+
+
+def test_text_index_query_word_normalization(ray_session, tmp_path):
+    # query words tokenize exactly like the build: hyphenated/cased
+    # probes expand to their tokens instead of silently matching nothing
+    import ray.data
+    from raystack.ops.textindex import build_text_index, query_text_index
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["State-of-the-art systems", "state art",
+                           "nothing here"]})
+    idx = str(tmp_path / "idx")
+    build_text_index(ray.data.from_arrow(t), idx, num_buckets=4)
+    got = query_text_index(idx, ["State-of-the-ART"]).to_pandas()
+    assert sorted(got["doc_id"]) == [1]  # all four tokens required
+    got_or = query_text_index(idx, ["state-art"], mode="or").to_pandas()
+    assert sorted(got_or["doc_id"]) == [1, 2]
+
+
+def test_flag_contamination_pandas_benchmark(ray_session):
+    import pandas as pd
+    import ray.data
+    from raystack.ops.text import flag_contamination
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["alpha beta gamma delta", "unrelated words"]})
+    bench = pd.DataFrame({"text": ["alpha beta gamma"]})
+    got = flag_contamination(ray.data.from_arrow(t), bench, n=3) \
+        .to_pandas().sort_values("doc_id")
+    assert got["contaminated"].tolist() == [True, False]

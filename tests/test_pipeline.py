@@ -839,3 +839,69 @@ def test_encode_append_onto_groupby_layout(ray_session, web, tmp_path):
     exp = _df_by_url(read_aligned(web, add_filename=False).to_pandas())
     for col in ["url", "warc_ts", "html", "text", "lang"]:
         assert got[col].tolist() == exp[col].tolist(), col
+
+
+def test_alter_layout_swap_rename_sidecars(ray_session, web, tmp_path):
+    # regression: swap renames are applied simultaneously to the page
+    # labels but used to clobber zone sidecar files sequentially,
+    # leaving stale min/max under the wrong name (silent wrong pruning)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks(list(web), out, num_partitions=2,
+                                zone_columns=["warc_ts", "lang"])
+    import pyarrow.parquet as _pq
+    import glob as _glob
+    def zstats(col):
+        vals = []
+        for p in sorted(_glob.glob(os.path.join(out, "zones", "*",
+                                                f"{col}.parquet"))):
+            z = _pq.read_table(p)
+            vals.append((z["zmin"][0].as_py(), z["zmax"][0].as_py()))
+        return vals
+    before_ts, before_lang = zstats("warc_ts"), zstats("lang")
+    pl.alter_layout(out, rename={"warc_ts": "lang", "lang": "warc_ts"})
+    # sidecars swapped with the data, not clobbered
+    assert zstats("lang") == before_ts
+    assert zstats("warc_ts") == before_lang
+    got = _df_by_url(pl.decode_dir(out).to_pandas())
+    exp = _df_by_url(read_aligned(web, add_filename=True).to_pandas())
+    assert got["lang"].tolist() == exp["warc_ts"].tolist()
+    assert got["warc_ts"].tolist() == exp["lang"].tolist()
+
+
+def test_encode_append_union_type_drift(ray_session, tmp_path):
+    # a column present on both sides but with a DIFFERENT type in the
+    # new files aligns to the layout's stored type (widening works; an
+    # incompatible drift fails loudly BEFORE anything is committed)
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    day_bad = str(tmp_path / "bad.parquet")
+    pq.write_table(t.slice(0, 300), day1)
+    d2 = t.slice(300)
+    d2 = d2.set_column(d2.schema.get_field_index("n_chars"), "n_chars",
+                       d2["n_chars"].cast(pa.int32()))  # narrower type
+    pq.write_table(d2, day2)
+    bad = t.slice(300).set_column(
+        t.schema.get_field_index("text"), "text",
+        pa.array([[1]] * (t.num_rows - 300), pa.list_(pa.int64())))
+    pq.write_table(bad, day_bad)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=2, add_filename=False)
+    pl.encode_append([day2], out, add_filename=False, schema="union")
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()  # int64
+    # incompatible drift (string column arriving as list<int64>) fails
+    # loudly and commits nothing
+    out2 = str(tmp_path / "enc2")
+    pl.encode_partitioned_tasks([day1], out2, url_col="source",
+                                num_partitions=2, add_filename=False)
+    before = pl.decode_dir(out2).to_pandas()
+    with pytest.raises(Exception):
+        pl.encode_append([day_bad], out2, add_filename=False,
+                         schema="union")
+    after = pl.decode_dir(out2).to_pandas()
+    assert len(after) == len(before) == 300
