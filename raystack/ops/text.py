@@ -292,6 +292,19 @@ def add_repetition_stats(ds, text_col: str = "text"):
         keep = np.asarray(pc.utf8_length(tflat)) > 0
         tdoc = np.repeat(np.arange(n), tcounts)[keep]
         tcodes = pd.factorize(tvals[keep])[0]
+        # packed-key capacity: doc<<44 | code<<22 | code needs docs<2^20
+        # and distinct tokens<2^22 — beyond that the bits collide and
+        # counts silently merge across docs. Rows are independent, so an
+        # oversized batch recursively halves instead
+        if n >= (1 << 20) or (len(tcodes) and
+                              int(tcodes.max()) >= (1 << 22) - 1):
+            if n <= 1:
+                raise ValueError(
+                    "add_repetition_stats: a single document exceeds the "
+                    "2^22 distinct-token packing capacity")
+            return pa.concat_tables(
+                [fn(t.slice(0, n // 2)), fn(t.slice(n // 2))],
+                promote_options="default")
         n_tok = np.bincount(tdoc, minlength=n)
         top_frac = np.zeros(n, dtype=np.float64)
         if len(tcodes) > 1:
@@ -378,6 +391,21 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text",
         if len(codes) < n:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
+        # positional base-B packing overflows uint64 when B^n >= 2^64
+        # (e.g. n=3 with >~2.6M distinct tokens) and numpy wraps
+        # SILENTLY, merging unrelated n-grams. Halve the batch instead —
+        # partials are per-batch pre-cuts, so splitting is semantically
+        # free
+        if float(len(uniq) + 1) ** n >= 2.0 ** 64:
+            rows = t.num_rows
+            if rows <= 1:
+                raise ValueError(
+                    "top_ngrams: a single document exceeds the uint64 "
+                    f"n-gram packing capacity for n={n}")
+            return pa.concat_tables(
+                [partial(t.slice(0, rows // 2)),
+                 partial(t.slice(rows // 2))],
+                promote_options="default")
         # packed key over a sliding window of n token codes within a doc
         same = np.ones(len(codes) - (n - 1), dtype=bool)
         key = codes[: len(codes) - (n - 1)].astype(np.uint64)

@@ -476,7 +476,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                 "encode_partitioned(pre_packed=True): pass the SAME "
                 "num_partitions and hot_hosts/host_map given to "
                 "make_keyer_pack — they are persisted for lookup_rows "
-                "and cannot be re-derived from an already-keyed dataset")
+                "and cannot be re-derived from an already-keyed dataset. "
+                "If the keyer used plain hash routing (no hot hosts), "
+                "declare that explicitly with hot_hosts={}")
         keyed = ds
     else:
         if url_col not in schema_names:
@@ -1379,8 +1381,13 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]
     import hashlib
+    # FULL paths, not basenames: daily increments routinely share file
+    # names across directories (/data/<date>/batch.parquet) and a
+    # basename tag would make day 2 silently REPLACE day 1's append.
+    # abspath keeps the tag stable across cwd differences, preserving
+    # retry/re-run idempotency for the same file set.
     tag = hashlib.sha1("\n".join(
-        os.path.basename(p) for p in source_paths).encode()).hexdigest()[:12]
+        os.path.abspath(p) for p in source_paths).encode()).hexdigest()[:12]
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, None, *[m[pk] for m in map_refs],
                               append=True, file_tag=tag,
@@ -1989,23 +1996,55 @@ def compact_partitions(out_dir: str, min_files: int = 2,
     for d in sorted(os.listdir(pages_root)):
         if not d.startswith("part_key="):
             continue
-        files = [f for f in os.listdir(os.path.join(pages_root, d))
-                 if f.endswith(".parquet")]
-        if len(files) >= min_files:
+        entries = os.listdir(os.path.join(pages_root, d))
+        files = [f for f in entries if f.endswith(".parquet")]
+        # a leftover journal marks a crashed compact commit — always
+        # revisit it (the replay inside one() removes any duplicates),
+        # regardless of the min_files threshold
+        if len(files) >= min_files or ".compact-journal.json" in entries:
             todo.append(d)
     if not todo:
         return {"compacted": 0}
 
     def one(d: str) -> int:
+        import hashlib as _hashlib
+        import json as _json
+
         import pyarrow.parquet as _pq
 
         from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
                             zone_sidecar_from_table)
         part_dir = os.path.join(pages_root, d)
         pk = int(d.split("=", 1)[1])
+        journal = os.path.join(part_dir, ".compact-journal.json")
+        base = os.path.join(part_dir, "part-0.parquet")
+        if os.path.exists(journal):
+            # a previous compact crashed mid-commit. The journal records
+            # the digest the NEW base file would have: if part-0 matches,
+            # the install happened → finish the cleanup; if not, nothing
+            # was installed → just drop the journal (the dot-prefixed tmp
+            # is invisible to dataset discovery either way)
+            with open(journal) as fh:
+                j = _json.load(fh)
+            if os.path.exists(base) and _hashlib.sha1(
+                    open(base, "rb").read()).hexdigest() == j["digest"]:
+                for f in j["remove"]:
+                    p = os.path.join(part_dir, f)
+                    if os.path.exists(p):
+                        os.remove(p)
+            os.remove(journal)
         full = _decode_partition_dir(part_dir)
         cols = list(full.schema.names)
-        files_meta = ""
+        # lineage survives compaction: union the old pages' input_files
+        lineage: set[str] = set()
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet"):
+                t_if = _pq.read_table(os.path.join(part_dir, f),
+                                      columns=["input_files"])
+                for v in set(t_if["input_files"].to_pylist()):
+                    if v:
+                        lineage.update(_json.loads(v))
+        files_meta = _json.dumps(sorted(lineage)) if lineage else ""
         pages = _encode_table(full, pk, cols, page_rows,
                               input_files=files_meta)
         invalidate_zone_sidecar(out_dir, pk)
@@ -2013,9 +2052,23 @@ def compact_partitions(out_dir: str, min_files: int = 2,
         tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
         _pq.write_table(pages.drop_columns(["part_key"]), tmp,
                         row_group_size=PAGES_ROW_GROUP)
-        for f in old:  # new file lands atomically after the olds are gone
-            os.remove(os.path.join(part_dir, f))
-        os.replace(tmp, os.path.join(part_dir, "part-0.parquet"))
+        # crash-safe commit: journal(digest of new base + files to drop)
+        # → install base → remove extras → drop journal. The partition's
+        # rows are reachable at every instant; a crash between install
+        # and cleanup leaves duplicates that the journal replay above
+        # removes on the next compact run
+        digest = _hashlib.sha1(open(tmp, "rb").read()).hexdigest()
+        jtmp = journal + ".tmp"
+        with open(jtmp, "w") as fh:
+            _json.dump({"digest": digest,
+                        "remove": [f for f in old
+                                   if f != "part-0.parquet"]}, fh)
+        os.replace(jtmp, journal)
+        os.replace(tmp, base)
+        for f in old:
+            if f != "part-0.parquet":
+                os.remove(os.path.join(part_dir, f))
+        os.remove(journal)
         if zone_columns:
             zcols = [c for c in zone_columns if c in full.schema.names]
             if zcols:

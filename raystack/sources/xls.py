@@ -60,7 +60,10 @@ def _cfb_read_stream(data: bytes, stream_name: str) -> bytes:
     difat = list(struct.unpack_from("<109i", data, 76))
     s = difat_start
     for _ in range(n_difat):  # extended DIFAT sectors
-        ent = struct.unpack_from(f"<{ssz // 4}i", data, 512 + s * ssz)
+        # sector n starts at (n+1)*sector_size — the header occupies one
+        # FULL sector, so this holds for BOTH v3 (512 B) and v4 (4096 B)
+        # compound files ([MS-CFB] 2.1); 512 + n*ssz is a v3-only formula
+        ent = struct.unpack_from(f"<{ssz // 4}i", data, (s + 1) * ssz)
         difat += ent[:-1]
         s = ent[-1]
 
@@ -69,14 +72,14 @@ def _cfb_read_stream(data: bytes, stream_name: str) -> bytes:
     for sid in difat[:n_fat]:
         if sid < 0:
             continue
-        fat += struct.unpack_from(f"<{per}i", data, 512 + sid * ssz)
+        fat += struct.unpack_from(f"<{per}i", data, (sid + 1) * ssz)
 
     def read_chain(start: int, size: int) -> bytes:
         buf = bytearray()
         s = start
         seen = 0
         while s >= 0 and seen <= len(fat):
-            buf += data[512 + s * ssz: 512 + (s + 1) * ssz]
+            buf += data[(s + 1) * ssz: (s + 2) * ssz]
             s = fat[s]
             seen += 1
         return bytes(buf[:size])
@@ -264,8 +267,10 @@ def _parse_globals(stream: bytes):
     fmt_codes: dict[int, str] = {}
     xf_fmt_ids: list[int] = []
     date1904 = False
-    it = _records(stream)
-    for rid, body, _ in it:
+
+    def handle(rid: int, body: bytes) -> bool:
+        """One non-SST record → True when the substream ends (EOF)."""
+        nonlocal date1904
         if rid == _FORMAT:
             ifmt = struct.unpack_from("<H", body, 0)[0]
             code, _pos = _read_unistr(body, 2)
@@ -278,29 +283,32 @@ def _parse_globals(stream: bytes):
             spos = struct.unpack_from("<I", body, 0)[0]
             name, _ = _read_unistr(body, 6, short_len=True)
             sheets.append((name, spos))
-        elif rid == _SST:
+        elif rid == _EOF:
+            return True
+        return False
+
+    it = _records(stream)
+    for rid, body, _ in it:
+        if rid == _SST:
             n_unique = struct.unpack_from("<I", body, 4)[0]
             pieces = [body[8:]]
-            # gather the SST's CONTINUE records before parsing strings
+            # gather the SST's CONTINUE records before parsing strings;
+            # the first non-CONTINUE record belongs to the outer loop —
+            # re-dispatch it through the SAME handler (a DATEMODE or
+            # XF/FORMAT ordered after the SST must not be dropped)
             for rid2, body2, _ in it:
                 if rid2 != _CONTINUE:
-                    it2_leftover = (rid2, body2)
+                    leftover = (rid2, body2)
                     break
                 pieces.append(body2)
             else:
-                it2_leftover = None
+                leftover = None
             rdr = _PieceReader(pieces)
             for _ in range(n_unique):
                 sst.append(rdr.read_string())
-            if it2_leftover is not None:
-                rid3, body3 = it2_leftover
-                if rid3 == _EOF:
-                    break
-                if rid3 == _BOUNDSHEET:  # unusual ordering; don't drop it
-                    spos = struct.unpack_from("<I", body3, 0)[0]
-                    name, _ = _read_unistr(body3, 6, short_len=True)
-                    sheets.append((name, spos))
-        elif rid == _EOF:
+            if leftover is not None and handle(*leftover):
+                break
+        elif handle(rid, body):
             break
     xf_kinds = [classify_fmt(i, fmt_codes) for i in xf_fmt_ids]
     return sheets, sst, xf_kinds, date1904

@@ -173,13 +173,18 @@ def build_zone_maps(out_dir: str, columns: list[str]) -> list[dict]:
     return ray.get([one.remote(d) for d in dirs])
 
 
-def _overlap_pages(zones_dir: str, ranges: dict) -> list[int] | None:
-    """Page indexes that may satisfy ALL range predicates, or None when
-    the partition has no zone file for some predicate column (must keep
-    everything). Empty list = partition fully pruned."""
+def _overlap_pages(zones_dir: str,
+                   ranges: dict) -> list[set[int]] | None:
+    """Per-PREDICATE-COLUMN sets of page indexes that may satisfy that
+    column's range, or None when the partition lacks a zone file for
+    some predicate column (must keep everything). Kept per column —
+    intersecting across columns is only sound when every column shares
+    the same page boundaries (the caller checks the ``uniform`` flag),
+    but a single column's EMPTY set proves the whole partition has no
+    matching row under ANY layout."""
     import pyarrow.parquet as pq
 
-    keep: set[int] | None = None
+    sets: list[set[int]] = []
     for col, (lo, hi) in ranges.items():
         zf = os.path.join(zones_dir, f"{col}.parquet")
         if not os.path.exists(zf):
@@ -193,9 +198,9 @@ def _overlap_pages(zones_dir: str, ranges: dict) -> list[int] | None:
             ok = pc.and_kleene(ok, pc.greater_equal(zmax, lo))
         # all-null pages have null zmin/zmax → unknown → keep
         ok = pc.fill_null(ok, True)
-        pages = set(np.asarray(z["page_idx"])[np.asarray(ok)].tolist())
-        keep = pages if keep is None else (keep & pages)
-    return sorted(keep) if keep is not None else None
+        sets.append(set(np.asarray(z["page_idx"])[np.asarray(ok)]
+                        .tolist()))
+    return sets
 
 
 def zone_prune_plan(out_dir: str, ranges: dict) -> dict:
@@ -215,15 +220,22 @@ def zone_prune_plan(out_dir: str, ranges: dict) -> dict:
             continue
         with open(meta_p) as f:
             meta = json.load(f)
-        pages = _overlap_pages(zdir, ranges)
-        if pages is None:
+        sets = _overlap_pages(zdir, ranges)
+        if sets is None:
             plan[d] = None
-        elif not pages:
-            continue  # partition fully pruned
+        elif any(not s for s in sets):
+            # one column proves no row can match — sound for ANY page
+            # layout (never intersect across columns before this check:
+            # with mixed boundaries, per-column page ids are unrelated
+            # and an empty INTERSECTION would drop matching rows)
+            continue
         elif not meta.get("uniform", False):
             plan[d] = None  # mixed boundaries: partition-level only
         else:
-            plan[d] = pages
+            inter = set.intersection(*sets) if sets else set()
+            if not inter:
+                continue  # uniform boundaries: intersection is sound
+            plan[d] = sorted(inter)
     return plan
 
 

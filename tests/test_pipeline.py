@@ -905,3 +905,73 @@ def test_encode_append_union_type_drift(ray_session, tmp_path):
                          schema="union")
     after = pl.decode_dir(out2).to_pandas()
     assert len(after) == len(before) == 300
+
+
+def test_encode_append_tag_uses_full_paths(ray_session, tmp_path):
+    # regression: the idempotency tag hashed BASENAMES, so two different
+    # days' increments named alike (data/<date>/batch.parquet) collided
+    # and day 2 silently REPLACED day 1's rows
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    d0 = tmp_path / "day0"; d1 = tmp_path / "d1"; d2 = tmp_path / "d2"
+    for d in (d0, d1, d2):
+        d.mkdir()
+    pq.write_table(t.slice(0, 200), str(d0 / "base.parquet"))
+    pq.write_table(t.slice(200, 150), str(d1 / "batch.parquet"))
+    pq.write_table(t.slice(350), str(d2 / "batch.parquet"))  # same name!
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([str(d0 / "base.parquet")], out,
+                                url_col="source", num_partitions=2,
+                                add_filename=False)
+    pl.encode_append([str(d1 / "batch.parquet")], out, add_filename=False)
+    s = pl.encode_append([str(d2 / "batch.parquet")], out,
+                         add_filename=False)
+    assert s["rows"] == t.num_rows  # day 1's append must survive
+    got = pl.decode_dir(out).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(t["doc_id"].to_pylist())
+    # re-running day 2 is still idempotent (same full path → same tag)
+    s2 = pl.encode_append([str(d2 / "batch.parquet")], out,
+                          add_filename=False)
+    assert s2["rows"] == t.num_rows
+
+
+def test_compact_preserves_lineage_and_replays_crash(ray_session, web,
+                                                     tmp_path):
+    import json
+    out = str(tmp_path / "enc")
+    day1, day2 = list(web)[:2], list(web)[2:]
+    pl.encode_partitioned_tasks(day1, out, num_partitions=2)
+    pl.encode_append(day2, out)
+    # lineage before: both days' files across the partition's page files
+    pre = set()
+    for row in mf.load_manifest(out).values():
+        pre.update(row["input_files"])
+    pl.compact_partitions(out, min_files=2)
+    post = set()
+    for row in mf.load_manifest(out).values():
+        post.update(row["input_files"])
+    # compaction must not erase provenance — it unions EVERY page file's
+    # lineage, so the post set covers all four input files (the
+    # pre-compact manifest surfaced only the first page's day-1 files)
+    assert pre <= post
+    assert post == {os.path.basename(p) for p in web}
+    before = pl.decode_dir(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+
+    # simulate a crash AFTER install but BEFORE cleanup: duplicate the
+    # base file under an append-style name and leave a matching journal
+    import hashlib
+    import shutil as _sh
+    pdir = os.path.join(out, "pages", "part_key=0")
+    base = os.path.join(pdir, "part-0.parquet")
+    _sh.copy(base, os.path.join(pdir, "part-deadbeef.parquet"))
+    with open(os.path.join(pdir, ".compact-journal.json"), "w") as f:
+        json.dump({"digest": hashlib.sha1(open(base, "rb").read())
+                   .hexdigest(), "remove": ["part-deadbeef.parquet"]}, f)
+    # the journal replay removes the leftover even below min_files
+    pl.compact_partitions(out, min_files=99)
+    assert not os.path.exists(os.path.join(pdir, "part-deadbeef.parquet"))
+    assert not os.path.exists(os.path.join(pdir, ".compact-journal.json"))
+    after = pl.decode_dir(out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    assert after.equals(before)

@@ -122,3 +122,23 @@ def test_cfb_stream_lookup_errors(xls_file):
         _cfb_read_stream(data, "NoSuchStream")
     with pytest.raises(ValueError):
         _cfb_read_stream(b"not a cfb file" * 40, "Workbook")
+
+
+def test_parse_globals_record_after_sst_not_dropped():
+    # regression: the first non-CONTINUE record after the SST was only
+    # re-dispatched for EOF/BOUNDSHEET — a DATEMODE ordered after the
+    # SST was silently discarded, shifting every date by 1462 days
+    import struct
+    from raystack.sources import xls as X
+
+    sst_body = struct.pack("<II", 1, 1) + X._unistr16("hello")
+    stream = (X._rec(X._SST, sst_body)
+              + X._rec(X._DATEMODE, struct.pack("<H", 1))
+              + X._rec(X._BOUNDSHEET,
+                       struct.pack("<IBB", 0, 0, 0)
+                       + bytes([2, 0]) + b"S1")
+              + X._rec(X._EOF, b""))
+    sheets, sst, xf_kinds, date1904 = X._parse_globals(stream)
+    assert sst == ["hello"]
+    assert date1904 is True  # was silently False before the fix
+    assert [n for n, _ in sheets] == ["S1"]

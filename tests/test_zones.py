@@ -248,3 +248,49 @@ def test_zone_maps_after_union_drift_append(ray_session, tmp_path):
     assert set(got.loc[got["n_chars"].isna(), "doc_id"]) == \
         {i for i in want["doc_id"] if i in day1_ids}
     assert sorted(got.columns) == sorted(want.columns)
+
+
+def test_zone_prune_nonuniform_never_intersects(tmp_path):
+    # regression: with MIXED page boundaries the per-column page ids are
+    # unrelated — intersecting them can be empty while rows match. The
+    # plan must keep the partition (None) unless a SINGLE column's page
+    # set is empty (sound under any layout)
+    import json
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raystack.zones import zone_prune_plan
+
+    out = str(tmp_path / "enc")
+    pdir = os.path.join(out, "pages", "part_key=0")
+    os.makedirs(pdir)
+    pq.write_table(pa.table({"page_idx": [0], "column": ["x"],
+                             "data": [b""]}), os.path.join(pdir,
+                                                           "p.parquet"))
+    zdir = os.path.join(out, "zones", "part_key=0")
+    os.makedirs(zdir)
+
+    def sidecar(col, idx, lo, hi):
+        pq.write_table(pa.table({"page_idx": idx, "zmin": lo, "zmax": hi,
+                                 "nrows": [10] * len(idx),
+                                 "nulls": [0] * len(idx)}),
+                       os.path.join(zdir, f"{col}.parquet"))
+    # column a: pages 0..1 (heavy numbering), only page 0 overlaps
+    sidecar("a", [0, 1], [0, 100], [50, 150])
+    # column b: pages 0..10 (light numbering), only page 7 overlaps
+    sidecar("b", list(range(11)), list(range(0, 1100, 100)),
+            list(range(99, 1100, 100)))
+    with open(os.path.join(zdir, "meta.json"), "w") as f:
+        json.dump({"uniform": False, "columns": ["a", "b"]}, f)
+
+    plan = zone_prune_plan(out, {"a": (0, 10), "b": (700, 710)})
+    # {0} ∩ {7} is empty but boundaries differ → must NOT prune
+    assert plan == {"part_key=0": None}
+    # a single column with NO overlapping page prunes soundly
+    plan2 = zone_prune_plan(out, {"a": (9999, 10000), "b": (700, 710)})
+    assert plan2 == {}
+    # uniform layouts still intersect page sets
+    with open(os.path.join(zdir, "meta.json"), "w") as f:
+        json.dump({"uniform": True, "columns": ["a", "b"]}, f)
+    plan3 = zone_prune_plan(out, {"a": (0, 10), "b": (0, 10)})
+    assert plan3 == {"part_key=0": [0]}
