@@ -170,10 +170,14 @@ def arrays_bit_identical(a: pa.Array, b: pa.Array) -> bool:
     if not np.array_equal(np.asarray(a.is_valid()), np.asarray(b.is_valid())):
         return False
     if pa.types.is_floating(a.type):
-        fill = pa.scalar(0.0, type=a.type)
-        fa = np.asarray(pc.fill_null(a, fill))
-        fb = np.asarray(pc.fill_null(b, fill))
-        view = np.uint64 if a.type == pa.float64() else np.uint32
+        # null masks already matched above, so comparing the VALID slots'
+        # bits suffices — drop_null keeps their order and sidesteps
+        # fill_null kernels float16 doesn't have. View width follows the
+        # element size (float16 bits live in uint16)
+        fa = np.asarray(a.drop_null())
+        fb = np.asarray(b.drop_null())
+        view = {2: np.uint16, 4: np.uint32,
+                8: np.uint64}[fa.dtype.itemsize]
         return np.array_equal(fa.view(view), fb.view(view))
     return a.equals(b)
 

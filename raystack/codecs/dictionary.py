@@ -31,8 +31,22 @@ class DictionaryCodec(Codec):
         if isinstance(filled, pa.ChunkedArray):  # defensive
             filled = filled.combine_chunks()
         denc = pc.dictionary_encode(filled)
-        codes = np.asarray(denc.indices).astype(np.uint64)
+        indices = denc.indices
+        if indices.null_count:
+            # types split_validity has no fill default for (e.g.
+            # decimal128) arrive with nulls INLINE: record the validity
+            # bitmap from the null indices here — np.asarray would turn
+            # them into NaN and NaN.astype(uint64) is garbage codes
+            # (silent corruption on decode)
+            validity = np.packbits(np.asarray(indices.is_valid()),
+                                   bitorder="little").tobytes()
+            indices = pc.fill_null(indices, 0)
+        codes = np.asarray(indices).astype(np.uint64)
         dictionary = denc.dictionary
+        if not len(dictionary) and len(arr):
+            # all-null unfillable column: a 1-slot null dictionary keeps
+            # decode's take() valid (validity re-nulls every slot anyway)
+            dictionary = pa.nulls(1, filled.type)
         width = bitpack.bits_needed(max(0, len(dictionary) - 1))
         packed = bitpack.pack(codes, width) if len(codes) else b""
         dict_blob = self.values_codec.encode(dictionary).to_bytes()

@@ -33,9 +33,14 @@ class RleCodec(Codec):
             starts = np.zeros(0, dtype=np.int64)
         else:
             if pa.types.is_floating(arr.type):
-                # bitwise comparison: NaN runs compress, -0.0 != 0.0 preserved
-                view = np.uint64 if arr.type == pa.float64() else np.uint32
-                v = np.asarray(filled).view(view)
+                # bitwise comparison: NaN runs compress, -0.0 != 0.0
+                # preserved. View width follows the ELEMENT size — a
+                # hardcoded uint32 reinterpreted float16 pairs as single
+                # values, silently corrupting the run boundaries
+                fv = np.asarray(filled)
+                view = {2: np.uint16, 4: np.uint32,
+                        8: np.uint64}[fv.dtype.itemsize]
+                v = fv.view(view)
                 neq = v[1:] != v[:-1]
             else:
                 neq = pc.not_equal(filled.slice(1), filled.slice(0, n - 1))

@@ -88,8 +88,10 @@ def _signatures_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
 
 def minhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """id + 32-perm minhash signature (list<int64>) per row."""
+    # bounded batches: per-row window-hash/minhash scratch scales with
+    # the batch's text bytes (see chunk_documents' first-touch rationale)
     return ds.map_batches(lambda t: _signatures_batch(t, text_col, id_col),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=4096)
 
 
 #: hot-key sets up to this size are broadcast (one filter map, no join
@@ -371,7 +373,9 @@ def simhash(ds, text_col: str = "text", id_col: str = "doc_id"):
             if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
             "simhash": pa.array(sh.view(np.int64)),
         })
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # bounded batches: the bit-contribution matrix is ~256 bytes per
+    # input text byte — a whole 128 MB block would allocate tens of GB
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=512)
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -607,6 +611,14 @@ def _explode_paragraphs(t: pa.Table, text_col: str, id_col: str,
     idcol = t[id_col]
     ids = np.asarray(idcol.chunk(0) if isinstance(idcol, pa.ChunkedArray)
                      else idcol).astype(np.int64)
+    if len(ids) and (int(ids.min()) < 0
+                     or int(ids.max()) >= (1 << (63 - _PARA_IDX_BITS))):
+        # the packed (id << 21 | idx) key wraps for ids ≥ 2^42 or
+        # negative ids — distinct keys would collide and the rebuild
+        # would silently delete paragraphs from UNRELATED documents
+        raise ValueError(
+            "dedup_paragraphs: doc ids must be in [0, 2^42) for the "
+            "packed paragraph key — remap hash-derived ids first")
     doc_rep = np.repeat(ids, counts)
     idx = (np.arange(len(doc_rep))
            - np.repeat(np.cumsum(counts) - counts, counts))

@@ -37,6 +37,8 @@ def flatten_column(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     data, lengths = _flatten(arr)
+    if not len(lengths):  # empty column: no phantom [0] start row
+        return data, np.zeros(0, np.int64), lengths.astype(np.int64)
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
     return data, starts, lengths.astype(np.int64)
 

@@ -137,6 +137,20 @@ def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> st
                 best = best_fast
     if best != "plain" and est[best] > _HYSTERESIS * plain_cost:
         return "plain"
+    if best != "plain":
+        # defense in depth: the winner must ROUND-TRIP the sample
+        # bit-identically, else fall back to plain (which always does).
+        # One extra decode of a ≤4k-row sample per (column, partition) —
+        # cheap insurance that a codec edge case (unusual type, odd
+        # width) degrades to a bigger file, never to corrupt data
+        from .codecs import decode_blob
+        from .codecs.base import arrays_bit_identical
+        try:
+            back = decode_blob(get_codec(best).encode(sample).to_bytes())
+            if not arrays_bit_identical(back, sample):
+                return "plain"
+        except Exception:
+            return "plain"
     return best
 
 

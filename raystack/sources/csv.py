@@ -118,7 +118,6 @@ def _csv_options(dialect: CsvDialect, column_names: list[str] | None = None,
                  column_types: dict | None = None):
     read_opts = pacsv.ReadOptions(skip_rows=dialect.skiprows)
     if not dialect.has_header:
-        n = len(column_names) if column_names else None
         read_opts = pacsv.ReadOptions(
             skip_rows=dialect.skiprows,
             column_names=column_names,
@@ -185,6 +184,14 @@ def read_aligned_csv(paths: list[str],
             columns_rename=columns_rename, add_filename=add_filename)
 
     want = set(paths)
+    planned = {p for g in plan.schema_groups.values() for p in g}
+    unknown = sorted(want - planned)
+    if unknown:
+        # a path absent from the plan would otherwise be FILTERED OUT
+        # silently — its rows just missing from the result
+        raise ValueError(f"read_aligned_csv: path(s) {unknown} are not in "
+                         "the supplied plan; rebuild the plan over the "
+                         "full file list")
     parts = []
     for group in plan.schema_groups.values():
         group = [p for p in group if p in want]
@@ -202,7 +209,6 @@ def read_aligned_csv(paths: list[str],
         column_names = None
         if not dialect.has_header:
             column_names = list(g_schema.names)
-            target_types = {n: target_types[n] for n in target_types}
         read_opts, parse_opts, convert_opts = _csv_options(
             dialect, column_names=column_names, column_types=target_types)
         ds = ray.data.read_csv(group,

@@ -165,3 +165,56 @@ def test_nulls_codec_roundtrip():
         assert arrays_bit_identical(decode_blob(blob), arr)
     with pytest.raises(ValueError, match="all-null"):
         get_codec("nulls").encode(pa.array([1, None]))
+
+
+def test_dict_codec_nullable_unfillable_type_roundtrip():
+    # regression: types split_validity has no fill default for (decimal)
+    # arrived with nulls inline; dictionary indices went through NaN →
+    # uint64 garbage and decode returned WRONG VALUES silently
+    import decimal
+    import pyarrow as pa
+    from raystack.codecs import decode_blob, get_codec
+    arr = pa.array([decimal.Decimal("1.50"), None, decimal.Decimal("1.50"),
+                    decimal.Decimal("2.50")], type=pa.decimal128(10, 2))
+    blob = get_codec("dict").encode(arr).to_bytes()
+    back = decode_blob(blob)
+    assert back.equals(arr)  # incl. the null slot
+    # all-null unfillable column
+    arr2 = pa.nulls(5, type=pa.decimal128(10, 2))
+    assert decode_blob(get_codec("dict").encode(arr2).to_bytes()) \
+        .equals(arr2)
+
+
+def test_rle_codec_float16_roundtrip():
+    # regression: the float bitwise view was hardcoded to uint32, pairing
+    # float16 elements and silently corrupting run boundaries
+    import numpy as np
+    import pyarrow as pa
+    from raystack.codecs import decode_blob, get_codec
+    from raystack.codecs.base import arrays_bit_identical
+    arr = pa.array(np.array([1.5, 2.5, 2.5, 4.5], dtype=np.float16))
+    back = decode_blob(get_codec("rle").encode(arr).to_bytes())
+    assert arrays_bit_identical(back, arr)
+
+
+def test_choose_codec_rejects_nonroundtripping_winner(monkeypatch):
+    # the selection safety net: a codec that wins on size but corrupts
+    # the sample must lose to plain
+    import pyarrow as pa
+    from raystack import select
+    from raystack.codecs import get_codec
+    from raystack.codecs.base import Codec, EncodedChunk
+
+    class EvilCodec(Codec):
+        name = "dict"  # masquerade as a real candidate
+
+        def encode(self, arr):
+            return EncodedChunk(codec="plain", type=arr.type, length=0,
+                                buffers=[b""])  # tiny → "wins" on size
+
+    real_get = select.get_codec
+    monkeypatch.setattr(
+        select, "get_codec",
+        lambda name: EvilCodec() if name == "dict" else real_get(name))
+    arr = pa.array(["a", "a", "a", "b"] * 64)
+    assert select.choose_codec(arr, "c", 0) != "dict"

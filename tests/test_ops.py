@@ -1194,3 +1194,25 @@ def test_flag_contamination_pandas_benchmark(ray_session):
     got = flag_contamination(ray.data.from_arrow(t), bench, n=3) \
         .to_pandas().sort_values("doc_id")
     assert got["contaminated"].tolist() == [True, False]
+
+
+def test_dedup_ops_tolerate_empty_batches(ray_session):
+    # regression: flatten_column returned a phantom starts=[0] for empty
+    # columns, making signature batches 1 row long for 0-row tables
+    import ray.data
+    from raystack.ops.dedup import minhash_signatures, simhash
+    t = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    full = pa.table({"doc_id": [1, 2], "text": ["hello world", "bye"]})
+    ds = ray.data.from_arrow([t, full])  # one empty block + one real
+    assert minhash_signatures(ds).count() == 2
+    assert simhash(ds, "text", "doc_id").count() == 2
+
+
+def test_dedup_paragraphs_rejects_out_of_range_ids(ray_session):
+    import ray.data
+    from raystack.ops.dedup import dedup_paragraphs
+    t = pa.table({"doc_id": pa.array([1 << 50], pa.int64()),
+                  "text": ["a\n\nb"]})
+    with pytest.raises(Exception, match="2\\^42"):
+        dedup_paragraphs(ray.data.from_arrow(t)).count()
