@@ -102,6 +102,11 @@ def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
     return out
 
 
+#: per-process (codec, arrow type) round-trip verdicts — the defense-in-
+#: depth check runs once per pair, not once per (column, partition)
+_VERIFIED: dict = {}
+
+
 def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> str:
     """Pick the cheapest candidate codec for this chunk by sample-encoding."""
     n = len(arr)
@@ -113,11 +118,13 @@ def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> st
     cands = candidates_for(arr.type, _stats(sample))
     sn = len(sample)
     est: dict[str, float] = {}
+    chunks: dict[str, object] = {}
     for name in cands:
         try:
             chunk = get_codec(name).encode(sample)
         except Exception:
             continue
+        chunks[name] = chunk
         # scale per-value cost; table/meta overhead counted once (not scaled)
         meta_overhead = len(chunk.to_bytes()) - chunk.nbytes
         est[name] = chunk.nbytes * (n / sn) + meta_overhead
@@ -139,17 +146,26 @@ def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> st
         return "plain"
     if best != "plain":
         # defense in depth: the winner must ROUND-TRIP the sample
-        # bit-identically, else fall back to plain (which always does).
-        # One extra decode of a ≤4k-row sample per (column, partition) —
-        # cheap insurance that a codec edge case (unusual type, odd
-        # width) degrades to a bigger file, never to corrupt data
-        from .codecs import decode_blob
-        from .codecs.base import arrays_bit_identical
-        try:
-            back = decode_blob(get_codec(best).encode(sample).to_bytes())
-            if not arrays_bit_identical(back, sample):
-                return "plain"
-        except Exception:
+        # bit-identically, else fall back to plain (which always does) —
+        # a codec edge case (unusual type, odd width) degrades to a
+        # bigger file, never to corrupt data. Corruption classes are
+        # TYPE-driven, so the verdict caches per (codec, arrow type) per
+        # worker process: the decode runs once per pair, not once per
+        # (column, partition) — zero steady-state cost on the encode
+        # hot path (the per-partition version measurably dragged the
+        # scaling job)
+        key = (best, str(arr.type))
+        cached = _VERIFIED.get(key)
+        if cached is None:
+            from .codecs import decode_blob
+            from .codecs.base import arrays_bit_identical
+            try:
+                back = decode_blob(chunks[best].to_bytes())
+                cached = arrays_bit_identical(back, sample)
+            except Exception:
+                cached = False
+            _VERIFIED[key] = cached
+        if not cached:
             return "plain"
     return best
 

@@ -216,5 +216,8 @@ def test_choose_codec_rejects_nonroundtripping_winner(monkeypatch):
     monkeypatch.setattr(
         select, "get_codec",
         lambda name: EvilCodec() if name == "dict" else real_get(name))
+    # fresh verdict cache: don't read stale PASS verdicts for the real
+    # dict codec, and don't poison other tests with the evil FAIL
+    monkeypatch.setattr(select, "_VERIFIED", {})
     arr = pa.array(["a", "a", "a", "b"] * 64)
     assert select.choose_codec(arr, "c", 0) != "dict"
