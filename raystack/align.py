@@ -223,6 +223,9 @@ def read_aligned(paths: list[str],
         if post_align is not None:
             branch = branch.map_batches(post_align, batch_format="pyarrow")
         parts.append(branch)
+    if not parts:
+        raise ValueError("read_aligned: no input files matched the plan — "
+                         "pass the files the plan was built over")
     out = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
     if apply_after_read is not None:
         out = out.map_batches(apply_after_read, batch_format="pandas")

@@ -10,7 +10,12 @@ Excel converter's file-level ``if_exists='skip'``
 with checksums.
 
 Written atomically (tmp file + ``os.replace``) and merged on update, so
-concurrent resumed runs never truncate prior progress.
+concurrent resumed runs never truncate prior progress. The merge is a
+read-modify-write: two drivers finalizing the SAME layout at the same
+instant can each miss the other's in-flight rows (one driver per layout
+is the operating assumption — the cost of a violation is re-encoding
+work on the next resume, never data corruption, because rows are only
+recorded after their pages hit storage).
 """
 
 from __future__ import annotations

@@ -15,6 +15,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _epoch_us(ser) -> "pd.Series":
+    """Pandas datetime series → int64 MICROSECOND epoch regardless of the
+    column's native unit. ``astype("int64")`` alone returns the epoch in
+    the series' own unit (ns for pandas-written parquet), silently off by
+    1000x against the *_us window constants."""
+    import pandas as pd
+    return pd.Series(ser.to_numpy().astype("datetime64[us]").astype("int64"),
+                     index=ser.index)
+
+
 def tumbling_window_agg(ds, ts_col: str, key_col: str, window_sec: int,
                         value_col: str | None = None):
     """Per (key, tumbling window): event count + min/max timestamp (+ min/max
@@ -27,7 +37,7 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, window_sec: int,
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.select([c for c in {key_col, ts_col, value_col} if c]
                       ).to_pandas()
-        epoch = df[ts_col].astype("int64")
+        epoch = _epoch_us(df[ts_col])
         df["window_start"] = pd.to_datetime(
             (epoch // win_us) * win_us, unit="us")
         gb = df.groupby([key_col, "window_start"], sort=False)
@@ -63,7 +73,7 @@ def sessionize(ds, ts_col: str, key_col: str, id_col: str,
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col])
-        epoch = g[ts_col].astype("int64")
+        epoch = _epoch_us(g[ts_col])
         new = (epoch.diff().isna() | (epoch.diff() > gap_us)).astype(np.int64)
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
                              key_col: g[key_col].to_numpy(),
@@ -104,7 +114,7 @@ def sessionize_bucketed(ds, ts_col: str, key_col: str, id_col: str,
 
     def per_key_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, id_col])
-        epoch = g[ts_col].astype("int64")
+        epoch = _epoch_us(g[ts_col])
         new = (epoch.diff().isna()
                | (epoch.diff() > gap_us)).astype(np.int64)
         return pd.DataFrame({id_col: g[id_col].to_numpy(),
@@ -189,7 +199,7 @@ def hopping_window_agg(ds, ts_col: str, key_col: str, window_sec: int,
     def partial(t: pa.Table) -> pd.DataFrame:
         df = t.select([c for c in {key_col, ts_col, value_col} if c]
                       ).to_pandas()
-        epoch = df[ts_col].astype("int64").to_numpy()
+        epoch = _epoch_us(df[ts_col]).to_numpy()
         last_hop = epoch // hop_us  # last window (by start) containing ts
         frames = []
         for i in range(k):

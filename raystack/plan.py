@@ -126,6 +126,12 @@ def plan_from_schemas(paths: list[str], schemas: dict[str, pa.Schema],
     presence = {p: {c: (c in schemas[p].names) for c in columns_all} for p in paths}
 
     columns_rename = dict(columns_rename or {})
+    targets = list(columns_rename.values())
+    if len(set(targets)) != len(targets):
+        # two renames onto one target would later make the aligned
+        # batch carry duplicate column labels (batch.column(name) raises)
+        raise ValueError("columns_rename maps two columns to the same "
+                         "target name")
     rename_by_file: dict[str, dict[str, str]] = {}
     for p in paths:
         names = set(schemas[p].names)

@@ -53,9 +53,20 @@ def schema_to_ddl(schema: pa.Schema, table_name: str,
     """CREATE TABLE DDL for the unified schema (reference
     ``to_sql_combine(..., return_create_sql=True)`` semantics)."""
     qual = f"{schema_name}.{table_name}" if schema_name else table_name
-    cols = ",\n  ".join(f'"{f.name}" {_sql_type(f.type, dialect)}'
+    # identifier quoting is dialect-specific: stock MySQL (no ANSI_QUOTES)
+    # parses "col" as a string literal and rejects the DDL — backticks
+    q = "`" if dialect == "mysql" else '"'
+    cols = ",\n  ".join(f'{q}{f.name}{q} {_sql_type(f.type, dialect)}'
                         for f in schema)
     return f"CREATE TABLE {qual} (\n  {cols}\n);"
+
+
+def _placeholder(uri: str) -> str:
+    """DBAPI2 parameter placeholder for the URI's driver: sqlite is qmark,
+    the common server drivers (psycopg2/pg8000/mysqlconnector/pymysql) are
+    format/pyformat — hardcoding '?' makes every INSERT a syntax error on
+    postgres/mysql."""
+    return "?" if uri.startswith("sqlite://") else "%s"
 
 
 def _connection_factory(uri: str):
@@ -110,7 +121,7 @@ def pd_to_sql(df, uri: str, table_name: str, if_exists: str = "fail") -> str:
         cur.execute(ddl.rstrip(";\n "))
         cur.executemany(
             f"INSERT INTO {table_name} VALUES "
-            f"({', '.join(['?'] * len(df.columns))})",
+            f"({', '.join([_placeholder(uri)] * len(df.columns))})",
             [tuple(None if v != v else v for v in row) if any(
                 isinstance(v, float) for v in row) else tuple(row)
              for row in df.itertuples(index=False, name=None)])
@@ -262,25 +273,28 @@ def pd_to_mssql(df, uri: str, table_name: str,
 
 
 def write_sql_combine(ds, uri: str, table_name: str,
-                      if_exists: str = "fail") -> str:
+                      if_exists: str = "fail",
+                      schema_name: str | None = None) -> str:
     """Aligned Dataset → SQL table: create the table from the unified
     schema (the reference created it from the empty preview frame,
     combine_csv.py:534-537), then append every block via ``ds.write_sql``
     (distributed INSERT batches — the reference's per-chunk ``to_sql``)."""
     factory = _connection_factory(uri)
     schema = ds.schema()
-    dialect = "sqlite" if uri.startswith("sqlite://") else "postgres"
+    dialect = "sqlite" if uri.startswith("sqlite://") else \
+        ("mysql" if uri.startswith("mysql") else "postgres")
+    qual = f"{schema_name}.{table_name}" if schema_name else table_name
     conn = factory()
     try:
         cur = conn.cursor()
         if if_exists == "replace":
-            cur.execute(f"DROP TABLE IF EXISTS {table_name}")
+            cur.execute(f"DROP TABLE IF EXISTS {qual}")
         elif if_exists == "fail":
             pass  # CREATE TABLE below raises if it exists
         ddl = schema_to_ddl(
             pa.schema([pa.field(n, t) for n, t in
                        zip(schema.names, schema.types)]),
-            table_name, dialect=dialect)
+            table_name, schema_name=schema_name, dialect=dialect)
         if if_exists == "append":
             ddl = ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS", 1)
         cur.execute(ddl.rstrip(";\n "))
@@ -288,6 +302,6 @@ def write_sql_combine(ds, uri: str, table_name: str,
     finally:
         conn.close()
     ds.write_sql(
-        f"INSERT INTO {table_name} VALUES "
-        f"({', '.join(['?'] * len(schema.names))})", factory)
-    return table_name
+        f"INSERT INTO {qual} VALUES "
+        f"({', '.join([_placeholder(uri)] * len(schema.names))})", factory)
+    return qual

@@ -363,6 +363,10 @@ def read_excel_advanced(fname: str, remove_blank_cols: bool = True,
                              "header_xls_range or header_xls_start with "
                              "header_xls_end")
         header_xls_start, header_xls_end = header_xls_range.split(":")
+    elif bool(header_xls_start) != bool(header_xls_end):
+        # one without the other was silently IGNORED (full-sheet read)
+        raise ValueError("header_xls_start and header_xls_end must be "
+                         "passed together (or use header_xls_range)")
 
     grid = read_sheet_grid(fname, sheet_name)
 
@@ -401,13 +405,16 @@ def read_excel_advanced(fname: str, remove_blank_cols: bool = True,
     # but never coerce date-styled cells (to_numeric would turn
     # datetimes into epoch nanoseconds)
     import datetime as _dtm
-    for c in df.columns:
-        col = df[c]
+    for i in range(df.shape[1]):
+        # positional access: df[name] returns a DATAFRAME when header
+        # labels repeat (messy spreadsheets), and `if DataFrame.any():`
+        # raises — iloc is unambiguous
+        col = df.iloc[:, i]
         if col.map(lambda v: isinstance(
                 v, (_dtm.datetime, _dtm.date, _dtm.time))).any():
             continue
         try:
-            df[c] = pd.to_numeric(col)
+            df.isetitem(i, pd.to_numeric(col))
         except (ValueError, TypeError):
             pass
 
@@ -577,7 +584,8 @@ class XLStoCSVMultiFile(XLStoBase):
                 raise ValueError("Invalid sheet name selected in one of "
                                  "the files")
         else:
-            if not all(cfg_xls_sheets_sel[f] <= sheets[f]["sheets_count"]
+            if not all(0 <= cfg_xls_sheets_sel[f]
+                       < sheets[f]["sheets_count"]
                        for f in self.fname_list):
                 raise ValueError("Invalid index selected in one of the files")
         self.cfg_xls_sheets_sel_mode = cfg_xls_sheets_sel_mode
@@ -599,6 +607,9 @@ class XLStoCSVMultiSheet(XLStoBase):
         if sheet_names_sel:
             if not isinstance(sheet_names_sel, (list, str)):
                 raise ValueError("sheet_names needs to be a list")
+            if isinstance(sheet_names_sel, str):
+                # a bare string would be iterated CHARACTER by character
+                sheet_names_sel = [sheet_names_sel]
             self.sheet_names = sheet_names_sel
         else:
             self.sheet_names = sheet_names(fname)

@@ -111,8 +111,12 @@ class Stacker:
             t = t.slice(0, nrows)
         else:
             f = pq.ParquetFile(path)
-            batch = next(f.iter_batches(batch_size=nrows))
-            t = pa.Table.from_batches([batch]).slice(0, nrows)
+            batch = next(f.iter_batches(batch_size=nrows), None)
+            # a zero-row file is a legal input (to_parquet_align handles
+            # them); preview it as its empty schema, don't crash
+            t = pa.Table.from_batches([batch]).slice(0, nrows) \
+                if batch is not None \
+                else f.schema_arrow.empty_table()
         if self.plan.add_filename:
             t = t.append_column("path", pa.array([path] * t.num_rows))
         return t
@@ -234,7 +238,10 @@ class Stacker:
                     batch.to_csv(f, index=False, header=first)
                     first = False
                 if first:
-                    pd.DataFrame(columns=self.plan.target_columns) \
+                    # header parity with non-empty outputs: include the
+                    # provenance columns (plan.output_schema, not
+                    # target_columns) or re-stacking reintroduces drift
+                    pd.DataFrame(columns=self.plan.output_schema.names) \
                         .to_csv(f, index=False)
             outs.append(out)
         return outs
@@ -255,16 +262,20 @@ class Stacker:
     def to_sql_combine(self, uri: str | None = None,
                        table_name: str = "stacked",
                        schema_name: str | None = None,
+                       if_exists: str = "fail",
                        return_create_sql: bool = False,
                        dialect: str = "postgres"):
         """SQL sink parity: ``return_create_sql=True`` yields the DDL for
         the unified schema without touching a DB (reference
-        combine_csv.py:539-545); the executing path is gated on sqlalchemy."""
+        combine_csv.py:539-545); the executing path is gated on sqlalchemy.
+        ``schema_name``/``if_exists`` apply to BOTH branches."""
         from .sources.sql import schema_to_ddl, write_sql_combine
         if return_create_sql:
             return schema_to_ddl(self.plan.output_schema, table_name,
                                  schema_name, dialect)
-        return write_sql_combine(self.dataset(), uri, table_name)
+        return write_sql_combine(self.dataset(), uri, table_name,
+                                 if_exists=if_exists,
+                                 schema_name=schema_name)
 
     def to_encoded(self, output_dir: str, url_col: str | None = None,
                    num_partitions: int = 32, resume: bool = False,

@@ -338,6 +338,12 @@ def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
     disjoint = np.zeros(len(page_idx), dtype=bool)
     contained = np.ones(len(page_idx), dtype=bool)
     for col, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            # unconstrained column: the exact filter keeps EVERY row
+            # (nulls included), so it must impose nothing here — the
+            # null-page shortcuts below would otherwise drop all-null
+            # pages and break the decode_dir_where().count() identity
+            continue
         z = zts[col]
         zmin, zmax = z["zmin"], z["zmax"]
         has_null = np.asarray(pc.greater(z["nnull"], 0)) \

@@ -1216,3 +1216,36 @@ def test_dedup_paragraphs_rejects_out_of_range_ids(ray_session):
                   "text": ["a\n\nb"]})
     with pytest.raises(Exception, match="2\\^42"):
         dedup_paragraphs(ray.data.from_arrow(t)).count()
+
+
+def test_windows_handle_ns_unit_timestamps(ray_session):
+    # regression: epoch math compared native-unit int64 against
+    # microsecond constants — ns inputs (pandas parquet default) made
+    # 60 s windows into 60 ms windows and split every session, silently
+    import ray.data
+    from raystack.ops.window import (sessionize, sessionize_bucketed,
+                                     tumbling_window_agg)
+    base = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([0, 30_000_000, 90_000_000, 10_000_000],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    ns = base.set_column(1, "ts", base["ts"].cast(pa.timestamp("ns")))
+    for t in (base, ns):
+        got = tumbling_window_agg(ray.data.from_arrow(t), "ts", "k",
+                                  window_sec=60).to_pandas() \
+            .sort_values(["k", "window_start"]).reset_index(drop=True)
+        assert got["n_events"].tolist() == [2, 1, 1], t["ts"].type
+    ev = pa.table({
+        "user": [1, 1, 1], "eid": [10, 11, 12],
+        "ts": pa.array([0, 60_000_000, 4_000_000_000],
+                       pa.int64()).cast(pa.timestamp("us"))
+        .cast(pa.timestamp("ns")),  # same instants, ns storage
+    })
+    s1 = sessionize(ray.data.from_arrow(ev), "ts", "user",
+                    "eid", gap_sec=1800).to_pandas().sort_values("eid")
+    assert s1["session_id"].tolist() == [1, 1, 2]
+    s2 = sessionize_bucketed(ray.data.from_arrow(ev), "ts", "user",
+                             "eid", gap_sec=1800).to_pandas() \
+        .sort_values("eid")
+    assert s2["session_id"].tolist() == [1, 1, 2]

@@ -174,3 +174,46 @@ def test_encoded_sink_methods_agree(ray_session, sales_extra, tmp_path):
     key = list(a.columns)
     assert a.sort_values(key).reset_index(drop=True).equals(
         b[a.columns].sort_values(key).reset_index(drop=True))
+
+
+def test_preview_tolerates_empty_file(ray_session, tmp_path):
+    # regression: a zero-row parquet input crashed combine_preview with
+    # an uncaught StopIteration
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raystack.stacker import Stacker
+    full = str(tmp_path / "a.parquet")
+    empty = str(tmp_path / "b.parquet")
+    t = pa.table({"x": [1, 2], "y": ["p", "q"]})
+    pq.write_table(t, full)
+    pq.write_table(t.slice(0, 0), empty)
+    st = Stacker([full, empty], add_filename=False)
+    prev = st.combine_preview()
+    assert prev["x"].tolist() == [1, 2]
+    # empty aligned CSV keeps header parity with non-empty outputs
+    st2 = Stacker([full, empty])  # add_filename=True
+    outs = st2.to_csv_align(str(tmp_path / "out"))
+    import pandas as pd
+    cols = [list(pd.read_csv(o, nrows=0).columns) for o in sorted(outs)]
+    assert cols[0] == cols[1]  # provenance columns present in BOTH
+
+
+def test_sql_ddl_mysql_backticks():
+    import pyarrow as pa
+    from raystack.sources.sql import schema_to_ddl
+    ddl = schema_to_ddl(pa.schema([("c", pa.int64())]), "t",
+                        dialect="mysql")
+    assert "`c`" in ddl and '"c"' not in ddl
+    ddl_pg = schema_to_ddl(pa.schema([("c", pa.int64())]), "t")
+    assert '"c"' in ddl_pg
+
+
+def test_plan_rejects_conflicting_rename_targets(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from raystack.plan import build_plan
+    p = str(tmp_path / "a.parquet")
+    pq.write_table(pa.table({"a": [1], "b": [2]}), p)
+    with pytest.raises(ValueError, match="same"):
+        build_plan([p], columns_rename={"a": "x", "b": "x"})

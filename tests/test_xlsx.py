@@ -181,3 +181,46 @@ def test_stacker_reads_converted_csvs(ray_session, tmp_path):
     assert len(df) == 6
     assert set(df.columns) == {"date", "sales", "cost", "profit"}
     assert df["sales"].notna().all()
+
+
+def test_duplicate_header_labels(tmp_path):
+    # regression: df[label] on repeated headers returns a DataFrame and
+    # the datetime guard crashed with "truth value ambiguous"
+    from raystack.sources.xlsx import read_excel_advanced, write_xlsx
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(p, {"S": [["Q1", "Q1", "n"], ["a", "b", 1], ["c", "d", 2]]})
+    df = read_excel_advanced(p)
+    assert list(df.columns) == ["Q1", "Q1", "n"]
+    assert df["n"].tolist() == [1, 2]
+
+
+def test_multisheet_accepts_bare_string(tmp_path):
+    from raystack.sources.xlsx import XLStoCSVMultiSheet, write_xlsx
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, {"Sheet1": [["a"], [1]], "Sheet2": [["b"], [2]]})
+    conv = XLStoCSVMultiSheet(p, sheet_names_sel="Sheet1",
+                              output_dir=str(tmp_path))
+    outs = conv.convert_all()
+    assert len(outs) == 1 and outs[0].endswith("-Sheet1.csv")
+
+
+def test_sheet_index_validation_bounds(tmp_path):
+    import pytest
+    from raystack.sources.xlsx import XLStoCSVMultiFile, write_xlsx
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, {"S1": [["a"], [1]], "S2": [["b"], [2]]})
+    with pytest.raises(ValueError, match="Invalid index"):
+        XLStoCSVMultiFile([p], cfg_xls_sheets_sel_mode="idx_global",
+                          cfg_xls_sheets_sel=2)
+    with pytest.raises(ValueError, match="Invalid index"):
+        XLStoCSVMultiFile([p], cfg_xls_sheets_sel_mode="idx_global",
+                          cfg_xls_sheets_sel=-1)
+
+
+def test_header_start_requires_end(tmp_path):
+    import pytest
+    from raystack.sources.xlsx import read_excel_advanced, write_xlsx
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, {"S": [["a"], [1]]})
+    with pytest.raises(ValueError, match="together"):
+        read_excel_advanced(p, header_xls_start="A1")

@@ -294,3 +294,29 @@ def test_zone_prune_nonuniform_never_intersects(tmp_path):
         json.dump({"uniform": True, "columns": ["a", "b"]}, f)
     plan3 = zone_prune_plan(out, {"a": (0, 10), "b": (0, 10)})
     assert plan3 == {"part_key=0": [0]}
+
+
+def test_count_where_unbounded_range_counts_nulls(ray_session, tmp_path):
+    # regression: (None, None) is documented as unbounded, and the exact
+    # filter keeps null rows — but the all-null-page shortcut dropped
+    # them from the metadata count, breaking the identity with
+    # decode_dir_where().count()
+    import pyarrow as pa
+    import ray.data
+    from raystack import pipeline as pl
+    from raystack.zones import build_zone_maps, count_where, decode_dir_where
+    n = 256
+    t = pa.table({
+        "k": [f"h{i % 4}" for i in range(n)],
+        "v": pa.array([None] * n, pa.float64()),     # all-null column
+        "w": pa.array([float(i) if i % 2 else None for i in range(n)]),
+    })
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned(ray.data.from_arrow(t), out, url_col="k",
+                          num_partitions=2, page_rows=32)
+    build_zone_maps(out, ["v", "w"])
+    for ranges in ({"v": (None, None)}, {"w": (None, None)},
+                   {"v": (None, None), "w": (10.0, None)}):
+        got = count_where(out, ranges)
+        want = decode_dir_where(out, ranges).count()
+        assert got == want, ranges
