@@ -26,6 +26,8 @@ _SCRATCH = "/tmp/raystack_entry"
 #: snapshot dir the oracle SQL reads — the driver runs oracles at sf0.01
 #: (scale 6000); the scale-keyed dirs keep other scales from clobbering it
 _ORACLE_SNAP = os.path.join(_SCRATCH, "webtext_6000_snap")
+#: oracle-pinned centroid snapshot (driver oracles run at sf0.01 only)
+_CENT_SNAP = os.path.join(_SCRATCH, "centroids_snap_sf0.01")
 
 
 # ---------------------------------------------------------------------------
@@ -86,7 +88,16 @@ def _ensure_webtext(sf_dir: str) -> tuple[list[str], str, str]:
     from raystack.align import read_aligned
     from raystack.gen import write_webtext
     scale, base, snap, enc = _webtext_dirs(sf_dir)
-    paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
+    done = os.path.join(base, ".complete")
+    if os.path.exists(done):
+        # deterministic generator + marker: don't regenerate and rewrite
+        # identical partition files on every dependent query
+        import glob as _glob
+        paths = sorted(_glob.glob(os.path.join(base, "part-*.parquet")))
+    else:
+        paths = write_webtext(base, n_rows=scale, n_files=4, drift=True)
+        with open(done, "w") as f:
+            f.write("ok")
     if not os.path.isdir(snap):
         tmp = snap + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -566,7 +577,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sample = np.stack(head.slice(0, 256)["embedding"]
                           .to_pandas().to_numpy()).astype(np.float64)
         cent = train_centroids(sample, n_centroids=16)
-        snap = os.path.join(_SCRATCH, "centroids_snap")
+        # scale-keyed (embeddings DIFFER per scale): interleaved scale
+        # runs must not clobber the snapshot the sf0.01-pinned oracle
+        # reads — the same round-2 failure mode the webtext dirs fixed
+        snap = os.path.join(
+            _SCRATCH, f"centroids_snap_{os.path.basename(sf.rstrip('/'))}")
         shutil.rmtree(snap, ignore_errors=True)
         os.makedirs(snap)
         pq.write_table(pa.table({
@@ -1232,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.vec_id, c.cluster,
                      list_cosine_similarity(e.embedding, c.centroid) AS sim
               FROM embeddings e CROSS JOIN
-                   read_parquet('{_SCRATCH}/centroids_snap/*.parquet') c),
+                   read_parquet('{_CENT_SNAP}/*.parquet') c),
             ranked AS (
               SELECT vec_id, cluster,
                      row_number() OVER (PARTITION BY vec_id

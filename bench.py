@@ -49,21 +49,27 @@ def _webtext_inputs(n_rows: int) -> tuple[list[str], int, int]:
     if os.path.exists(meta_p):
         with open(meta_p) as f:
             meta = json.load(f)
-        if "host_counts" in meta:
+        if "host_counts" in meta and meta.get("baseline_cols") == 7:
             return (sorted(glob.glob(os.path.join(d, "part-*.parquet"))),
                     meta["raw_bytes"], meta["snappy_bytes"],
                     meta["host_counts"])
     shutil.rmtree(d, ignore_errors=True)
     paths = write_webtext(d, n_rows=n_rows, n_files=16, drift=True)
     # snappy baseline: the same aligned table written as one snappy parquet
-    tables = [pq.read_table(p) for p in paths]
     aligned = []
-    for t in tables:
+    for p_ in paths:
+        t = pq.read_table(p_)
         cols = {}
         for name in ["url", "warc_ts", "html", "text", "lang"]:
             src = "body" if name == "text" and "body" in t.schema.names else name
             cols[name] = t[src] if src in t.schema.names else \
                 pa.nulls(t.num_rows, pa.string())
+        # the measured layout carries provenance columns (add_filename
+        # defaults True); the baseline must too, or the compression
+        # ratio compares 7 encoded columns against 5 snappy ones
+        cols["filepath"] = pa.array([p_] * t.num_rows, pa.string())
+        cols["filename"] = pa.array([os.path.basename(p_)] * t.num_rows,
+                                    pa.string())
         aligned.append(pa.table(cols))
     full = pa.concat_tables(aligned)
     raw_bytes = full.nbytes
@@ -85,7 +91,7 @@ def _webtext_inputs(n_rows: int) -> tuple[list[str], int, int]:
     host_counts = dict(counts)
     with open(meta_p, "w") as f:
         json.dump({"raw_bytes": raw_bytes, "snappy_bytes": snappy_bytes,
-                   "host_counts": host_counts}, f)
+                   "host_counts": host_counts, "baseline_cols": 7}, f)
     return paths, raw_bytes, snappy_bytes, host_counts
 
 

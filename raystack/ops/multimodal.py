@@ -259,16 +259,22 @@ class ImageFeatureExtractor:
         if self.use_real_decode:
             _decode_image_real(b"")
         data, starts, lengths = flatten_column(t["payload"])
-        feats = []
-        # histogram per row via one global bincount pass + reduceat
-        bins = (data // (256 // self.n_bins)).astype(np.int64)
-        onehot_sum = np.zeros((len(starts), self.n_bins), dtype=np.float64)
-        for b in range(self.n_bins):
-            ind = (bins == b).astype(np.float64)
-            if len(ind):
-                s = np.add.reduceat(ind, np.minimum(starts, len(ind) - 1))
-                s[lengths == 0] = 0.0
-                onehot_sum[:, b] = s
+        # histogram per row via reduceat over NON-EMPTY rows only: a
+        # trailing empty row's clamped start index used to steal the
+        # previous row's last byte, and reduceat's repeated-index
+        # semantics make empty segments return data[start], not 0.
+        # Bin index (byte * n_bins) >> 8 stays in [0, n_bins) for ANY
+        # n_bins (integer division by 256//n_bins dropped the top bytes
+        # whenever n_bins didn't divide 256)
+        bins = ((data.astype(np.int64) * self.n_bins) >> 8)
+        onehot_sum = np.zeros((len(lengths), self.n_bins),
+                              dtype=np.float64)
+        nz = lengths > 0
+        if nz.any():
+            s_nz = starts[nz]
+            for b in range(self.n_bins):
+                ind = (bins == b).astype(np.float64)
+                onehot_sum[nz, b] = np.add.reduceat(ind, s_nz)
         norm = np.maximum(lengths, 1).astype(np.float64)
         feats = onehot_sum / norm[:, None]
         w, h, c = _fake_decode_shape(lengths)

@@ -37,6 +37,11 @@ class DirSync:
     def _list(self, root: str, subdirs: bool = True) -> list[str]:
         """Sorted relative paths under ``root`` (reference get_all_files:
         recursive walk or flat listdir)."""
+        if not os.path.isdir(root):
+            # os.walk on a missing root yields NOTHING — a typo'd remote
+            # dir would "sync 0 files" successfully; fail like the flat
+            # listdir path does
+            raise FileNotFoundError(f"sync root does not exist: {root}")
         out = set()
         if subdirs:
             for dir_, _, files in os.walk(root):

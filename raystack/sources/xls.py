@@ -222,6 +222,17 @@ class _PieceReader:
             self._advance()
             if self._avail() == 0:
                 break
+            if self.pos == 0 and self.pi > 0:
+                # a char run in flight at the START of a CONTINUE piece is
+                # preceded by a fresh option-flags byte ([MS-XLS] 2.5.293)
+                # — including when the string's cch+flags HEADER ended
+                # exactly at the previous piece's boundary (the old code
+                # only re-read flags after consuming chars, so that grbit
+                # byte was decoded as a character and every later SST
+                # entry desynchronized)
+                wide = bool(self.read(1)[0] & 0x01)
+                if self._avail() == 0:
+                    continue
             unit = 2 if wide else 1
             take = min(cch, self._avail() // unit)
             if take == 0:  # should not happen: strings split on char bounds
@@ -229,10 +240,6 @@ class _PieceReader:
             raw = self.read(take * unit)
             out.append(raw.decode("utf-16-le" if wide else "latin-1"))
             cch -= take
-            if cch > 0:
-                # continuation piece: fresh flags byte decides the width
-                self._advance()
-                wide = bool(self.read(1)[0] & 0x01)
         return "".join(out)
 
     def read_string(self) -> str:
@@ -428,9 +435,14 @@ def _rec(rid: int, body: bytes) -> bytes:
 def _unistr16(s: str) -> bytes:
     try:
         enc, flag = s.encode("latin-1"), 0
+        cch = len(enc)
     except UnicodeEncodeError:
         enc, flag = s.encode("utf-16-le"), 1
-    return struct.pack("<H", len(s)) + bytes([flag]) + enc
+        # BIFF8 cch counts UTF-16 CODE UNITS, not Python code points —
+        # a non-BMP char (surrogate pair) counted as 1 would leave its
+        # trailing surrogate parsed as the next string's header
+        cch = len(enc) // 2
+    return struct.pack("<H", cch) + bytes([flag]) + enc
 
 
 # writer XF indices: 0-15 default (ifmt 0), 16 date (ifmt 14),

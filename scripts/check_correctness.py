@@ -68,7 +68,15 @@ def main():
             print(f"ROWS {name}: {len(got)} rows (no oracle)")
             n_pass += 1
             continue
-        exp = canon(con.execute(oracles[name]).df())
+        try:
+            exp = canon(con.execute(oracles[name]).df())
+        except Exception as e:
+            # an oracle that can't run (e.g. a pinned sf0.01 fixture
+            # missing at another scale) is that QUERY's failure — it
+            # must not abort the whole gate without a summary
+            print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != oracle {len(exp)}")
             n_fail += 1

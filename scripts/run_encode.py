@@ -96,6 +96,14 @@ def main():
                                    columns_rename=renames or None,
                                    schema=args.append_schema,
                                    logger=PrintLogger())
+        if zone_cols:
+            # appends invalidate touched sidecars; honor the flag by
+            # rebuilding them (previously silently ignored on --append)
+            from raystack.zones import build_zone_maps
+            build_zone_maps(args.output, zone_cols)
+        # NOTE: --partitions/--url-col come from the layout's persisted
+        # config on append; --resume does not apply (appends are
+        # exactly-once per file set via the output tag)
     elif args.mode == "tasks":
         summary = pl.encode_partitioned_tasks(
             paths, args.output, columns_rename=renames or None,

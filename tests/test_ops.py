@@ -1249,3 +1249,28 @@ def test_windows_handle_ns_unit_timestamps(ray_session):
                              "eid", gap_sec=1800).to_pandas() \
         .sort_values("eid")
     assert s2["session_id"].tolist() == [1, 1, 2]
+
+
+def test_image_features_empty_and_nondividing_bins(ray_session):
+    # regressions: a trailing empty payload stole the previous row's
+    # last byte from the histogram; n_bins not dividing 256 dropped the
+    # top byte values entirely
+    import ray.data
+    from raystack.ops.multimodal import MEDIA_SCHEMA, extract_image_features
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([b"\x00\xff", b"", b"\xfa\xfb\xff"],
+                            pa.large_binary()),
+        "mime": pa.array(["x"] * 3), "meta": pa.array(["{}"] * 3),
+    }, schema=MEDIA_SCHEMA)
+    got = extract_image_features(ray.data.from_arrow(t), concurrency=1) \
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    f0 = got["features"][0]
+    assert f0[0] == 0.5 and f0[15] == 0.5  # last byte NOT stolen
+    assert sum(got["features"][1]) == 0.0  # empty payload → zero hist
+    assert sum(got["features"][2]) == 1.0  # all bytes binned
+
+    from raystack.ops.multimodal import ImageFeatureExtractor
+    ex = ImageFeatureExtractor(n_bins=10)
+    out = ex(t)
+    assert abs(sum(out["features"][2].as_py()) - 1.0) < 1e-9  # 250-255 kept

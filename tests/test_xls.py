@@ -142,3 +142,32 @@ def test_parse_globals_record_after_sst_not_dropped():
     assert sst == ["hello"]
     assert date1904 is True  # was silently False before the fix
     assert [n for n, _ in sheets] == ["S1"]
+
+
+def test_sst_continue_split_after_header():
+    # regression: a string whose cch+flags header ends exactly at the
+    # record boundary starts its chars in the CONTINUE behind a fresh
+    # grbit byte — the old reader decoded that byte as a character and
+    # desynchronized every later SST entry
+    import struct
+    from raystack.sources import xls as X
+    first = "ab"
+    # SST body piece 1 ends right after the second string's header
+    p1 = (struct.pack("<II", 2, 2)
+          + struct.pack("<H", len(first)) + b"\x00" + first.encode()
+          + struct.pack("<H", 5) + b"\x00")  # header only: cch=5, flags
+    p2 = b"\x00" + b"hello"  # CONTINUE: fresh grbit (compressed) + chars
+    rdr = X._PieceReader([p1[8:], p2])
+    assert rdr.read_string() == "ab"
+    assert rdr.read_string() == "hello"
+
+
+def test_unistr16_counts_utf16_code_units(tmp_path):
+    # regression: cch counted Python code points; a non-BMP char
+    # (surrogate pair) desynced the written SST
+    from raystack.sources.xls import read_xls_grid, write_xls
+    p = str(tmp_path / "w.xls")
+    write_xls(p, {"S": [["note"], ["violin \U0001d11e clef"], ["next"]]})
+    grid = read_xls_grid(p, "S")
+    assert grid[1][0] == "violin \U0001d11e clef"
+    assert grid[2][0] == "next"  # following string still intact
