@@ -863,7 +863,8 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       prov_cols: list[str], page_rows: int,
                       has_prov: bool, zone_cols, *blobs: bytes,
                       append: bool = False, file_tag: str = "",
-                      backfill: dict | None = None) -> dict:
+                      backfill: dict | None = None,
+                      sort_by: str | None = None) -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
     parquet file under ``pages/part_key=<pk>/``. ``zone_cols`` writes the
@@ -907,6 +908,16 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                 "precode maps across map tasks")
     if tables:
         full = pa.concat_tables(tables, promote_options="default")
+        if sort_by is not None and full.num_rows:
+            if heavy:
+                raise ValueError(
+                    "sort_by is incompatible with precoded columns "
+                    "(their row order is fixed map-side)")
+            # clustering: rows sorted within the partition make the
+            # sorted column's zone maps TIGHT (each page covers a narrow
+            # value range), so range queries prune pages precisely
+            # instead of hitting every page's min/max span
+            full = full.sort_by(sort_by)
     else:  # backfill-only task: partition got no new rows this append
         full = None
     files = ""
@@ -1054,7 +1065,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              map_bytes: int = TARGET_MAP_BYTES,
                              precode: bool = True,
                              collect_stats: bool = False,
-                             zone_columns: list[str] | None = None) -> dict:
+                             zone_columns: list[str] | None = None,
+                             sort_by: str | None = None) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of
     the Dataset ``groupby`` shuffle. Same output layout + manifest as
     :func:`encode_partitioned`; same keying (:func:`compute_part_keys`).
@@ -1140,6 +1152,10 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     # the precode column→codec map is decided HERE, once, and shipped to
     # every map task — per-worker sampling could split a column heavy/light
     # across workers and corrupt the reduce (ADVICE r2, high)
+    if sort_by is not None:
+        # clustering re-orders rows at the reduce; map-side precoded
+        # pages have a fixed row order, so the two can't combine
+        precode = False
     precode_map = (plan_precode_columns(use_paths, plan, enc_cols, dialect)
                    if precode else {})
     log.send_log(f"encode_partitioned_tasks: {len(groups)} map task(s) → "
@@ -1164,7 +1180,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
         map_refs = [[r] for r in map_refs]
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, zone_columns,
-                              *[m[pk] for m in map_refs])
+                              *[m[pk] for m in map_refs],
+                              sort_by=sort_by)
                 for pk in range(num_partitions) if pk not in done]
     stats = None
     if collect_stats:

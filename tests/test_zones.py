@@ -320,3 +320,49 @@ def test_count_where_unbounded_range_counts_nulls(ray_session, tmp_path):
         got = count_where(out, ranges)
         want = decode_dir_where(out, ranges).count()
         assert got == want, ranges
+
+
+def test_sorted_encode_tightens_zone_pruning(ray_session, tmp_path):
+    # sort_by clusters each partition on the sorted column, so its zone
+    # pages cover narrow ranges: a tight range query must prune MORE
+    # pages than the shuffled layout, with identical decoded content
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raystack import pipeline as pl
+    from raystack.zones import zone_prune_plan
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    vals = rng.permutation(n)  # thoroughly shuffled sort key
+    t = pa.table({"k": [f"h{i % 8}" for i in range(n)],
+                  "v": pa.array(vals, pa.int64()),
+                  "txt": [f"row {i}" for i in range(n)]})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+
+    def kept_pages(out):
+        plan = zone_prune_plan(out, {"v": (100, 150)})
+        return sum(len(p) if p is not None else 10**6
+                   for p in plan.values())
+
+    out_plain = str(tmp_path / "plain")
+    out_sorted = str(tmp_path / "sorted")
+    pl.encode_partitioned_tasks([src], out_plain, url_col="k",
+                                num_partitions=2, page_rows=128,
+                                add_filename=False, zone_columns=["v"])
+    pl.encode_partitioned_tasks([src], out_sorted, url_col="k",
+                                num_partitions=2, page_rows=128,
+                                add_filename=False, zone_columns=["v"],
+                                sort_by="v")
+    assert kept_pages(out_sorted) < kept_pages(out_plain)
+    # identical relation either way (order within partitions differs)
+    a = pl.decode_dir(out_plain).to_pandas().sort_values("v") \
+        .reset_index(drop=True)
+    b = pl.decode_dir(out_sorted).to_pandas().sort_values("v") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    # sorted layout answers the range query exactly too
+    from raystack.zones import decode_dir_where
+    got = decode_dir_where(out_sorted, {"v": (100, 150)}).to_pandas()
+    assert sorted(got["v"]) == list(range(100, 151))
