@@ -442,7 +442,8 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        logger=None, collect_stats: bool = False,
                        pre_packed: bool | None = None,
                        host_map: dict[str, list[int]] | None = None,
-                       zone_columns: list[str] | None = None) -> dict:
+                       zone_columns: list[str] | None = None,
+                       sort_by: str | None = None) -> dict:
     """Full co-located encode: partition → (skip done) → groupby shuffle →
     per-partition encode with lineage → partitioned Parquet + manifest.
 
@@ -516,6 +517,8 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         tables = [pa.ipc.open_stream(pa.BufferReader(b.as_py())).read_all()
                   for b in group["seg"]]
         full = pa.concat_tables(tables, promote_options="default")
+        if sort_by is not None and full.num_rows:
+            full = full.sort_by(sort_by)  # clustering (see tasks path)
         if url_col in full.schema.names and full.num_rows:
             # routing audit: the persisted config must reproduce the keyer's
             # part_key for this group's rows — a pre-packed dataset keyed

@@ -280,13 +280,16 @@ class Stacker:
     def to_encoded(self, output_dir: str, url_col: str | None = None,
                    num_partitions: int = 32, resume: bool = False,
                    method: str = "tasks",
-                   zone_columns: list[str] | None = None) -> dict:
+                   zone_columns: list[str] | None = None,
+                   sort_by: str | None = None) -> dict:
         """The graft sink: per-column codec encode with partitioning +
         manifest (replaces reference to_parquet_combine K5).
         ``method``: "tasks" (default — the deterministic raw-task exchange)
         or "groupby" (the Dataset shuffle path). ``zone_columns`` writes
         per-page min/max sidecars at encode time (:mod:`raystack.zones` —
-        range queries then prune partitions/pages before decoding)."""
+        range queries then prune partitions/pages before decoding);
+        ``sort_by`` clusters each partition on a column (tight zone
+        pages — see pipeline.encode_partitioned_tasks)."""
         if url_col is None:
             url_col = "url" if "url" in self.plan.target_columns \
                 else self.plan.target_columns[0]
@@ -296,11 +299,12 @@ class Stacker:
                 self.fname_list, output_dir, url_col=url_col,
                 num_partitions=num_partitions, resume=resume,
                 plan=self.plan, dialect=self._dialect,
-                zone_columns=zone_columns)
+                zone_columns=zone_columns, sort_by=sort_by)
         # pruned hot-host pre-pass straight off the raw files when possible
         # (parquet only — the pre-pass reads with read_parquet)
         src = self.fname_list if (not self._is_csv and all(
             url_col in s.names for s in self.plan.file_schemas.values())) else None
         return encode_partitioned(self.dataset(), output_dir, url_col=url_col,
                                   num_partitions=num_partitions, resume=resume,
-                                  source_paths=src, zone_columns=zone_columns)
+                                  source_paths=src, zone_columns=zone_columns,
+                                  sort_by=sort_by)

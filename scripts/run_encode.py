@@ -52,6 +52,10 @@ def main():
                     help="comma list old:new column renames (drift repair)")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="only for standalone local runs")
+    ap.add_argument("--sort-by", default="",
+                    help="cluster each partition on this column before "
+                         "paging (tight zone pages for range queries; "
+                         "disables map-side precode)")
     ap.add_argument("--zone-columns", default="",
                     help="comma list of columns to zone-map at encode "
                          "time (per-page min/max sidecars for pruned "
@@ -109,7 +113,7 @@ def main():
             paths, args.output, columns_rename=renames or None,
             url_col=args.url_col, num_partitions=num_partitions,
             resume=args.resume, logger=PrintLogger(), collect_stats=True,
-            zone_columns=zone_cols)
+            zone_columns=zone_cols, sort_by=args.sort_by or None)
     else:
         ds = read_aligned(paths, columns_rename=renames or None,
                           add_filename=True)

@@ -366,3 +366,27 @@ def test_sorted_encode_tightens_zone_pruning(ray_session, tmp_path):
     from raystack.zones import decode_dir_where
     got = decode_dir_where(out_sorted, {"v": (100, 150)}).to_pandas()
     assert sorted(got["v"]) == list(range(100, 151))
+
+
+def test_sorted_encode_groupby_path(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from raystack import pipeline as pl
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": [f"h{i % 4}" for i in range(1000)],
+                  "v": pa.array(rng.permutation(1000), pa.int64())})
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned(ray.data.from_arrow(t), out, url_col="k",
+                          num_partitions=2, page_rows=64,
+                          zone_columns=["v"], sort_by="v")
+    # every partition's zone pages are non-overlapping after clustering
+    import glob as _glob
+    import pyarrow.parquet as pq
+    for zf in _glob.glob(os.path.join(out, "zones", "*", "v.parquet")):
+        z = pq.read_table(zf).sort_by("page_idx")
+        lo = np.asarray(z["zmin"])
+        hi = np.asarray(z["zmax"])
+        assert (lo[1:] > hi[:-1]).all(), zf
+    got = pl.decode_dir(out).to_pandas().sort_values("v")
+    assert got["v"].tolist() == list(range(1000))
