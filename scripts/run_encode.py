@@ -30,6 +30,13 @@ def main():
                     help="print the layout health summary (manifest "
                          "totals, codec mix, files/partition, zone "
                          "coverage — metadata only, no Ray) and exit")
+    ap.add_argument("--verify", action="store_true",
+                    help="checksum-audit every partition of --output "
+                         "against its manifest and exit")
+    ap.add_argument("--compact", type=int, metavar="MIN_FILES", default=0,
+                    help="compact partitions of --output holding >= "
+                         "MIN_FILES page files (append accumulation) "
+                         "back to one freshly-encoded file and exit")
     ap.add_argument("--partitions", type=int, default=0,
                     help="0 = 2x cluster CPUs")
     ap.add_argument("--mode", choices=["tasks", "partitioned", "streaming"],
@@ -66,8 +73,32 @@ def main():
         from raystack import pipeline as pl
         print(json.dumps(pl.layout_stats(args.output)))
         return
+    if args.verify or args.compact:
+        import ray
+        if not ray.is_initialized():
+            kw = {"address": os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+            if kw["address"] == "local" and args.num_cpus:
+                kw["num_cpus"] = args.num_cpus
+            ray.init(**kw)
+        from raystack import pipeline as pl
+        if args.compact:
+            res = pl.compact_partitions(args.output,
+                                        min_files=args.compact)
+            print(json.dumps({"compacted": res.get("compacted", 0),
+                              **pl.layout_stats(args.output)}))
+        if args.verify:
+            v = pl.verify_encoded(args.output)
+            print(json.dumps({"ok": len(v["ok"]), "bad": v["bad"],
+                              "missing": v["missing"]}))
+            if v["bad"] or v["missing"]:
+                raise SystemExit(1)
+        ray.shutdown()
+        return
     if not args.input:
-        raise SystemExit("--input is required (except with --stats)")
+        raise SystemExit("--input is required (except with --stats/"
+                         "--verify/--compact)")
 
     import ray
     if not ray.is_initialized():
