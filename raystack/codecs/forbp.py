@@ -37,6 +37,13 @@ def _from_int64(vals: np.ndarray, t: pa.DataType) -> pa.Array:
         bits = t.bit_width
         phys = pa.array(vals.astype(np.int32 if bits == 32 else np.int64))
         return phys.view(t)
+    if t == pa.uint64():
+        # uint64 travels through the int64 pipeline MODULO 2^64 (numpy
+        # wraps silently at every step, which is bijective) — reinterpret
+        # back instead of a checked cast, which raised on any chunk whose
+        # values crossed 2^63 AFTER encode had already succeeded: pages
+        # that could never be decoded
+        return pa.array(vals.astype(np.uint64), type=t)
     return pa.array(vals, type=pa.int64()).cast(t)
 
 

@@ -56,6 +56,6 @@ class ZstdWrapCodec(Codec):
                             buffers=[comp], meta={"raw": len(blob)})
 
     def decode(self, chunk: EncodedChunk) -> pa.Array:
-        raw = pa.Codec("zstd").decompress(
+        raw = self._codec.decompress(
             chunk.buffers[0], chunk.meta["raw"], asbytes=True)
         return self.inner.decode(EncodedChunk.from_bytes(raw))

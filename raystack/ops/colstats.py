@@ -41,8 +41,14 @@ def _value_hashes(arr: pa.Array) -> np.ndarray:
         x ^= tail_hash8(data, starts, lengths)
         return splitmix64(x ^ splitmix64(lengths.astype(np.uint64)))
     if pa.types.is_floating(t):
-        v = np.asarray(pc.fill_null(arr, 0.0))
-        view = np.uint64 if t == pa.float64() else np.uint32
+        # drop_null instead of fill_null (no float16 kernel); hashing the
+        # valid values only is fine — the caller counts distinct VALUES
+        # and nulls are accounted for separately. View width follows the
+        # element size (float16 bits live in uint16)
+        v = np.asarray(arr.drop_null()) if arr.null_count else \
+            np.asarray(arr)
+        view = {2: np.uint16, 4: np.uint32,
+                8: np.uint64}[v.dtype.itemsize]
         return splitmix64(v.view(view).astype(np.uint64))
     # ints / temporal / bool
     from ..codecs.forbp import _to_int64

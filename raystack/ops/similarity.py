@@ -41,6 +41,10 @@ def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     q_ref = ray.put((qm, np.asarray(query_ids)))
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks are routine after filters
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         qm, qids = ray.get(q_ref)
         m = _normalize(_as_matrix(t[emb_col]))
         ids = np.asarray(t[id_col])
@@ -117,6 +121,10 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     q_ref = ray.put((qm, np.asarray(query_ids), cent, probe_sets))
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks are routine after filters
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         qm, qids, cent, probe_sets = ray.get(q_ref)
         m = _normalize(_as_matrix(t[emb_col]))
         ids = np.asarray(t[id_col])
@@ -187,6 +195,11 @@ def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
     bucketed = bucketed.map_batches(
         lambda t: t.append_column("bucket", t["bucket_id"]),
         batch_format="pyarrow")
+    # a rebuild into an existing dir must not leave stale bucket files
+    # (write_parquet appends uniquely-named files; queries would read old
+    # and new rows side by side)
+    import shutil as _shutil
+    _shutil.rmtree(out_dir, ignore_errors=True)
     bucketed.write_parquet(out_dir, partition_cols=["bucket"])
     meta = {"n_centroids": int(len(cent)), "emb_col": emb_col,
             "id_col": id_col, "centroids": cent.tolist()}
@@ -231,6 +244,10 @@ def query_ivf_index(index_dir: str, queries: np.ndarray,
     q_ref = ray.put((qm, np.asarray(query_ids), probe_sets))
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks are routine after filters
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         qm, qids, probe_sets = ray.get(q_ref)
         m = _normalize(_as_matrix(t[emb_col]))
         ids = np.asarray(t[id_col])
@@ -285,6 +302,12 @@ def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
     keep = list(keep_cols or [])
 
     def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {id_col: t[id_col]}
+            for kc in keep:
+                cols[kc] = t[kc]
+            cols[out_col] = pa.array([], pa.int64())
+            return pa.table(cols)
         c = ray.get(ref)
         m = _normalize(_as_matrix(t[vec_col]))
         a = np.argmax(m @ c.T, axis=1)

@@ -120,13 +120,11 @@ def _tail_hash(strs: pa.Array) -> np.ndarray:
     take = np.minimum(lengths, 8)
     out = np.zeros((len(lengths), 8), dtype=np.uint8)
     # gather last `take` bytes per row
-    idx = np.repeat(ends - take, take) + (
-        np.arange(int(take.sum())) -
-        np.repeat(np.concatenate([[0], np.cumsum(take)[:-1]]), take))
+    intra = (np.arange(int(take.sum()))
+             - np.repeat(np.concatenate([[0], np.cumsum(take)[:-1]]), take))
+    idx = np.repeat(ends - take, take) + intra
     rows = np.repeat(np.arange(len(lengths)), take)
-    cols = np.arange(int(take.sum())) - np.repeat(
-        np.concatenate([[0], np.cumsum(take)[:-1]]), take)
-    out[rows, cols] = data[idx]
+    out[rows, intra] = data[idx]
     h = out.view(np.uint64).ravel().copy()
     # splitmix64 finalizer (public domain constant mixer)
     with np.errstate(over="ignore"):
@@ -382,7 +380,13 @@ def _encode_table(table: pa.Table, part_key: int, columns: list[str],
             rows["data"].append(blob)
         page_idx += 1
     ms = int((_time.perf_counter() - t_start) * 1000)
-    rows["encode_ms"] = [ms] * len(rows["encode_ms"])
+    # distribute the call's wall ms across its pages: the manifest sums
+    # encode_ms over DISTINCT pages, so giving every page the full total
+    # over-reported the metric by ~page-count x
+    npages = max(1, page_idx - first_page_idx)
+    base, rem = divmod(ms, npages)
+    rows["encode_ms"] = [base + (1 if (pi - first_page_idx) < rem else 0)
+                         for pi in rows["page_idx"]]
     return pa.table(rows, schema=PAGES_SCHEMA)
 
 
@@ -459,7 +463,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         schema_names = ds.schema().names
         pre_packed = set(schema_names) == {"part_key", "seg"}
     else:
-        schema_names = columns or []
+        # explicitly not pre-packed but no columns given: probe the
+        # schema (this used to raise a misleading KeyError off [])
+        schema_names = columns or list(ds.schema().names)
     if pre_packed:
         if columns is None:
             raise ValueError("encode_partitioned on a pre-packed dataset "
@@ -1142,7 +1148,8 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              "num_partitions": num_partitions,
                              "hot_hosts": hot_hosts,
                              "host_map": host_map})
-    use_paths = [p for p in plan.paths if p in set(source_paths)]
+    _srcs = set(source_paths)
+    use_paths = [p for p in plan.paths if p in _srcs]
     # map granularity: cap at map_bytes but never group so coarsely that
     # the map wave can't fill the cluster (~2 tasks per CPU); small jobs
     # on big clusters otherwise collapse to a handful of map tasks
@@ -1467,7 +1474,11 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
             "codecs": json.dumps(dict(zip(first["column"], first["codec"]))),
             "checksum": int(np.bitwise_xor.reduce(
                 g["checksum"].to_numpy().astype(np.uint32))),
-            "input_files": first["input_files"].iloc[0],
+            # UNION of every page's lineage: append pages carry their own
+            # day's files — the first page alone loses them
+            "input_files": json.dumps(sorted({
+                f for v in g["input_files"].unique() if v
+                for f in json.loads(v)})),
             "encode_ms": int(g.drop_duplicates(["page_idx"])["encode_ms"].sum()),
         }])
 
