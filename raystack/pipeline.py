@@ -31,6 +31,7 @@ partition by ~(hot_share/salt) of the input.
 
 from __future__ import annotations
 
+import json
 import os
 import zlib
 
@@ -1092,8 +1093,10 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
 
     Scale bounds (100 TB design note): the driver tracks M×P object refs.
     With 256 MB map inputs and 256 MB partitions that is ~(bytes/256MB)²
-    refs per job — fine to a few TB per job; beyond that, shard the input
-    (the manifest/resume layout is already per-shard) or use
+    refs per job — fine to a few TB per job; beyond that use
+    :func:`encode_sharded`, which bounds M×P by splitting the file list
+    into shards (task-exchange first shard + idempotent appends, one
+    routing decision over the full list), or
     :func:`encode_partitioned`, whose push-based sort shuffle merges
     intermediate objects. Reference semantics: the per-file chunked
     combine loop of d6tstack/combine_csv.py:453-504, parallelized."""
@@ -1424,6 +1427,171 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     summary = _finalize_manifest(out_dir, enc_cols)
     log.send_log(f"encode_append done: {summary['rows']} rows total, "
                  f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
+    return summary
+
+
+#: default cap on in-flight driver object refs for one task-exchange job
+#: (M map tasks × P partitions). 250k refs ≈ tens of MB of driver state —
+#: comfortably below Ray's practical limits while letting a single shard
+#: cover ~1000 map tasks at 256 partitions.
+DEFAULT_MAX_REFS = 250_000
+
+
+def _shard_ledger_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest", "shards.json")
+
+
+def _load_shard_ledger(out_dir: str) -> list[dict]:
+    p = _shard_ledger_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f).get("shards", [])
+    return []
+
+
+def _append_shard_ledger(out_dir: str, entry: dict) -> None:
+    p = _shard_ledger_path(out_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    shards = _load_shard_ledger(out_dir)
+    shards = [s for s in shards if s["idx"] != entry["idx"]] + [entry]
+    shards.sort(key=lambda s: s["idx"])
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"shards": shards}, f)
+    os.replace(tmp, p)
+
+
+def encode_sharded(source_paths: list[str], out_dir: str, *,
+                   max_refs: int = DEFAULT_MAX_REFS,
+                   columns_select: list[str] | None = None,
+                   columns_rename: dict[str, str] | None = None,
+                   add_filename: bool = True,
+                   url_col: str = "url",
+                   num_partitions: int | None = None,
+                   page_rows: int = DEFAULT_PAGE_ROWS,
+                   resume: bool = False,
+                   hot_hosts: dict[str, int] | None = None,
+                   host_map: dict[str, list[int]] | None = None,
+                   host_counts: dict[str, int] | None = None,
+                   map_bytes: int = TARGET_MAP_BYTES,
+                   precode: bool = True,
+                   zone_columns: list[str] | None = None,
+                   logger=None) -> dict:
+    """Arbitrarily-large encode: the auto-sharding orchestrator over
+    :func:`encode_partitioned_tasks`. That path tracks one driver object
+    ref per (map task × partition); this wrapper bounds the in-flight ref
+    count by splitting the input file list into shards of at most
+    ``max_refs // num_partitions`` map tasks each, encoding shard 1 with
+    the task exchange and every later shard with :func:`encode_append`
+    (same persisted routing, exactly-once per-shard output tags), so one
+    job can ingest an unbounded corpus with bounded driver state.
+
+    Equivalence: routing (align plan, host_map, num_partitions) is decided
+    ONCE over the FULL file list before sharding, so every row lands in
+    the same partition a single-job encode would put it in, and the
+    decoded table is row-identical to a single-job union encode (appends
+    align drifted shards to the layout's stored types exactly as a global
+    union plan would). Pages arrive shard-by-shard instead of in one map
+    order — decode output ORDER within a partition may differ, content
+    does not.
+
+    Resume: a shard ledger (``_manifest/shards.json``) records completed
+    shards; with ``resume=True`` finished shards are skipped, a crashed
+    shard 1 resumes per-partition, and a crashed append shard re-runs
+    idempotently (its file-set tag replaces its own partial output). The
+    ledger pins each shard's file-list digest — resuming with a changed
+    input list fails loudly instead of mixing layouts.
+
+    Zone maps: appends invalidate touched partitions' sidecars, so when
+    ``zone_columns`` is set and more than one shard ran, sidecars are
+    rebuilt once over the final layout (metadata-only scan).
+
+    Reference semantics: d6tstack's whole-directory combine loop
+    (combine_csv.py:453-504) — here restartable and ref-bounded."""
+    import hashlib
+
+    from .log import get_logger
+    from .plan import build_plan
+    log = get_logger(logger)
+
+    source_paths = sorted(source_paths)
+    is_csv = any(p.endswith((".csv", ".txt", ".tsv")) for p in source_paths)
+    dialect = None
+    if is_csv:
+        from .sources.csv import build_csv_plan
+        plan, dialect = build_csv_plan(
+            source_paths, columns_select=columns_select,
+            columns_rename=columns_rename, add_filename=add_filename)
+    else:
+        plan = build_plan(source_paths, columns_select=columns_select,
+                          columns_rename=columns_rename,
+                          add_filename=add_filename)
+    if num_partitions is None:
+        num_partitions = auto_partitions(source_paths=source_paths)
+    # routing decided once, over ALL files — shard boundaries must not
+    # change which partition a url lands in
+    if host_map is None and hot_hosts is None:
+        if host_counts is None:
+            import ray.data
+            if dialect is not None:
+                from .sources.csv import read_aligned_csv
+                url_ds = read_aligned_csv(source_paths, plan=plan,
+                                          dialect=dialect)
+            else:
+                url_ds = ray.data.read_parquet(source_paths,
+                                               columns=[url_col])
+            host_counts = collect_host_counts(url_ds, url_col)
+        host_map = plan_host_partitions(host_counts, num_partitions)
+
+    groups = _group_files(source_paths, map_bytes)
+    max_maps = max(1, max_refs // max(1, num_partitions))
+    shard_files = [sum(groups[i:i + max_maps], [])
+                   for i in range(0, len(groups), max_maps)]
+    tags = [hashlib.sha1("\n".join(
+        os.path.abspath(p) for p in fs).encode()).hexdigest()[:12]
+        for fs in shard_files]
+
+    done_tags: dict[int, str] = {}
+    if resume:
+        for s in _load_shard_ledger(out_dir):
+            done_tags[s["idx"]] = s["tag"]
+        for idx, tag in done_tags.items():
+            if idx < len(tags) and tags[idx] != tag:
+                raise ValueError(
+                    f"encode_sharded resume: shard {idx}'s file list "
+                    "changed since the ledger entry was written — "
+                    "re-run without resume to re-encode from scratch")
+    log.send_log(f"encode_sharded: {len(source_paths)} file(s) → "
+                 f"{len(shard_files)} shard(s) × ≤{max_maps} map task(s) "
+                 f"→ {num_partitions} partitions → {out_dir}")
+
+    summary: dict = {}
+    for idx, files in enumerate(shard_files):
+        if done_tags.get(idx) == tags[idx]:
+            continue
+        if idx == 0:
+            summary = encode_partitioned_tasks(
+                files, out_dir, add_filename=add_filename,
+                url_col=url_col, num_partitions=num_partitions,
+                page_rows=page_rows, resume=resume,
+                hot_hosts=hot_hosts, host_map=host_map,
+                plan=plan, dialect=dialect, logger=logger,
+                map_bytes=map_bytes, precode=precode,
+                zone_columns=zone_columns)
+        else:
+            summary = encode_append(
+                files, out_dir, add_filename=add_filename,
+                schema="union", precode=precode, page_rows=page_rows,
+                map_bytes=map_bytes, logger=logger)
+        _append_shard_ledger(out_dir, {
+            "idx": idx, "tag": tags[idx], "files": len(files),
+            "rows": summary.get("rows")})
+    if not summary:  # every shard was already in the ledger
+        summary = mf.manifest_summary(out_dir)
+    if zone_columns and len(shard_files) > 1:
+        from .zones import build_zone_maps
+        build_zone_maps(out_dir, zone_columns)
+    summary["shards"] = len(shard_files)
     return summary
 
 

@@ -975,3 +975,217 @@ def test_compact_preserves_lineage_and_replays_crash(ray_session, web,
     after = pl.decode_dir(out).to_pandas().sort_values("url") \
         .reset_index(drop=True)
     assert after.equals(before)
+
+
+# ---------------------------------------------------------------------------
+# encode_sharded: the auto-shard orchestrator (bounded driver refs)
+# ---------------------------------------------------------------------------
+
+def _decoded_sorted(out: str) -> pd.DataFrame:
+    df = pl.decode_dir(out).to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True) \
+        [sorted(df.columns)]
+
+
+def test_encode_sharded_equals_single_job(ray_session, tmp_path):
+    # 8 files, tiny map_bytes → one map group per file; max_refs sized so
+    # each shard holds 2 map tasks → 4 shards. Routing is decided over the
+    # full list, so per-partition content must match the single job's.
+    paths = write_webtext(str(tmp_path / "w"), n_rows=1600, n_files=8,
+                          drift=False)
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    pl.encode_partitioned_tasks(paths, single, num_partitions=4,
+                                add_filename=False)
+    s = pl.encode_sharded(paths, sharded, num_partitions=4,
+                          add_filename=False, map_bytes=1,
+                          max_refs=8)  # 8 refs / 4 parts = 2 maps per shard
+    assert s["shards"] == 4
+    assert s["rows"] == 1600
+    assert _decoded_sorted(sharded).equals(_decoded_sorted(single))
+    # manifest coherent: identical routing → identical per-partition rows
+    m_single = {k: v["rows"] for k, v in mf.load_manifest(single).items()}
+    m_sharded = {k: v["rows"] for k, v in mf.load_manifest(sharded).items()}
+    assert m_single == m_sharded
+    # ledger records every shard exactly once
+    ledger = pl._load_shard_ledger(sharded)
+    assert [e["idx"] for e in ledger] == [0, 1, 2, 3]
+
+
+def test_encode_sharded_single_shard_delegates(ray_session, tmp_path):
+    # default max_refs → one shard; output identical to the tasks path
+    paths = write_webtext(str(tmp_path / "w"), n_rows=600, n_files=3,
+                          drift=False)
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    pl.encode_partitioned_tasks(paths, single, num_partitions=4,
+                                add_filename=False)
+    s = pl.encode_sharded(paths, sharded, num_partitions=4,
+                          add_filename=False)
+    assert s["shards"] == 1
+    assert _decoded_sorted(sharded).equals(_decoded_sorted(single))
+
+
+def test_encode_sharded_drift_union(ray_session, tmp_path):
+    # drifted files (extra column, rename) across shard boundaries decode
+    # exactly like a single-job union encode of the same files
+    paths = write_webtext(str(tmp_path / "w"), n_rows=1200, n_files=6,
+                          drift=True)
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    pl.encode_partitioned_tasks(paths, single, num_partitions=4,
+                                add_filename=False)
+    s = pl.encode_sharded(paths, sharded, num_partitions=4,
+                          add_filename=False, map_bytes=1, max_refs=8)
+    assert s["shards"] == 3
+    assert _decoded_sorted(sharded).equals(_decoded_sorted(single))
+
+
+def test_encode_sharded_resume_skips_done(ray_session, tmp_path):
+    paths = write_webtext(str(tmp_path / "w"), n_rows=800, n_files=4,
+                          drift=False)
+    out = str(tmp_path / "enc")
+    s1 = pl.encode_sharded(paths, out, num_partitions=2,
+                           add_filename=False, map_bytes=1, max_refs=2)
+    assert s1["shards"] == 4
+    # idempotent re-run: every shard in the ledger → nothing re-encoded,
+    # summary re-read from the manifest
+    s2 = pl.encode_sharded(paths, out, num_partitions=2,
+                           add_filename=False, map_bytes=1, max_refs=2,
+                           resume=True)
+    assert s2["rows"] == s1["rows"] == 800
+    assert sorted(_decoded_sorted(out)["url"]) == sorted(
+        pd.concat([pq.read_table(p).to_pandas() for p in paths])["url"])
+
+
+def test_encode_sharded_resume_after_crash(ray_session, tmp_path,
+                                           monkeypatch):
+    paths = write_webtext(str(tmp_path / "w"), n_rows=800, n_files=4,
+                          drift=False)
+    single = str(tmp_path / "single")
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks(paths, single, num_partitions=2,
+                                add_filename=False)
+
+    calls = {"n": 0}
+    real_append = pl.encode_append
+
+    def flaky_append(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash in the middle of shard 2's append
+            raise RuntimeError("simulated crash")
+        return real_append(*a, **kw)
+
+    monkeypatch.setattr(pl, "encode_append", flaky_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pl.encode_sharded(paths, out, num_partitions=2,
+                          add_filename=False, map_bytes=1, max_refs=2)
+    monkeypatch.setattr(pl, "encode_append", real_append)
+    # shards 0-1 are in the ledger; 2-3 re-run (append tags idempotent)
+    ledger = pl._load_shard_ledger(out)
+    assert [e["idx"] for e in ledger] == [0, 1]
+    s = pl.encode_sharded(paths, out, num_partitions=2,
+                          add_filename=False, map_bytes=1, max_refs=2,
+                          resume=True)
+    assert s["rows"] == 800
+    assert _decoded_sorted(out).equals(_decoded_sorted(single))
+
+
+def test_encode_sharded_resume_rejects_changed_inputs(ray_session,
+                                                      tmp_path):
+    paths = write_webtext(str(tmp_path / "w"), n_rows=400, n_files=4,
+                          drift=False)
+    out = str(tmp_path / "enc")
+    pl.encode_sharded(paths, out, num_partitions=2, add_filename=False,
+                      map_bytes=1, max_refs=2)
+    other = write_webtext(str(tmp_path / "w2"), n_rows=400, n_files=4,
+                          drift=False, seed=7)
+    with pytest.raises(ValueError, match="file list"):
+        pl.encode_sharded(other, out, num_partitions=2,
+                          add_filename=False, map_bytes=1, max_refs=2,
+                          resume=True)
+
+
+def test_encode_sharded_zone_maps_rebuilt(ray_session, tmp_path):
+    # appends invalidate touched sidecars; the orchestrator rebuilds them
+    # over the final layout so pruning works end-to-end
+    paths = write_webtext(str(tmp_path / "w"), n_rows=800, n_files=4,
+                          drift=False)
+    out = str(tmp_path / "enc")
+    s = pl.encode_sharded(paths, out, num_partitions=2, add_filename=False,
+                          map_bytes=1, max_refs=2,
+                          zone_columns=["warc_ts"])
+    assert s["shards"] == 4
+    import datetime as _dt
+    from raystack.zones import zone_prune_plan
+    # out-of-range query: a missing/invalidated sidecar would surface as
+    # a `None` entry (decode-all); a fully rebuilt layout prunes every
+    # partition → empty plan
+    plan = zone_prune_plan(out, {"warc_ts": (_dt.datetime(1990, 1, 1),
+                                             _dt.datetime(1990, 1, 2))})
+    assert plan == {}
+    # unbounded query: every partition survives WITH a page list (proof
+    # the sidecars exist and are page-granular, not stale-None)
+    plan_all = zone_prune_plan(out, {"warc_ts": (None, None)})
+    assert plan_all and all(p is not None for p in plan_all.values())
+
+
+def test_append_lifecycle_matches_fresh_union(ray_session, tmp_path):
+    """Durability lifecycle: day-by-day drifted appends, then compaction,
+    then layout DDL, then another append — decode must equal a fresh
+    union encode of the same inputs at EVERY step (the guarantee a
+    long-lived 100 TB layout depends on)."""
+    import pandas.testing as pdt
+
+    paths = write_webtext(str(tmp_path / "w"), n_rows=1000, n_files=5,
+                          drift=True)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([paths[0]], out, num_partitions=2,
+                                add_filename=False)
+
+    def fresh(upto: int) -> pd.DataFrame:
+        d = str(tmp_path / f"fresh{upto}")
+        pl.encode_partitioned_tasks(paths[:upto + 1], d, num_partitions=2,
+                                    add_filename=False)
+        return _decoded_sorted(d)
+
+    # drifted daily appends: extra column (f2), renamed text→body (f3),
+    # reordered (f4) — each step equals the fresh union encode
+    for k in range(1, 5):
+        pl.encode_append([paths[k]], out, add_filename=False,
+                         schema="union")
+        pdt.assert_frame_equal(_decoded_sorted(out), fresh(k))
+
+    before = _decoded_sorted(out)
+
+    # compaction: content unchanged, one file per partition
+    pl.compact_partitions(out, min_files=2)
+    pdt.assert_frame_equal(_decoded_sorted(out), before)
+    for d in os.listdir(os.path.join(out, "pages")):
+        files = [f for f in os.listdir(os.path.join(out, "pages", d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    # layout DDL: drop the drift-only column, rename lang → language
+    pl.alter_layout(out, drop=["mime"], rename={"lang": "language"})
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    want = _canon(before.drop(columns=["mime"])
+                  .rename(columns={"lang": "language"}))
+    pdt.assert_frame_equal(_canon(pl.decode_dir(out).to_pandas()), want)
+
+    # post-DDL append still routes and aligns (rename applied at ingest)
+    extra = write_webtext(str(tmp_path / "w6"), n_rows=200, n_files=1,
+                          drift=False, seed=99)
+    pl.encode_append(extra, out, add_filename=False, schema="union",
+                     columns_rename={"lang": "language"})
+    final = pl.decode_dir(out).to_pandas()
+    assert len(final) == 1200
+    assert "language" in final.columns and "lang" not in final.columns
+    # the appended rows are reachable through the persisted routing
+    some = pq.read_table(extra[0])["url"].to_pylist()[:3]
+    found = pl.lookup_rows(out, some).to_pandas()
+    assert set(some) <= set(found["url"])
