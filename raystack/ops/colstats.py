@@ -159,12 +159,20 @@ def value_quantiles(ds, col: str, quantiles=(0.5, 0.9, 0.99),
     return pd.DataFrame(rows)
 
 
-def frequent_items(ds, col: str, k: int = 10):
+def frequent_items(ds, col: str, k: int = 10,
+                   per_batch_cut: int | None = None):
     """Exact heavy hitters: per-batch ``value_counts`` partials → one
-    small groupby over distinct values → top-k (ties broken by value).
-    The shuffle moves one row per distinct value per block — the
-    pre-aggregated pattern; for unbounded-cardinality columns at 100 TB
-    bound the partials with a per-batch top-m cut (m >> k) first."""
+    small groupby over distinct values → DISTRIBUTED top-k cut (ties
+    broken by value) → k rows to the driver. The shuffle moves one row
+    per distinct value per block and the driver never sees more than k
+    rows, whatever the column's cardinality.
+
+    ``per_batch_cut`` (m >> k) additionally caps each block's partial at
+    its m most frequent values, bounding the SHUFFLE volume too on
+    unbounded-cardinality columns — at the cost of exactness on
+    adversarially spread tails (a value can only be missed if it is
+    outside the top-m of every block it appears in). Default None keeps
+    the result exact."""
     import pyarrow as pa
 
     def partial(t: pa.Table) -> pa.Table:
@@ -172,15 +180,21 @@ def frequent_items(ds, col: str, k: int = 10):
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         vc = arr.drop_null().value_counts()
-        return pa.table({"value": vc.field("values"),
-                         "n": vc.field("counts").cast(pa.int64())})
+        out = pa.table({"value": vc.field("values"),
+                        "n": vc.field("counts").cast(pa.int64())})
+        if per_batch_cut is not None and out.num_rows > per_batch_cut:
+            order = pc.sort_indices(
+                out, sort_keys=[("n", "descending"),
+                                ("value", "ascending")])
+            out = out.take(order[:per_batch_cut])
+        return out
 
     totals = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("value").sum("n").to_pandas()
-    totals = totals.rename(columns={"sum(n)": "n"})
-    return totals.sort_values(["n", "value"],
-                              ascending=[False, True]).head(k) \
-        .reset_index(drop=True)
+        .groupby("value").sum("n") \
+        .rename_columns({"sum(n)": "n"}) \
+        .sort(["n", "value"], descending=[True, False]) \
+        .limit(k).to_pandas()   # ≤ k rows ever reach the driver
+    return totals[["value", "n"]].reset_index(drop=True)
 
 
 def _summarize_weighted(vals: "np.ndarray", wts: "np.ndarray", k: int):

@@ -64,6 +64,26 @@ def anti_join(ds, keys, on: str):
     return semi_join(ds, keys, on, anti=True)
 
 
+def _bare_meta(t: pa.Table) -> pa.Table:
+    """Drop schema- and field-level metadata (zero-copy). A ``pa.Schema``
+    carrying metadata is UNHASHABLE (``hash()`` hits the metadata dict),
+    which defeats Ray's hash-shuffle schema-dedup fast path — every
+    aggregator actor logs "Failed to hash the schemas" and takes the slow
+    unify route. Parquet-sourced blocks routinely carry pandas metadata,
+    so every join entry point strips both sides first."""
+    schema = t.schema
+    if schema.metadata is None and all(f.metadata is None for f in schema):
+        return t
+    fields = [pa.field(f.name, f.type, f.nullable) for f in schema]
+    return pa.table(t.columns, schema=pa.schema(fields))
+
+
+def strip_schema_metadata(ds):
+    """Map-only pass clearing schema/field metadata from every block —
+    see :func:`_bare_meta` for why hash-shuffle inputs need it."""
+    return ds.map_batches(_bare_meta, batch_format="pyarrow")
+
+
 def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
                  num_partitions: int = 16):
     """Distributed (anti-)semi join against a key *Dataset* — the scale
@@ -72,10 +92,13 @@ def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
     above it). Rides Ray's hash-partitioned ``left_semi``/``left_anti``
     join; output columns are the left side's only. The key side is
     repartitioned first: aggregate outputs can carry schema-less empty
-    blocks, which Acero rejects on the build side."""
-    return ds.join(keys_ds.repartition(num_partitions),
-                   join_type="left_anti" if anti else "left_semi",
-                   on=(on,), num_partitions=num_partitions)
+    blocks, which Acero rejects on the build side. Both sides are
+    metadata-stripped so the shuffle's schema dedup stays on the fast
+    path (:func:`_bare_meta`)."""
+    return strip_schema_metadata(ds).join(
+        strip_schema_metadata(keys_ds).repartition(num_partitions),
+        join_type="left_anti" if anti else "left_semi",
+        on=(on,), num_partitions=num_partitions)
 
 
 #: bloom filters above this size fall back to the plain distributed join
@@ -213,7 +236,10 @@ def semi_join_bloom(ds, keys_ds, on: str, anti: bool = False,
 
     def probe(t: pa.Table, keep_hits: bool) -> pa.Table:
         hit = _bloom_probe(t, on, ray.get(ref), mask, seeds)
-        return t.filter(pa.array(hit if keep_hits else ~hit))
+        # bare schema: the anti path unions this stream with the exact
+        # join's (metadata-free) output — mismatched schema metadata
+        # would fall off the schema-dedup fast path downstream
+        return _bare_meta(t.filter(pa.array(hit if keep_hits else ~hit)))
 
     cand = ds.map_batches(lambda t: probe(t, True), batch_format="pyarrow")
     exact = semi_join_ds(cand, keys_ds, on, anti=anti,
@@ -228,8 +254,9 @@ def hash_join(left, right, on, how: str = "inner", num_partitions: int = 32):
     """Both-sides-large join → Ray's hash-partitioned ``Dataset.join``.
     Partitioning assumption: ``on`` hashes evenly; salt hot keys upstream
     (see raystack.pipeline.add_partition_key) if one key dominates."""
-    return left.join(right, join_type=how, on=(on,),
-                     num_partitions=num_partitions)
+    return strip_schema_metadata(left).join(
+        strip_schema_metadata(right), join_type=how, on=(on,),
+        num_partitions=num_partitions)
 
 
 def asof_join(left, right, key: str, ts: str,

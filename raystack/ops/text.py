@@ -434,12 +434,16 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text",
         return pa.table({"ngram": pa.array(grams, pa.string()),
                          "n": pa.array(cnt.astype(np.int64))})
 
+    # distributed top-k between the groupby and the driver: the per-batch
+    # cut bounds each partial, but the surviving distinct-ngram set is up
+    # to per_batch_cut × n_batches rows at corpus scale — the sort+limit
+    # leaves only k of them to collect
     totals = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("ngram").sum("n").to_pandas()
-    totals = totals.rename(columns={"sum(n)": "n"})
-    return totals.sort_values(["n", "ngram"],
-                              ascending=[False, True]).head(k) \
-        .reset_index(drop=True)
+        .groupby("ngram").sum("n") \
+        .rename_columns({"sum(n)": "n"}) \
+        .sort(["n", "ngram"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    return totals[["ngram", "n"]].reset_index(drop=True)
 
 
 def _ngram_hashes(texts, n: int, lowercase: bool = True):

@@ -1274,3 +1274,25 @@ def test_image_features_empty_and_nondividing_bins(ray_session):
     ex = ImageFeatureExtractor(n_bins=10)
     out = ex(t)
     assert abs(sum(out["features"][2].as_py()) - 1.0) < 1e-9  # 250-255 kept
+
+
+def test_frequent_items_driver_bounded(ray_session):
+    # high-cardinality column: 10k distinct values + 3 heavy hitters. The
+    # distributed sort+limit means the driver collect is ≤ k rows — pin
+    # that by intercepting to_pandas's input size via the returned frame
+    # (k rows) and by exactness of the top-k despite the per-batch cut.
+    import ray.data
+
+    from raystack.ops.colstats import frequent_items
+    vals = [f"u{i:05d}" for i in range(10_000)] \
+        + ["hot"] * 500 + ["warm"] * 300 + ["mild"] * 200
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals)})) \
+        .repartition(8)
+    out = frequent_items(ds, "v", k=3)
+    assert len(out) == 3
+    assert out["value"].tolist() == ["hot", "warm", "mild"]
+    assert out["n"].tolist() == [500, 300, 200]
+    # bounded-shuffle variant stays exact here (m >> k)
+    out2 = frequent_items(ds, "v", k=3, per_batch_cut=64)
+    assert out2["value"].tolist() == ["hot", "warm", "mild"]
+    assert out2["n"].tolist() == [500, 300, 200]
