@@ -7,11 +7,12 @@ Decode support has two tiers:
   binary PPM/PGM images (:func:`decode_pnm` — header parse +
   ``np.frombuffer``, plus :func:`resize_nearest`), uncompressed BMP
   (:func:`decode_bmp` — BITMAPINFOHEADER, 24/32-bit, row padding + BGR
-  + bottom-up normalized) and PCM WAV audio (:func:`decode_wav` —
-  stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
+  + bottom-up normalized), PNG (:func:`decode_png` — stdlib ``zlib``
+  inflate + all five scanline filters, 8-bit gray/RGB/palette/alpha)
+  and PCM WAV audio (:func:`decode_wav` — stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
   bytes and emits real width/height/channels or
   sample-rate/duration/RMS features.
-- **STUBS** for library-bound formats (JPEG/PNG/MP4 need PIL/ffmpeg,
+- **STUBS** for library-bound formats (JPEG/MP4 need PIL/ffmpeg,
   which this container doesn't ship — clearly marked below). Everything
   Ray-side is real and tested either way: the media schema, actor-pool
   ``map_batches`` stages with small batch sizes (large binary payloads),
@@ -129,6 +130,174 @@ def encode_bmp(img: np.ndarray, top_down: bool = False) -> bytes:
     return header + info + body
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk of a PNG stream (layout per the
+    published PNG spec: 4-byte big-endian length, 4-byte type, data,
+    4-byte CRC)."""
+    import struct
+    i = 8
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4: i + 8]
+        data = payload[i + 8: i + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        i += 12 + ln
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
+    filter method 0). ``raw`` is the decompressed stream: ``h`` rows of
+    (1 filter byte + ``stride`` data bytes). Vectorized per row for
+    None/Sub/Up (Sub is a modular cumsum over the pixel axis); Average
+    and Paeth carry a true per-pixel left dependency and loop over pixels
+    with the channel axis vectorized."""
+    rows = raw.reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad PNG filter type {int(ftypes.max())}")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    npix = stride // bpp
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            line = cur
+        elif f == 1:   # Sub: modular prefix sum over pixels, per channel
+            line = np.cumsum(cur.reshape(npix, bpp),
+                             axis=0, dtype=np.int64).reshape(stride) & 0xFF
+            line = line.astype(np.int32)
+        elif f == 2:   # Up
+            line = (cur + prev) & 0xFF
+        else:          # Average (3) / Paeth (4): left-dependent
+            line = cur
+            left = np.zeros(bpp, np.int32)
+            for x in range(0, stride, bpp):
+                up = prev[x: x + bpp]
+                if f == 3:
+                    line[x: x + bpp] = (line[x: x + bpp]
+                                        + ((left + up) >> 1)) & 0xFF
+                else:
+                    ul = prev[x - bpp: x] if x else np.zeros(bpp, np.int32)
+                    p = left + up - ul
+                    pa_, pb, pc_ = (np.abs(p - left), np.abs(p - up),
+                                    np.abs(p - ul))
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                                    np.where(pb <= pc_, up, ul))
+                    line[x: x + bpp] = (line[x: x + bpp] + pred) & 0xFF
+                left = line[x: x + bpp]
+        out[y] = line
+        prev = line
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → ``(h, w, c)`` uint8 array — REAL decode, stdlib only
+    (``zlib`` inflate + the five scanline filters per the published PNG
+    spec). Supports 8-bit depth, color types gray/RGB/palette/gray+alpha
+    /RGBA, non-interlaced. Interlaced (Adam7), 16-bit and palette
+    transparency raise — no silent wrong pixels."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    import struct
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            raise ValueError("PNG tRNS (palette alpha) unsupported")
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[..., 0]]
+    return np.ascontiguousarray(img)
+
+
+_PNG_COLOR_BY_NCH = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, c) uint8 → PNG bytes (fixture writer; inverse of
+    :func:`decode_png`). ``filter_type`` applies one of the five scanline
+    filters to every row so tests can exercise each unfilter path."""
+    import struct
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    color = _PNG_COLOR_BY_NCH[nch]
+    px = img.astype(np.int32)
+    flat = px.reshape(h, w * nch)
+    prev = np.zeros((w * nch,), np.int32)
+    lines = []
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[nch:] = cur[:-nch]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 1:
+            enc = cur - left
+        elif filter_type == 2:
+            enc = cur - prev
+        elif filter_type == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            ul = np.zeros_like(prev)
+            ul[nch:] = prev[:-nch]
+            p = left + prev - ul
+            pa_, pb, pc_ = (np.abs(p - left), np.abs(p - prev),
+                            np.abs(p - ul))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            enc = cur - pred
+        lines.append(bytes([filter_type])
+                     + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + chunk(b"IEND", b""))
+
+
 def decode_wav(payload: bytes):
     """PCM WAV → (samples ``(n, channels)`` float64 in [-1, 1], rate).
     Stdlib ``wave`` container parse + ``np.frombuffer`` sample decode;
@@ -151,7 +320,7 @@ def decode_wav(payload: bytes):
 
 class MediaDecoder:
     """Actor-pool decode stage: sniff each payload's magic bytes and run
-    the REAL decoder where one exists (PPM/PGM, BMP, PCM WAV), else mark the
+    the REAL decoder where one exists (PPM/PGM, BMP, PNG, PCM WAV), else mark the
     row undecoded (library-bound formats are the documented stub tier).
     The per-payload loop is intentional — each payload is one multi-KB
     media file and the heavy work inside (pixel/sample math) is numpy;
@@ -176,6 +345,7 @@ class MediaDecoder:
         payloads = t["payload"]
         import struct
         import wave
+        import zlib
         for i in range(n):
             p = payloads[i].as_py()
             if p is None:
@@ -193,6 +363,11 @@ class MediaDecoder:
                     height[i], width[i], channels[i] = img.shape
                     mean_level[i] = float(img.mean()) / 255.0
                     kind[i], decoded[i] = "image", True
+                elif head[:8] == _PNG_SIG:
+                    img = decode_png(p)
+                    height[i], width[i], channels[i] = img.shape
+                    mean_level[i] = float(img.mean()) / 255.0
+                    kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                     samples, rate = decode_wav(p)
                     sample_rate[i] = rate
@@ -202,7 +377,7 @@ class MediaDecoder:
                         if samples.size else 0.0
                     kind[i], decoded[i] = "audio", True
             except (ValueError, EOFError, IndexError, wave.Error,
-                    struct.error):
+                    struct.error, zlib.error):
                 pass  # sniffed magic but malformed body → stays undecoded
         return pa.table({
             "media_id": t["media_id"],

@@ -1296,3 +1296,59 @@ def test_frequent_items_driver_bounded(ray_session):
     out2 = frequent_items(ds, "v", k=3, per_batch_cut=64)
     assert out2["value"].tolist() == ["hot", "warm", "mild"]
     assert out2["n"].tolist() == [500, 300, 200]
+
+
+def test_decode_png_roundtrip(ray_session):
+    import ray.data
+    from raystack.ops.multimodal import (MEDIA_SCHEMA, decode_media,
+                                         decode_png, encode_png)
+    rng = np.random.default_rng(13)
+    # every channel count × every scanline filter is bit-exact
+    for nch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (19, 11, nch), dtype=np.uint8)
+        for ft in range(5):
+            assert np.array_equal(decode_png(encode_png(img, ft)), img), \
+                (nch, ft)
+    # palette color type: hand-build an indexed PNG and compare to the
+    # palette-expanded truth
+    import struct
+    import zlib as _z
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _z.crc32(ctype + data)))
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 7, (6, 9), dtype=np.uint8)
+    lines = b"".join(b"\x00" + idxs[y].tobytes() for y in range(6))
+    ihdr = struct.pack(">IIBBBBB", 9, 6, 8, 3, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"PLTE", pal.tobytes())
+               + chunk(b"IDAT", _z.compress(lines)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), pal[idxs])
+
+    # honest failures: interlaced and 16-bit raise instead of wrong pixels
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+    bad_i = bytearray(good)
+    bad_i[8 + 8 + 12] = 1  # IHDR interlace byte
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(bytes(bad_i))
+    bad_d = bytearray(good)
+    bad_d[8 + 8 + 8] = 16  # IHDR bit depth byte
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(bad_d))
+
+    # the actor stage sniffs PNG magic, decodes, flags truncated bodies
+    t = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_png(img, 4), good[:24]],
+                            pa.large_binary()),
+        "mime": pa.array(["image/png"] * 2),
+        "meta": pa.array(["{}"] * 2),
+    }, schema=MEDIA_SCHEMA)
+    got = decode_media(ray.data.from_arrow(t), concurrency=1).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert got["decoded"].tolist() == [True, False]
+    assert got.loc[0, ["width", "height", "channels"]].tolist() == [4, 4, 3]
+    assert got.loc[0, "kind"] == "image"
+    assert got.loc[0, "mean_level"] == pytest.approx(img.mean() / 255)
