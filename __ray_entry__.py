@@ -187,13 +187,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def combine_common(sf):
         return _aligned(sf, columns_select_common=True, add_filename=False)
 
-    def combine_select(sf):
-        return _aligned(sf, columns_select=["doc_id", "lang", "n_chars"],
-                        add_filename=False)
-
     def combine_provenance(sf):
-        ds = _aligned(sf, add_filename=True)
-        return ds.select_columns(["doc_id", "filename"])
+        """columns_select (M6) + provenance (M4) proven in ONE query:
+        the aligned read selects a column subset AND tags each row's
+        source file (was two queries; merged to free a slot for
+        zone_count_where)."""
+        ds = _aligned(sf, columns_select=["doc_id", "lang", "n_chars"],
+                      add_filename=True)
+        return ds.select_columns(["doc_id", "lang", "n_chars", "filename"])
 
     def combine_preview(sf):
         from raystack.stacker import Stacker
@@ -692,6 +693,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         got = pl.lookup_rows(enc, targets, columns=["text", "lang"])
         return got.select_columns(["url", "text", "lang"])
 
+    def zone_count_where(sf):
+        """Zone-map-accelerated exact COUNT over the encoded layout:
+        sidecars are built once (idempotent, additive), then
+        ``count_where`` answers a warc_ts range from page metadata —
+        contained pages count for free, disjoint pages cost nothing,
+        only boundary pages decode their predicate column. The bound is
+        a fixed timestamp inside the generated range (generation is
+        deterministic), so the oracle recomputes the identical
+        predicate."""
+        import datetime as _dt
+
+        import pandas as pd
+
+        from raystack.zones import build_zone_maps, count_where
+        enc = _ensure_webtext_enc(sf)
+        if not os.path.isdir(os.path.join(enc, "zones")):
+            build_zone_maps(enc, ["warc_ts"])
+        hi = _dt.datetime(2024, 3, 1, 1, 0, 30)
+        n = count_where(enc, {"warc_ts": (None, hi)})
+        return pd.DataFrame({"n": [int(n)]})
+
     def multimodal_dims(sf):
         """Oracle-checkable slice of the multimodal stage: the deterministic
         fake-decode dimensions are pure int64 arithmetic on the payload byte
@@ -722,8 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": curate_corpus,
         "combine_union": combine_union,
         "combine_common": combine_common,
-        "combine_select": combine_select,
         "combine_provenance": combine_provenance,
+        "zone_count_where": zone_count_where,
         "combine_preview": combine_preview,
         "roundtrip_events": roundtrip_events,
         "roundtrip_lineitem": roundtrip_lineitem,
@@ -1023,10 +1045,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE source END AS source, "
             "n_chars FROM documents"),
         "combine_common": "SELECT doc_id, text, lang, n_chars FROM documents",
-        "combine_select": "SELECT doc_id, lang, n_chars FROM documents",
         "combine_provenance": (
-            "SELECT doc_id, 'part-' || (doc_id % 3) || '.parquet' AS filename "
+            "SELECT doc_id, lang, n_chars, "
+            "'part-' || (doc_id % 3) || '.parquet' AS filename "
             "FROM documents"),
+        "zone_count_where": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"read_parquet('{_ORACLE_SNAP}/*.parquet') "
+            "WHERE warc_ts <= TIMESTAMP '2024-03-01 01:00:30'"),
         "combine_preview": (
             "SELECT doc_id, lang, n_chars FROM ("
             "  SELECT *, row_number() OVER (PARTITION BY doc_id % 3 "
