@@ -20,6 +20,8 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+
+from raystack.io import read_parquet_clean as _read_pq
 import pyarrow.parquet as pq
 
 _SCRATCH = "/tmp/raystack_entry"
@@ -172,7 +174,7 @@ def _roundtrip(sf_dir: str, table: str, columns: list[str], key_col: str):
     codec family on real ints/floats/timestamps/strings)."""
     import ray.data
     from raystack import pipeline as pl
-    ds = ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+    ds = _read_pq(os.path.join(sf_dir, f"{table}.parquet"),
                                columns=columns)
     pages = pl.encode_batches(ds, batch_size=8192, concurrency=2)
     return pl.decode_pages(pages, columns=columns)
@@ -218,7 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from raystack import pipeline as pl
         out = os.path.join(_SCRATCH, "rt_part_" + sf.strip("/").replace("/", "_"))
         shutil.rmtree(out, ignore_errors=True)
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
+        ds = _read_pq(os.path.join(sf, "documents.parquet"))
         pl.encode_partitioned(ds, out, url_col="source", num_partitions=4)
         return pl.decode_dir(out, columns=["doc_id", "text", "lang",
                                            "source", "n_chars"])
@@ -228,14 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         two (dup-line + ellipsis-line fractions) are oracle-checked,
         top_2gram_frac is pytest-covered (tests/test_text_curation.py)."""
         from raystack.ops.text import add_repetition_stats
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return add_repetition_stats(ds).select_columns(
             ["doc_id", "dup_line_frac", "ellipsis_line_frac"])
 
     def events_stats(sf):
         from ray.data.aggregate import Count, Max, Min
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_type", "ts", "user_id"])
         return ds.groupby("event_type").aggregate(
             Count(alias_name="n_events"),
@@ -245,7 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def token_counts(sf):
         from raystack.ops.text import add_token_count
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return add_token_count(ds).select_columns(["doc_id", "n_tokens"])
 
@@ -253,7 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """BPE-ish token counting (GPT-2-style piece regex, one RE2
         kernel per batch; DuckDB runs the same RE2 pattern)."""
         from raystack.ops.text import add_bpe_token_count
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return add_bpe_token_count(ds).select_columns(
             ["doc_id", "n_bpe_tokens"])
@@ -263,7 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs per lang (retry/cluster-size stable; pre-reduced so the
         shuffle moves O(groups x k) rows)."""
         from raystack.ops.text import stratified_sample as strat
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "lang"])
         return strat(ds, "lang", k=5)
 
@@ -272,13 +274,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         keep-first winner per paragraph, documents reassembled in order
         — oracled vs a DuckDB window-function mirror."""
         from raystack.ops.dedup import dedup_paragraphs as dp
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return dp(ds)
 
     def exact_dedup(sf):
         from raystack.ops.dedup import exact_dedup as dd
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return dd(ds, "text", "doc_id")
 
@@ -287,13 +289,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         Oracle-checking this against min-id-per-text also proves the
         fingerprint is injective on the corpus."""
         from raystack.ops.dedup import exact_dedup_by_hash
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return exact_dedup_by_hash(ds, "text", "doc_id")
 
     def ann_topk(sf):
         from raystack.ops.similarity import ann_topk as ann
-        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = _read_pq(os.path.join(sf, "embeddings.parquet"))
         head = pq.read_table(os.path.join(sf, "embeddings.parquet")).slice(0, 4)
         qm = np.stack(head["embedding"].to_pandas().to_numpy()).astype(np.float64)
         qids = head["vec_id"].to_numpy()
@@ -301,7 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def events_windowed(sf):
         from raystack.ops.window import tumbling_window_agg
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_type", "ts"])
         return tumbling_window_agg(ds, "ts", "event_type", window_sec=600)
 
@@ -311,14 +313,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         one small groupby (the shuffle moves one row per (key, window)
         per block, not per event)."""
         from raystack.ops.window import hopping_window_agg
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_type", "ts"])
         return hopping_window_agg(ds, "ts", "event_type", window_sec=600,
                                   hop_sec=200)
 
     def orders_by_segment(sf):
         from raystack.ops.join import broadcast_join
-        orders = ray.data.read_parquet(os.path.join(sf, "orders.parquet"),
+        orders = _read_pq(os.path.join(sf, "orders.parquet"),
                                        columns=["o_orderkey", "o_custkey"])
         cust = pq.read_table(os.path.join(sf, "customer.parquet"),
                              columns=["c_custkey", "c_mktsegment"]
@@ -327,7 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return broadcast_join(orders, cust, on="o_custkey", how="inner")
 
     def top_orders(sf):
-        ds = ray.data.read_parquet(os.path.join(sf, "orders.parquet"),
+        ds = _read_pq(os.path.join(sf, "orders.parquet"),
                                    columns=["o_orderkey", "o_totalprice"])
         return (ds.sort(["o_totalprice", "o_orderkey"],
                         descending=[True, False]).limit(10))
@@ -345,7 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pq.read_table(os.path.join(sf, "documents.parquet"),
                           columns=["doc_id", "text"])
         bench = t.filter(pa.array(t["doc_id"].to_numpy() % 97 == 0))
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return flag_contamination(ds, bench, n=5).select_columns(
             ["doc_id", "contam_ngrams", "contaminated"])
@@ -357,7 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         keys = pq.read_table(os.path.join(sf, "customer.parquet"),
                              columns=["c_custkey"])["c_custkey"].to_pylist()
         keys = [k for k in keys if k < 5]
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_id", "user_id"])
         return anti_join(ds, keys, on="user_id")
 
@@ -366,7 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         histogram (2-decimal floats → bounded distinct count); SQL
         quantile_disc is the oracle."""
         from raystack.ops.colstats import value_quantiles as vq
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["value"])
         return vq(ds, "value", quantiles=(0.5, 0.9, 0.99))
 
@@ -374,7 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Exact heavy hitters over documents.source (pre-aggregated
         partials, one small groupby, deterministic tie-break)."""
         from raystack.ops.colstats import frequent_items
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["source"])
         return frequent_items(ds, "source", k=10)
 
@@ -384,7 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         RE2 pattern). Reads the scale-keyed snapshot read-only."""
         from raystack.ops.text import add_url_parts
         _, snap, _ = _ensure_webtext(sf)
-        ds = ray.data.read_parquet(snap, columns=["url"])
+        ds = _read_pq(snap, columns=["url"])
         return add_url_parts(ds).select_columns(
             ["url", "scheme", "host", "path"])
 
@@ -397,7 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         threshold keeps all docs — min quality 0.69 — so the dedup
         population equals the proven closure population.)"""
         from raystack.curate import curate_corpus as cc
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return cc(ds, quality_threshold=0.5, holdout_fraction=0.1)
 
@@ -405,7 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Vectorized JSON-ish field extraction from the events props
         column (one regex kernel per batch)."""
         import pyarrow.compute as pc
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_id", "props"])
 
         def fn(t: pa.Table) -> pa.Table:
@@ -417,7 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def column_stats(sf):
         from raystack.ops.colstats import column_stats as cs
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
+        ds = _read_pq(os.path.join(sf, "documents.parquet"))
         return cs(ds, with_distinct=False)
 
     def column_stats_sketch(sf):
@@ -425,12 +427,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         the driver's correctness scale), estimate beyond — so the DuckDB
         count(DISTINCT) oracle is a true equality check of the merge path."""
         from raystack.ops.colstats import column_stats as cs
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"))
+        ds = _read_pq(os.path.join(sf, "documents.parquet"))
         return cs(ds, with_distinct=True, k=1024)
 
     def sessionized_events(sf):
         from raystack.ops.window import sessionize
-        ds = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ds = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_id", "user_id", "ts"])
         return sessionize(ds, "ts", "user_id", "event_id", gap_sec=1800)
 
@@ -464,20 +466,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- rows-only (non-SQL-expressible) ---------------------------------
     def langid(sf):
         from raystack.ops.text import add_language_id
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return add_language_id(ds, concurrency=2).select_columns(
             ["doc_id", "lang_pred"])
 
     def quality(sf):
         from raystack.ops.text import add_quality_score
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return add_quality_score(ds).select_columns(["doc_id", "quality"])
 
     def fingerprints(sf):
         from raystack.ops.text import add_fingerprint
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
 
@@ -489,7 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus's distinct texts."""
         import pyarrow.compute as pc
         from raystack.ops.text import add_fingerprint
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
 
         def plant(t: pa.Table) -> pa.Table:
@@ -517,7 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def minhash_dedup(sf):
         from raystack.ops.dedup import minhash_lsh_dedup
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return minhash_lsh_dedup(ds)
 
@@ -531,7 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus."""
         import pandas as pd
         from raystack.ops.dedup import minhash_lsh_dedup, verify_pairs_jaccard
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         pairs = minhash_lsh_dedup(ds).to_pandas()
         out = verify_pairs_jaccard(ds, pairs, threshold=0.0)
@@ -543,7 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merge per group (ops/join.py::asof_join). Oracle: DuckDB's native
         ASOF LEFT JOIN."""
         from raystack.ops.join import asof_join
-        ev = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ev = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_id", "ts", "user_id",
                                             "event_type", "value"])
         pur = ev.filter(lambda r: r["event_type"] == "purchase") \
@@ -558,7 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         shuffle). Oracle: BETWEEN-style interval join over inline bands."""
         import pandas as pd
         from raystack.ops.join import range_join
-        ev = ray.data.read_parquet(os.path.join(sf, "events.parquet"),
+        ev = _read_pq(os.path.join(sf, "events.parquet"),
                                    columns=["event_id", "value"])
         bands = pd.DataFrame({"lo": [0.0, 5.0, 20.0, 60.0],
                               "hi": [5.0, 20.0, 60.0, 1e9],
@@ -573,7 +575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         oracle recomputes the argmax from the snapshot; min top-2 margin
         on this corpus is ~1e-4, far above float noise."""
         from raystack.ops.similarity import assign_clusters, train_centroids
-        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = _read_pq(os.path.join(sf, "embeddings.parquet"))
         head = pq.read_table(os.path.join(sf, "embeddings.parquet"))
         sample = np.stack(head.slice(0, 256)["embedding"]
                           .to_pandas().to_numpy()).astype(np.float64)
@@ -598,13 +600,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         regardless of task placement or cluster size. Oracle: the same
         splitmix64 in SQL."""
         from raystack.ops.text import hash_split
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id"])
         return hash_split(ds, fraction=0.1)
 
     def simhash_sigs(sf):
         from raystack.ops.dedup import simhash
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         return simhash(ds)
 
@@ -616,7 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         recall on true duplicates and no false positives."""
         import pyarrow.compute as pc
         from raystack.ops.dedup import embedding_near_dup
-        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = _read_pq(os.path.join(sf, "embeddings.parquet"))
 
         def plant(t: pa.Table) -> pa.Table:
             keep = t.filter(pc.less(t["vec_id"], 20))
@@ -634,7 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cosine oracle applies; recall of the partial-probe path is asserted
         in pytest (recall@10 vs brute force)."""
         from raystack.ops.similarity import ivf_topk as ivf, train_centroids
-        emb = ray.data.read_parquet(os.path.join(sf, "embeddings.parquet"))
+        emb = _read_pq(os.path.join(sf, "embeddings.parquet"))
         head = pq.read_table(os.path.join(sf, "embeddings.parquet"))
         sample = np.stack(head.slice(0, 256)["embedding"]
                           .to_pandas().to_numpy()).astype(np.float64)
@@ -719,7 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fake-decode dimensions are pure int64 arithmetic on the payload byte
         length, which DuckDB recomputes from strlen(text)."""
         from raystack.ops.multimodal import extract_image_features
-        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
                                    columns=["doc_id", "text"])
         def to_media(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

@@ -22,6 +22,8 @@ import subprocess
 import sys
 import time
 
+from raystack.io import read_parquet_clean as _read_pq
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE = "/tmp/raystack_bench"
@@ -223,7 +225,7 @@ def run_bench(num_cpus: int) -> dict:
     t0 = time.perf_counter()
     li_cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
                "l_linestatus", "l_shipdate"]
-    li = ray.data.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"),
+    li = _read_pq(os.path.join(SF_DIR, "lineitem.parquet"),
                                columns=li_cols)
     pl.decode_pages(pl.encode_batches(li, batch_size=65536),
                     columns=li_cols).count()
@@ -231,7 +233,7 @@ def run_bench(num_cpus: int) -> dict:
 
     t0 = time.perf_counter()
     from raystack.ops.text import add_token_count
-    docs = ray.data.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+    docs = _read_pq(os.path.join(SF_DIR, "documents.parquet"),
                                  columns=["doc_id", "text"])
     add_token_count(docs).count()
     queries["token_counts"] = round(time.perf_counter() - t0, 3)

@@ -266,7 +266,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         out = pdf.groupby(id_col, as_index=False)["dup_of"].min() \
             .astype({id_col: np.int64, "dup_of": np.int64})
         return ray.data.from_arrow(pa.Table.from_pandas(
-            out, preserve_index=False))
+            out, preserve_index=False).replace_schema_metadata(None))
 
     pairs = candidates_only.groupby(["band", "bucket"]).map_groups(
         candidates, batch_format="pandas")

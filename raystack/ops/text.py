@@ -350,13 +350,17 @@ def stratified_sample(ds, group_col: str, id_col: str = "doc_id",
         df = pd.DataFrame({group_col: np.asarray(t[group_col]),
                            id_col: np.asarray(t[id_col]), "__h": h})
         df = df.sort_values("__h").groupby(group_col, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # drop the pandas metadata blob: it makes the schema unhashable,
+        # knocking the groupby shuffle off Ray's schema-dedup fast path
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def final(g: pa.Table) -> pa.Table:
         import pandas as pd
         df = g.to_pandas().sort_values("__h").head(k)
         return pa.Table.from_pandas(df[[group_col, id_col]],
-                                    preserve_index=False)
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(final, batch_format="pyarrow")

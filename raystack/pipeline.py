@@ -501,8 +501,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
             # (pruned: read ONLY the key column from raw files when known)
             if source_paths:
                 import ray.data
-                url_ds = ray.data.read_parquet(source_paths,
-                                               columns=[url_col])
+                from .io import read_parquet_clean
+                url_ds = read_parquet_clean(source_paths,
+                                            columns=[url_col])
                 counts = collect_host_counts(url_ds, url_col)
             else:
                 counts = collect_host_counts(ds, url_col)
@@ -1126,8 +1127,9 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                 url_ds = read_aligned_csv(source_paths, plan=plan,
                                           dialect=dialect)
             else:
-                url_ds = ray.data.read_parquet(source_paths,
-                                               columns=[url_col])
+                from .io import read_parquet_clean
+                url_ds = read_parquet_clean(source_paths,
+                                            columns=[url_col])
             host_counts = collect_host_counts(url_ds, url_col)
         host_map = plan_host_partitions(host_counts, num_partitions)
 
@@ -1538,8 +1540,9 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
                 url_ds = read_aligned_csv(source_paths, plan=plan,
                                           dialect=dialect)
             else:
-                url_ds = ray.data.read_parquet(source_paths,
-                                               columns=[url_col])
+                from .io import read_parquet_clean
+                url_ds = read_parquet_clean(source_paths,
+                                            columns=[url_col])
             host_counts = collect_host_counts(url_ds, url_col)
         host_map = plan_host_partitions(host_counts, num_partitions)
 
@@ -1750,7 +1753,8 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
     if hot_hosts is None and host_map is None:
         if source_paths:
             import ray.data
-            url_ds = ray.data.read_parquet(source_paths, columns=[url_col])
+            from .io import read_parquet_clean
+            url_ds = read_parquet_clean(source_paths, columns=[url_col])
             counts = collect_host_counts(url_ds, url_col)
         else:
             counts = collect_host_counts(ds, url_col)
