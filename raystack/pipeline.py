@@ -645,15 +645,21 @@ def plan_precode_columns(paths: list[str], plan, enc_cols: list[str],
         return {}
     first = paths[0]
     if dialect is None:
-        # parquet: sample the first row group only — never the whole file
+        # parquet: stream ONLY the first _PRECODE_SAMPLE_ROWS rows out of
+        # the first file. read_row_group(0) decoded the WHOLE row group
+        # (~1 s per 500k-row group of web pages, on the driver, inside the
+        # timed job) when the sample needs <1% of it — iter_batches stops
+        # at the first page boundary past the sample size instead
         import pyarrow.parquet as pq
         rename = plan.rename_by_file[first]
         avail = set(plan.file_schemas[first].names)
         target = set(plan.target_columns)
         needed = sorted(c for c in avail if rename.get(c, c) in target)
         pf = pq.ParquetFile(first)
-        t = pf.read_row_group(0, columns=needed or None) \
-            if pf.num_row_groups else pf.read(columns=needed or None)
+        b = next(pf.iter_batches(batch_size=_PRECODE_SAMPLE_ROWS,
+                                 columns=needed or None), None)
+        t = pa.Table.from_batches([b]) if b is not None \
+            else pf.read(columns=needed or None)
     else:
         t = _read_map_file(first, plan, dialect)
     from .align import make_align_fn
