@@ -175,6 +175,75 @@ def add_url_parts(ds, url_col: str = "url"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def add_extracted_text(ds, html_col: str = "html",
+                       out_col: str = "text_extracted",
+                       open_tag: bytes = b"<main>",
+                       close_tag: bytes = b"</main>"):
+    """Vectorized html→text extraction over the binary ``html`` column:
+    the bytes between the FIRST ``open_tag`` and the FIRST following
+    ``close_tag``, UTF-8 decoded — the fixed-extractor invariant the
+    north star pins per url (extracted text byte-identical to the stored
+    ``text`` column; see ``raystack.gen.extract_text`` for the fixture
+    twin and ``tests/test_text_curation.py`` for the DuckDB
+    hex/unhex/position mirror).
+
+    Per batch: two ``find_substring`` kernels locate the tags, then one
+    variable-length numpy gather over the flat binary buffer builds the
+    output string column — no per-row Python. Rows with a null payload
+    or missing/ill-ordered tags are null. UTF-8 is validated by the
+    binary→string cast; a batch with an invalid extract falls back to a
+    per-row decode where only the offending rows go null (web crawls
+    mix encodings — wrong bytes must never surface as silently-mangled
+    text)."""
+    from .hashing import flatten_column
+    off = len(open_tag)
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[html_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        a = np.asarray(pc.fill_null(pc.find_substring(col, open_tag), -1),
+                       dtype=np.int64)
+        b = np.asarray(pc.fill_null(pc.find_substring(col, close_tag), -1),
+                       dtype=np.int64)
+        valid = (a >= 0) & (b >= a + off)
+        data, starts, lengths = flatten_column(col)
+        s = starts + a + off
+        out_lens = np.where(valid, starts + b - s, 0).astype(np.int64)
+        total = int(out_lens.sum())
+        row_rep = np.repeat(np.arange(n), out_lens)
+        first = np.concatenate([[0], np.cumsum(out_lens)[:-1]]) \
+            if n else np.zeros(0, np.int64)
+        pos = np.arange(total) - first[row_rep] if total else \
+            np.zeros(0, np.int64)
+        buf = data[s[row_rep] + pos] if total else np.zeros(0, np.uint8)
+        offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+        validity = pa.array(valid).buffers()[1] if not valid.all() else None
+        bin_arr = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [validity, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(buf.tobytes())],
+            null_count=int((~valid).sum()))
+        try:
+            out = bin_arr.cast(pa.large_string())
+        except pa.ArrowInvalid:
+            # rare mixed-encoding page: null ONLY the undecodable rows
+            vals = [None if v is None else _try_utf8(v)
+                    for v in bin_arr.to_pylist()]
+            out = pa.array(vals, pa.large_string())
+        return t.append_column(out_col, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _try_utf8(b: bytes):
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
 #: GPT-2-style piece pattern (public; contractions, letter runs, number
 #: runs, punctuation runs, whitespace) — RE2-compatible, no lookahead
 BPE_PIECE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"

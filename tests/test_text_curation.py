@@ -344,3 +344,54 @@ def test_chunk_documents_property(ray_session):
             assert covered[~is_ws].all()  # full non-ws coverage
 
     run()
+
+
+def test_add_extracted_text_invariant_and_oracle(ray_session, tmp_path):
+    """The north-star per-row invariant: text extracted from html is
+    byte-identical to the stored text column per url — plus a DuckDB
+    mirror of the extractor (hex/unhex/position arithmetic over the
+    BLOB) and the degenerate rows (missing tags, null payload,
+    undecodable bytes)."""
+    import duckdb
+    import ray.data
+
+    from raystack.gen import make_webtext
+    from raystack.ops.text import add_extracted_text
+
+    t = make_webtext(800, seed=5)
+    got = add_extracted_text(ray.data.from_arrow(t)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    want = t.to_pandas().sort_values("url").reset_index(drop=True)
+    # byte-identical per url (includes the 5% of rows whose html carries
+    # non-UTF-8 bytes OUTSIDE <main> — extraction must still be exact)
+    assert got["text_extracted"].tolist() == want["text"].tolist()
+
+    # DuckDB mirror: locate the tags in hex space, unhex the span
+    con = duckdb.connect()
+    con.register("pages", t.select(["url", "html"]).to_pandas())
+    mirror = con.execute("""
+        SELECT url,
+          CASE WHEN position('3C6D61696E3E' IN hex(html)) > 0
+                AND position('3C2F6D61696E3E' IN hex(html))
+                    >= position('3C6D61696E3E' IN hex(html)) + 12
+          THEN decode(unhex(substring(hex(html),
+                 position('3C6D61696E3E' IN hex(html)) + 12,
+                 position('3C2F6D61696E3E' IN hex(html))
+                   - position('3C6D61696E3E' IN hex(html)) - 12)))
+          ELSE NULL END AS text_extracted
+        FROM pages ORDER BY url""").df()
+    assert got["text_extracted"].tolist() == \
+        mirror["text_extracted"].tolist()
+
+    # degenerate rows: no tags → null, null html → null, close before
+    # open → null, invalid UTF-8 INSIDE main → only that row null
+    import pyarrow as pa
+    edge = pa.table({
+        "url": pa.array(["a", "b", "c", "d", "e"]),
+        "html": pa.array([b"plain bytes", None,
+                          b"</main>zz<main>", b"<main>ok</main>",
+                          b"<main>\xff\xfe</main>"], pa.binary()),
+    })
+    out = add_extracted_text(ray.data.from_arrow(edge)) \
+        .to_pandas().sort_values("url")
+    assert out["text_extracted"].tolist() == [None, None, None, "ok", None]
