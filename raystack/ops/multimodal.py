@@ -8,11 +8,14 @@ Decode support has two tiers:
   ``np.frombuffer``, plus :func:`resize_nearest`), uncompressed BMP
   (:func:`decode_bmp` — BITMAPINFOHEADER, 24/32-bit, row padding + BGR
   + bottom-up normalized), PNG (:func:`decode_png` — stdlib ``zlib``
-  inflate + all five scanline filters, 8-bit gray/RGB/palette/alpha)
+  inflate + all five scanline filters, 8-bit gray/RGB/palette/alpha),
+  baseline JPEG (:mod:`raystack.ops.jpeg` — huffman entropy decode +
+  vectorized IDCT + chroma upsampling, subsampling + restart markers)
   and PCM WAV audio (:func:`decode_wav` — stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
   bytes and emits real width/height/channels or
   sample-rate/duration/RMS features.
-- **STUBS** for library-bound formats (JPEG/MP4 need PIL/ffmpeg,
+- **STUBS** for library-bound formats (progressive JPEG and MP4 need
+  PIL/ffmpeg,
   which this container doesn't ship — clearly marked below). Everything
   Ray-side is real and tested either way: the media schema, actor-pool
   ``map_batches`` stages with small batch sizes (large binary payloads),
@@ -346,6 +349,8 @@ class MediaDecoder:
         import struct
         import wave
         import zlib
+
+        from raystack.ops.jpeg import decode_jpeg
         for i in range(n):
             p = payloads[i].as_py()
             if p is None:
@@ -365,6 +370,11 @@ class MediaDecoder:
                     kind[i], decoded[i] = "image", True
                 elif head[:8] == _PNG_SIG:
                     img = decode_png(p)
+                    height[i], width[i], channels[i] = img.shape
+                    mean_level[i] = float(img.mean()) / 255.0
+                    kind[i], decoded[i] = "image", True
+                elif head[:2] == b"\xff\xd8":
+                    img = decode_jpeg(p)
                     height[i], width[i], channels[i] = img.shape
                     mean_level[i] = float(img.mean()) / 255.0
                     kind[i], decoded[i] = "image", True
