@@ -8,7 +8,9 @@ Decode support has two tiers:
   ``np.frombuffer``, plus :func:`resize_nearest`), uncompressed BMP
   (:func:`decode_bmp` — BITMAPINFOHEADER, 24/32-bit, row padding + BGR
   + bottom-up normalized), PNG (:func:`decode_png` — stdlib ``zlib``
-  inflate + all five scanline filters, 8-bit gray/RGB/palette/alpha),
+  inflate + all five scanline filters; the full static format: every
+  legal depth 1/2/4/8/16 × color type, Adam7 interlace, tRNS
+  transparency),
   baseline JPEG (:mod:`raystack.ops.jpeg` — huffman entropy decode +
   vectorized IDCT + chroma upsampling, subsampling + restart markers)
   and PCM WAV audio (:func:`decode_wav` — stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
@@ -203,18 +205,60 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
     return out
 
 
+#: Adam7 pass layout: (x offset, y offset, x step, y step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+#: legal (color type → bit depths) combinations per the PNG spec
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_stride(w: int, depth: int, nch: int) -> int:
+    return (w * depth * nch + 7) // 8
+
+
+def _unpack_scanlines(raw: np.ndarray, h: int, w: int, depth: int,
+                      nch: int) -> np.ndarray:
+    """Filtered scanline bytes (``h`` rows of 1 filter byte + stride) →
+    ``(h, w, nch)`` raw channel samples: uint16 for depth 16, uint8
+    otherwise (sub-byte samples NOT yet scaled to 8-bit — palette
+    indices and tRNS keys compare in original depth range)."""
+    if h == 0 or w == 0:
+        return np.zeros((h, w, nch), np.uint8)
+    stride = _png_stride(w, depth, nch)
+    fbpp = max(1, depth * nch // 8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    data = _png_unfilter(raw, h, stride, fbpp)
+    if depth == 8:
+        return data[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        b = data[:, : w * nch * 2].reshape(h, w, nch, 2).astype(np.uint16)
+        return (b[..., 0] << 8) | b[..., 1]
+    # 1/2/4-bit (gray or palette indices; nch == 1)
+    bits = np.unpackbits(data, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8)[:, :, None]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → ``(h, w, c)`` uint8 array — REAL decode, stdlib only
-    (``zlib`` inflate + the five scanline filters per the published PNG
-    spec). Supports 8-bit depth, color types gray/RGB/palette/gray+alpha
-    /RGBA, non-interlaced. Interlaced (Adam7), 16-bit and palette
-    transparency raise — no silent wrong pixels."""
+    """PNG → ``(h, w, c)`` array — REAL decode, stdlib only (``zlib``
+    inflate + the five scanline filters per the published PNG spec).
+    Full coverage of the static-image format: every legal bit depth
+    (1/2/4/8/16) × color type (gray / RGB / palette / gray+alpha /
+    RGBA), Adam7 interlacing, and tRNS transparency (palette alpha and
+    gray/RGB color keys → an alpha channel). Output dtype is uint8,
+    except 16-bit streams which return uint16 (samples kept exact, not
+    squashed); sub-byte grays are scaled to 8-bit."""
+    import struct
     import zlib
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    import struct
     ihdr = None
     plte = None
+    trns = None
     idat = []
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
@@ -222,7 +266,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            raise ValueError("PNG tRNS (palette alpha) unsupported")
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
     if ihdr is None or not idat:
@@ -230,75 +274,155 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if nch is None:
+    if color not in _PNG_DEPTHS:
         raise ValueError(f"bad PNG color type {color}")
-    stride = w * nch
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"illegal PNG depth {depth} for color {color}")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    img = _png_unfilter(raw, h, stride, nch).reshape(h, w, nch)
-    if color == 3:
+    if interlace == 0:
+        img = _unpack_scanlines(raw, h, w, depth, nch)
+    elif interlace == 1:
+        img = np.zeros((h, w, nch),
+                       np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            nbytes = hp * (1 + _png_stride(wp, depth, nch))
+            img[y0::dy, x0::dx] = _unpack_scanlines(
+                raw[pos: pos + nbytes], hp, wp, depth, nch)
+            pos += nbytes
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
+
+    maxv = (1 << depth) - 1
+    if color == 3:  # palette (+ optional per-entry alpha)
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        img = plte[img[..., 0]]
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            a = np.frombuffer(trns, np.uint8)
+            alpha[: len(a)] = a
+            return np.ascontiguousarray(np.dstack([rgb, alpha[idx]]))
+        return np.ascontiguousarray(rgb)
+    if color == 0 and trns is not None and len(trns) == 2:
+        key = struct.unpack(">H", trns)[0]
+        alpha = np.where(img[..., 0] == key, 0, maxv).astype(img.dtype)
+        img = np.dstack([img[..., 0], alpha])
+    elif color == 2 and trns is not None and len(trns) == 6:
+        key = np.array(struct.unpack(">HHH", trns), img.dtype)
+        alpha = np.where((img == key).all(axis=2), 0, maxv) \
+            .astype(img.dtype)
+        img = np.dstack([img, alpha])
+    if depth < 8:  # scale sub-byte gray (and its alpha) to 8-bit
+        img = (img.astype(np.uint16) * (255 // maxv)).astype(np.uint8)
     return np.ascontiguousarray(img)
 
 
 _PNG_COLOR_BY_NCH = {1: 0, 2: 4, 3: 2, 4: 6}
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """(h, w, c) uint8 → PNG bytes (fixture writer; inverse of
-    :func:`decode_png`). ``filter_type`` applies one of the five scanline
-    filters to every row so tests can exercise each unfilter path."""
-    import struct
-    import zlib
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, nch = img.shape
-    color = _PNG_COLOR_BY_NCH[nch]
-    px = img.astype(np.int32)
-    flat = px.reshape(h, w * nch)
-    prev = np.zeros((w * nch,), np.int32)
-    lines = []
+def _pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w, nch) raw channel samples → (h, stride) packed scanline
+    bytes (inverse of the unpack step in :func:`_unpack_scanlines`)."""
+    h, w, nch = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(h, w * nch)
+    if depth == 16:
+        s = samples.astype(np.uint16)
+        b = np.stack([(s >> 8) & 0xFF, s & 0xFF], axis=-1)
+        return b.astype(np.uint8).reshape(h, w * nch * 2)
+    bits = ((samples[:, :, 0, None].astype(np.uint8)
+             >> np.arange(depth - 1, -1, -1)) & 1)
+    return np.packbits(bits.reshape(h, w * depth), axis=1)
+
+
+def _filter_rows(rows: np.ndarray, fbpp: int, ftype: int) -> bytearray:
+    """Apply one PNG scanline filter to every packed row (fixture-side
+    inverse of :func:`_png_unfilter`; byte-level, any depth)."""
+    h, stride = rows.shape
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
     for y in range(h):
-        cur = flat[y]
-        left = np.zeros_like(cur)
-        left[nch:] = cur[:-nch]
-        if filter_type == 0:
+        cur = rows[y].astype(np.int32)
+        left = np.zeros(stride, np.int32)
+        left[fbpp:] = cur[:-fbpp] if stride > fbpp else 0
+        if ftype == 0:
             enc = cur
-        elif filter_type == 1:
+        elif ftype == 1:
             enc = cur - left
-        elif filter_type == 2:
+        elif ftype == 2:
             enc = cur - prev
-        elif filter_type == 3:
+        elif ftype == 3:
             enc = cur - ((left + prev) >> 1)
         else:  # Paeth
-            ul = np.zeros_like(prev)
-            ul[nch:] = prev[:-nch]
+            ul = np.zeros(stride, np.int32)
+            ul[fbpp:] = prev[:-fbpp] if stride > fbpp else 0
             p = left + prev - ul
             pa_, pb, pc_ = (np.abs(p - left), np.abs(p - prev),
                             np.abs(p - ul))
             pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
                             np.where(pb <= pc_, prev, ul))
             enc = cur - pred
-        lines.append(bytes([filter_type])
-                     + (enc & 0xFF).astype(np.uint8).tobytes())
+        out += bytes([ftype])
+        out += (enc & 0xFF).astype(np.uint8).tobytes()
         prev = cur
+    return out
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0, depth: int = 8,
+               interlace: bool = False, palette: np.ndarray = None,
+               trns: bytes = None) -> bytes:
+    """(h, w[, c]) raw channel samples → PNG bytes (fixture writer;
+    inverse of :func:`decode_png`). ``filter_type`` applies one of the
+    five scanline filters to every row so tests can exercise each
+    unfilter path; ``depth``/``interlace``/``palette``/``trns`` cover
+    the full decoder envelope (16-bit, sub-byte gray, Adam7, palette
+    and transparency). With ``palette`` the image carries indices."""
+    import struct
+    import zlib
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, nch = img.shape
+    color = 3 if palette is not None else _PNG_COLOR_BY_NCH[nch]
+    if depth not in _PNG_DEPTHS[color]:
+        raise ValueError(f"illegal PNG depth {depth} for color {color}")
+    fbpp = max(1, depth * nch // 8)
+
+    def pack(sub: np.ndarray) -> bytearray:
+        return _filter_rows(_pack_rows(sub, depth), fbpp, filter_type)
+
+    if interlace:
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                body += pack(sub)
+    else:
+        body = pack(img)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"".join(lines)))
-            + chunk(b"IEND", b""))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    return out + chunk(b"IDAT", zlib.compress(bytes(body))) \
+        + chunk(b"IEND", b"")
 
 
 def decode_wav(payload: bytes):
@@ -371,7 +495,8 @@ class MediaDecoder:
                 elif head[:8] == _PNG_SIG:
                     img = decode_png(p)
                     height[i], width[i], channels[i] = img.shape
-                    mean_level[i] = float(img.mean()) / 255.0
+                    mean_level[i] = float(img.mean()) / \
+                        (255.0 if img.dtype == np.uint8 else 65535.0)
                     kind[i], decoded[i] = "image", True
                 elif head[:2] == b"\xff\xd8":
                     img = decode_jpeg(p)

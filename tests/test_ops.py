@@ -1326,16 +1326,18 @@ def test_decode_png_roundtrip(ray_session):
                + chunk(b"IDAT", _z.compress(lines)) + chunk(b"IEND", b""))
     assert np.array_equal(decode_png(payload), pal[idxs])
 
-    # honest failures: interlaced and 16-bit raise instead of wrong pixels
+    # interlaced and 16-bit are real formats now (tests/test_png_full.py);
+    # lying about them in the header of an 8-bit progressive-free stream
+    # must still fail loudly (length mismatch), never emit wrong pixels
     img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
     good = encode_png(img)
     bad_i = bytearray(good)
     bad_i[8 + 8 + 12] = 1  # IHDR interlace byte
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError):  # misaligned passes / length mismatch
         decode_png(bytes(bad_i))
     bad_d = bytearray(good)
     bad_d[8 + 8 + 8] = 16  # IHDR bit depth byte
-    with pytest.raises(ValueError, match="bit depth"):
+    with pytest.raises(ValueError):
         decode_png(bytes(bad_d))
 
     # the actor stage sniffs PNG magic, decodes, flags truncated bodies
