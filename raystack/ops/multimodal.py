@@ -12,7 +12,10 @@ Decode support has two tiers:
   legal depth 1/2/4/8/16 × color type, Adam7 interlace, tRNS
   transparency),
   baseline JPEG (:mod:`raystack.ops.jpeg` — huffman entropy decode +
-  vectorized IDCT + chroma upsampling, subsampling + restart markers)
+  vectorized IDCT + chroma upsampling, subsampling + restart markers),
+  GIF incl. animation (:mod:`raystack.ops.gif` — pure-Python LZW,
+  interlace, transparency, disposal; :class:`GifFrameSampler` explodes
+  animated streams into PNG frame rows)
   and PCM WAV audio (:func:`decode_wav` — stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
   bytes and emits real width/height/channels or
   sample-rate/duration/RMS features.
@@ -503,6 +506,12 @@ class MediaDecoder:
                     height[i], width[i], channels[i] = img.shape
                     mean_level[i] = float(img.mean()) / 255.0
                     kind[i], decoded[i] = "image", True
+                elif head[:4] == b"GIF8":
+                    from raystack.ops.gif import decode_gif
+                    img = decode_gif(p)
+                    height[i], width[i], channels[i] = img.shape
+                    mean_level[i] = float(img.mean()) / 255.0
+                    kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                     samples, rate = decode_wav(p)
                     sample_rate[i] = rate
@@ -604,6 +613,61 @@ def extract_image_features(ds, concurrency=(1, 4),
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={
                               "use_real_decode": use_real_decode})
+
+
+class GifFrameSampler:
+    """Actor-pool stage: REAL frame sampling over animated GIF payloads
+    (the one motion format decodable without ffmpeg — see
+    :mod:`raystack.ops.gif`). Each media row explodes into every-nth
+    composited frame, re-encoded as PNG (library-free, lossless) so the
+    output column is a storable image payload, not raw pixels. MP4
+    stays honestly stub-gated in :func:`frame_sample_stub`."""
+
+    def __init__(self, every_n: int = 1, max_frames: int = 8):
+        from raystack.ops.gif import decode_gif_frames  # once per actor
+        self._decode = decode_gif_frames
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import struct
+        mids, fidx, w_, h_, payloads = [], [], [], [], []
+        col = t["payload"]
+        ids = t["media_id"]
+        for i in range(t.num_rows):
+            p = col[i].as_py()
+            if p is None or bytes(p[:4]) != b"GIF8":
+                continue
+            try:
+                frames = self._decode(p, every_n=self.every_n,
+                                      max_frames=self.max_frames)
+            except (ValueError, IndexError, struct.error):
+                continue
+            for k, fr in enumerate(frames):
+                mids.append(ids[i].as_py())
+                fidx.append(k * self.every_n)
+                h_.append(fr.shape[0])
+                w_.append(fr.shape[1])
+                payloads.append(encode_png(fr))
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "width": pa.array(w_, pa.int64()),
+            "height": pa.array(h_, pa.int64()),
+            "frame": pa.array(payloads, pa.large_binary()),
+        })
+
+
+def sample_gif_frames(ds, every_n: int = 1, max_frames: int = 8,
+                      concurrency=(1, 4),
+                      batch_size: int = MEDIA_BATCH_SIZE):
+    """Explode animated GIF media rows into sampled frame rows (PNG
+    payloads) via an actor pool; non-GIF rows drop out."""
+    return ds.map_batches(GifFrameSampler, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={
+                              "every_n": every_n,
+                              "max_frames": max_frames})
 
 
 def frame_sample_stub(ds, every_n: int = 30):
