@@ -448,9 +448,31 @@ def decode_wav(payload: bytes):
     return s.reshape(-1, nch), rate
 
 
+def decode_image_any(payload) -> np.ndarray | None:
+    """Sniff the payload's magic bytes and run the matching REAL image
+    decoder (PNM/BMP/PNG/JPEG/GIF); ``None`` when the payload is not a
+    recognized still-image format. Malformed bodies raise (callers
+    decide whether to flag or skip)."""
+    head = bytes(payload[:12])
+    if head[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    if head[:2] == b"BM":
+        return decode_bmp(payload)
+    if head[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if head[:2] == b"\xff\xd8":
+        from raystack.ops.jpeg import decode_jpeg
+        return decode_jpeg(payload)
+    if head[:4] == b"GIF8":
+        from raystack.ops.gif import decode_gif
+        return decode_gif(payload)
+    return None
+
+
 class MediaDecoder:
     """Actor-pool decode stage: sniff each payload's magic bytes and run
-    the REAL decoder where one exists (PPM/PGM, BMP, PNG, PCM WAV), else mark the
+    the REAL decoder where one exists (PPM/PGM, BMP, PNG, JPEG, GIF,
+    PCM WAV), else mark the
     row undecoded (library-bound formats are the documented stub tier).
     The per-payload loop is intentional — each payload is one multi-KB
     media file and the heavy work inside (pixel/sample math) is numpy;
@@ -476,41 +498,17 @@ class MediaDecoder:
         import struct
         import wave
         import zlib
-
-        from raystack.ops.jpeg import decode_jpeg
         for i in range(n):
             p = payloads[i].as_py()
             if p is None:
                 continue
             head = bytes(p[:12])
             try:
-                if head[:2] in (b"P5", b"P6"):
-                    img = decode_pnm(p)
+                img = decode_image_any(p)
+                if img is not None:
                     height[i], width[i], channels[i] = img.shape
                     mean_level[i] = float(img.mean()) / \
                         (255.0 if img.dtype == np.uint8 else 65535.0)
-                    kind[i], decoded[i] = "image", True
-                elif head[:2] == b"BM":
-                    img = decode_bmp(p)
-                    height[i], width[i], channels[i] = img.shape
-                    mean_level[i] = float(img.mean()) / 255.0
-                    kind[i], decoded[i] = "image", True
-                elif head[:8] == _PNG_SIG:
-                    img = decode_png(p)
-                    height[i], width[i], channels[i] = img.shape
-                    mean_level[i] = float(img.mean()) / \
-                        (255.0 if img.dtype == np.uint8 else 65535.0)
-                    kind[i], decoded[i] = "image", True
-                elif head[:2] == b"\xff\xd8":
-                    img = decode_jpeg(p)
-                    height[i], width[i], channels[i] = img.shape
-                    mean_level[i] = float(img.mean()) / 255.0
-                    kind[i], decoded[i] = "image", True
-                elif head[:4] == b"GIF8":
-                    from raystack.ops.gif import decode_gif
-                    img = decode_gif(p)
-                    height[i], width[i], channels[i] = img.shape
-                    mean_level[i] = float(img.mean()) / 255.0
                     kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                     samples, rate = decode_wav(p)
