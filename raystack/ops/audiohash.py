@@ -5,11 +5,13 @@ same banded-LSH pair generator as the image path
 is hash-agnostic).
 
 The hash: mono mix → 17 equal time frames → per-frame FFT magnitude →
-energy in 4 log-spaced bands → bit[t, b] = band energy rose from frame
-t to t+1 (16 deltas × 4 bands = 64 bits). Comparisons are
-sign-of-difference, so the fingerprint is invariant to amplitude
-scaling and sample width, and robust to mild noise — the properties a
-crawl dedup needs (same clip ripped at different volumes/bit depths).
+energy in 4 log-spaced bands over a FIXED absolute frequency range
+(100–3500 Hz, converted to bins via the stream's sample rate) →
+bit[t, b] = band energy rose from frame t to t+1 (16 deltas × 4 bands
+= 64 bits). Comparisons are sign-of-difference and bands are anchored
+in Hz, so the fingerprint is invariant to amplitude scaling, sample
+width AND sample rate — the properties a crawl dedup needs (same clip
+ripped at different volumes / bit depths / rates).
 """
 
 from __future__ import annotations
@@ -19,6 +21,9 @@ import pyarrow as pa
 
 _N_FRAMES = 17
 _N_BANDS = 4
+#: absolute band range (Hz) — anchors the hash across sample rates
+_F_LO = 100.0
+_F_HI = 3500.0
 
 
 def audio_hash64(samples: np.ndarray, rate: int) -> int:
@@ -33,19 +38,27 @@ def audio_hash64(samples: np.ndarray, rate: int) -> int:
         n = len(mono)
     flen = n // _N_FRAMES
     frames = mono[: flen * _N_FRAMES].reshape(_N_FRAMES, flen)
+    # Hann window: cuts spectral leakage so band energies (and their
+    # delta signs) line up across sample rates with different bin grids
+    frames = frames * np.hanning(flen)
     mag = np.abs(np.fft.rfft(frames, axis=1))  # (frames, flen//2+1)
     nbins = mag.shape[1]
-    # 4 log-spaced band edges over the positive spectrum (DC excluded)
-    if nbins <= _N_BANDS:  # tiny spectra: one band per bin, zero-pad
+    # 4 log-spaced band edges over a FIXED Hz range: bin k covers
+    # frequency k * rate / flen, so edges_hz → bins via flen / rate
+    rate = max(float(rate), 1.0)
+    hi = min(_F_HI, rate / 2.0)
+    lo = min(_F_LO, hi / 8.0) if hi <= _F_LO else _F_LO
+    edges_hz = np.geomspace(max(lo, 1e-3), hi, _N_BANDS + 1)
+    edges = np.unique(np.clip(
+        np.round(edges_hz * flen / rate).astype(np.int64), 1, nbins))
+    if len(edges) < _N_BANDS + 1:  # tiny spectra: fill from free bins
+        free = np.setdiff1d(np.arange(1, nbins + 1), edges)
+        edges = np.sort(np.append(
+            edges, free[: _N_BANDS + 1 - len(edges)]))
+    if len(edges) < _N_BANDS + 1:  # truly degenerate: per-bin zero-pad
         energy = np.zeros((_N_FRAMES, _N_BANDS))
         energy[:, : max(nbins - 1, 0)] = (mag[:, 1:] ** 2)
     else:
-        edges = np.unique(np.geomspace(1, nbins, _N_BANDS + 1)
-                          .astype(np.int64))
-        if len(edges) < _N_BANDS + 1:  # collisions: fill from free bins
-            free = np.setdiff1d(np.arange(1, nbins + 1), edges)
-            edges = np.sort(np.append(
-                edges, free[: _N_BANDS + 1 - len(edges)]))
         energy = np.add.reduceat((mag ** 2), edges[:-1],
                                  axis=1)[:, :_N_BANDS]
     delta = energy[1:] > energy[:-1]  # (16, 4)
