@@ -549,12 +549,12 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
         from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
                             zone_sidecar_from_table)
         invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
-        if zone_columns:
-            cols = [c for c in zone_columns if c in full.schema.names]
-            if cols:  # groupby path: every column shares page boundaries
-                zone_sidecar_from_table(
-                    os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
-                    full, cols, page_rows, uniform=True)
+        cols = [c for c in (zone_columns or []) if c in full.schema.names]
+        bloom = [url_col] if url_col in full.schema.names else None
+        if cols or bloom:  # groupby path: every column shares boundaries
+            zone_sidecar_from_table(
+                os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
+                full, cols, page_rows, uniform=True, bloom_columns=bloom)
         return pages_t
 
     log.send_log(f"encode_partitioned: "
@@ -881,7 +881,8 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       has_prov: bool, zone_cols, *blobs: bytes,
                       append: bool = False, file_tag: str = "",
                       backfill: dict | None = None,
-                      sort_by: str | None = None) -> dict:
+                      sort_by: str | None = None,
+                      bloom_col: str | None = None) -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
     parquet file under ``pages/part_key=<pk>/``. ``zone_cols`` writes the
@@ -1026,7 +1027,7 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     if pages.num_rows == 0:
         return {"part_key": pk, "rows": 0}
     from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
-                        zone_sidecar_from_table)
+                        zone_sidecar_from_pages, zone_sidecar_from_table)
     invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, f".{out_name}.parquet.tmp")
@@ -1035,15 +1036,37 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
     pq.write_table(pages.drop_columns(["part_key"]), tmp,
                    row_group_size=PAGES_ROW_GROUP)
     os.replace(tmp, os.path.join(part_dir, f"{out_name}.parquet"))
-    if zone_cols and full is not None:
-        cols = [c for c in zone_cols
+    if full is not None and not append:
+        cols = [c for c in (zone_cols or [])
                 if c in full.schema.names and c not in heavy]
-        if cols:
+        # key-column blooms only on fresh part-0 writes (pages number from
+        # 0, matching the sidecar's slicing); appends invalidate the
+        # sidecar and defer to build_zone_maps
+        bloom = ([bloom_col] if bloom_col and bloom_col in full.schema.names
+                 and bloom_col not in heavy else None)
+        if cols or bloom:
             # precoded heavy columns carry their own page numbering →
             # page boundaries differ → partition-level pruning only
+            # (point lookups stay page-pruned: they map the KEY column's
+            # surviving pages to row ranges instead of page ids)
             zone_sidecar_from_table(
                 os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
-                full, cols, page_rows, uniform=not heavy)
+                full, cols, page_rows, uniform=not heavy,
+                bloom_columns=bloom)
+    if not append and bloom_col and bloom_col in heavy:
+        # the key column itself precoded map-side (plain-family urls on
+        # the flagship layout): build its bloom sidecar from the heavy
+        # pages — their OWN page numbering; point lookups map surviving
+        # pages to row ranges so differing boundaries stay sound. Urls
+        # are tiny next to the payload columns, so the extra decode here
+        # is noise in the reduce.
+        pgs = []
+        for i, (_, blob) in enumerate(heavy[bloom_col]):
+            chunk = EncodedChunk.from_bytes(blob)
+            pgs.append((base_page + i, get_codec(chunk.codec).decode(chunk)))
+        zone_sidecar_from_pages(
+            os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
+            bloom_col, pgs)
     return {"part_key": pk, "rows": n_rows,
             "enc_bytes": int(pc.sum(pages["enc_bytes"]).as_py() or 0)}
 
@@ -1202,6 +1225,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, zone_columns,
                               *[m[pk] for m in map_refs],
+                              bloom_col=url_col,
                               sort_by=sort_by)
                 for pk in range(num_partitions) if pk not in done]
     stats = None
@@ -1597,9 +1621,13 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
             "rows": summary.get("rows")})
     if not summary:  # every shard was already in the ledger
         summary = mf.manifest_summary(out_dir)
-    if zone_columns and len(shard_files) > 1:
+    if len(shard_files) > 1:
+        # shards 2..N appended → their partitions' sidecars were
+        # invalidated; one decode pass restores min/max pruning AND the
+        # key-column blooms lookup_rows prunes pages with
         from .zones import build_zone_maps
-        build_zone_maps(out_dir, zone_columns)
+        build_zone_maps(out_dir, zone_columns or [],
+                        bloom_columns=[url_col])
     summary["shards"] = len(shard_files)
     return summary
 
@@ -1988,21 +2016,127 @@ def read_encoded(out_dir: str):
     return ray.data.read_parquet(os.path.join(out_dir, "pages"))
 
 
+def _lookup_partition_dir(part_dir: str, zones_dir: str, url_col: str,
+                          hashes: np.ndarray,
+                          columns: list[str] | None) -> pa.Table | None:
+    """Point-lookup decode of ONE partition: probe the key column's
+    per-page blooms (:func:`raystack.zones.bloom_prune_key_pages`), map
+    surviving pages to ROW RANGES via the key column's nrows cumsum, then
+    decode only the pages of each wanted column overlapping those ranges
+    and slice — sound even when other columns use different page
+    boundaries (precoded heavy columns). Falls back to a full partition
+    decode whenever pruning is unavailable or the sidecar's key pages
+    don't EXACTLY match the pages on disk (post-append, stale) — never
+    wrong, at worst unpruned. Bloom false positives only cost extra
+    decoded pages (the caller's exact filter drops their rows); returns
+    None on a proven miss (no page can hold any queried key)."""
+    import functools
+    import operator
+
+    import pyarrow.dataset as pads
+
+    from .zones import bloom_prune_key_pages
+
+    probe = bloom_prune_key_pages(zones_dir, url_col, hashes)
+    if probe is None:
+        return _decode_partition_dir(part_dir, columns)
+    # page metadata actually on disk — cheap: three tiny columns, the
+    # data blobs' bytes are never touched
+    expr = None
+    if columns:
+        expr = pc.field("column").isin(sorted({url_col, *columns}))
+    meta = pads.dataset(part_dir).to_table(
+        columns=["page_idx", "column", "nrows"], filter=expr)
+    names = meta["column"].to_pylist()
+    idxs = np.asarray(meta["page_idx"])
+    nrows_all = np.asarray(meta["nrows"])
+    key_actual = sorted((int(idxs[i]), int(nrows_all[i]))
+                        for i, nm in enumerate(names) if nm == url_col)
+    if [(p, n) for p, n, _ in probe] != key_actual:
+        # soundness gate: a key page the sidecar doesn't describe could
+        # hold a match — decode everything instead
+        return _decode_partition_dir(part_dir, columns)
+    ranges: list[tuple[int, int]] = []
+    row = 0
+    for _, n, keep in probe:
+        if keep:
+            ranges.append((row, row + n))
+        row += n
+    if not ranges:
+        return None  # every page provably lacks all queried keys
+    total_rows = row
+    # per-column page selection: each column's own pages concatenate in
+    # page_idx order; keep those overlapping any surviving row range
+    per_col: dict[str, list[tuple[int, int]]] = {}
+    order: list[str] = []
+    for i, nm in enumerate(names):
+        if nm not in per_col:
+            per_col[nm] = []
+            order.append(nm)
+        per_col[nm].append((int(idxs[i]), int(nrows_all[i])))
+    col_pages: dict[str, list[tuple[int, int]]] = {}  # col → (page, start)
+    keep_exprs = []
+    for nm in order:
+        start = 0
+        keep_pages = []
+        for p, n in sorted(per_col[nm]):
+            end = start + n
+            if any(s < end and start < e for s, e in ranges):
+                keep_pages.append((p, start))
+            start = end
+        if start != total_rows:
+            # a column whose total row count disagrees with the key's —
+            # unexpected layout state; stay correct via the full decode
+            return _decode_partition_dir(part_dir, columns)
+        col_pages[nm] = keep_pages
+        keep_exprs.append((pc.field("column") == nm)
+                          & pc.field("page_idx").isin(
+                              [p for p, _ in keep_pages]))
+    data_t = pads.dataset(part_dir).to_table(
+        columns=["page_idx", "column", "data"],
+        filter=functools.reduce(operator.or_, keep_exprs))
+    dnames = data_t["column"].to_pylist()
+    didx = np.asarray(data_t["page_idx"])
+    blob_at = {(nm, int(didx[i])): i for i, nm in enumerate(dnames)}
+    arrays = []
+    for nm in order:
+        pieces = []
+        for p, start in col_pages[nm]:
+            chunk = EncodedChunk.from_bytes(
+                data_t["data"][blob_at[(nm, p)]].as_py())
+            arr = get_codec(chunk.codec).decode(chunk)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # ascending (page, range) slicing keeps global row order —
+            # identical across columns, so the zip below aligns rows
+            for s, e in ranges:
+                lo, hi = max(s, start), min(e, start + len(arr))
+                if lo < hi:
+                    pieces.append(arr.slice(lo - start, hi - lo))
+        arrays.append(pa.chunked_array(pieces))
+    return pa.table(arrays, names=order)
+
+
 def lookup_rows(out_dir: str, values: list[str],
                 columns: list[str] | None = None):
     """Point lookup over the encoded layout: route each query value through
     the SAME partition-key math the encoder used (config persisted in the
-    manifest dir), read ONLY those partitions' page files, decode, filter.
-    Touches hash(|values|) partitions instead of the whole dataset — the
-    random-access payoff of the partitioned layout."""
+    manifest dir), read ONLY those partitions' page files, bloom-prune to
+    the pages that might hold a queried key, decode, filter. Touches
+    hash(|values|) partitions — and within each, ~1 page per column per
+    hit instead of the whole partition — the random-access payoff of the
+    partitioned layout plus the key-column bloom sidecars."""
     import ray.data
+
+    from .zones import ZONES_DIRNAME, bloom_hashes
 
     cfg = mf.load_config(out_dir)
     if not cfg:
         raise FileNotFoundError(f"no partitioning config under {out_dir}")
     url_col = cfg["url_col"]
+    vals = pa.array(values, type=pa.string())
     keys = np.unique(compute_part_keys(
-        pa.array(values, type=pa.string()), cfg["num_partitions"],
+        vals, cfg["num_partitions"],
         cfg.get("hot_hosts") or {}, cfg.get("host_map")))
     dirs = [os.path.join(out_dir, "pages", f"part_key={int(k)}")
             for k in keys]
@@ -2012,22 +2146,31 @@ def lookup_rows(out_dir: str, values: list[str],
     want_cols = columns
     if want_cols is not None and url_col not in want_cols:
         want_cols = [url_col, *want_cols]
+    hashes = bloom_hashes(vals)
 
-    # partition-local decode of ONLY the routed dirs — no shuffle, one task
-    # per touched partition
+    # partition-local pruned decode of ONLY the routed dirs — no shuffle,
+    # one task per touched partition
     def decode_one(batch: dict) -> pa.Table:
-        parts = [_decode_partition_dir(str(d), want_cols)
-                 for d in batch["dir"]]
-        parts = [p for p in parts if p.num_rows]
+        parts = []
+        for d in batch["dir"]:
+            zdir = os.path.join(out_dir, ZONES_DIRNAME,
+                                os.path.basename(str(d)))
+            t = _lookup_partition_dir(str(d), zdir, url_col, hashes,
+                                      want_cols)
+            if t is not None and t.num_rows:
+                parts.append(t)
         return pa.concat_tables(parts, promote_options="default") \
             if parts else pa.table({})
 
     decoded = ray.data.from_items([{"dir": d} for d in dirs]) \
         .map_batches(decode_one, batch_size=1, batch_format="numpy")
-    vals = pa.array(values, type=pa.string())
-    return decoded.map_batches(
-        lambda t: t.filter(pc.is_in(t[url_col], value_set=vals)),
-        batch_format="pyarrow")
+
+    def exact(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # a fully bloom-pruned partition's block
+            return t
+        return t.filter(pc.is_in(t[url_col], value_set=vals))
+
+    return decoded.map_batches(exact, batch_format="pyarrow")
 
 
 def layout_stats(out_dir: str) -> dict:
@@ -2214,6 +2357,7 @@ def compact_partitions(out_dir: str, min_files: int = 2,
             todo.append(d)
     if not todo:
         return {"compacted": 0}
+    key_col = (mf.load_config(out_dir) or {}).get("url_col")
 
     def one(d: str) -> int:
         import hashlib as _hashlib
@@ -2278,12 +2422,13 @@ def compact_partitions(out_dir: str, min_files: int = 2,
             if f != "part-0.parquet":
                 os.remove(os.path.join(part_dir, f))
         os.remove(journal)
-        if zone_columns:
-            zcols = [c for c in zone_columns if c in full.schema.names]
-            if zcols:
-                zone_sidecar_from_table(
-                    os.path.join(out_dir, ZONES_DIRNAME, d),
-                    full, zcols, page_rows, uniform=True)
+        zcols = [c for c in (zone_columns or []) if c in full.schema.names]
+        bloom = ([key_col] if key_col and key_col in full.schema.names
+                 else None)  # compaction renumbers pages from 0 → valid
+        if zcols or bloom:
+            zone_sidecar_from_table(
+                os.path.join(out_dir, ZONES_DIRNAME, d),
+                full, zcols, page_rows, uniform=True, bloom_columns=bloom)
         return full.num_rows
 
     task = ray.remote(num_cpus=1)(one)

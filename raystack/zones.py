@@ -34,6 +34,101 @@ from .codecs import EncodedChunk, get_codec
 
 ZONES_DIRNAME = "zones"
 
+# ---------------------------------------------------------------------------
+# per-page bloom filters (equality / point-lookup pruning)
+#
+# min/max zones prune RANGE predicates; for point lookups on high-
+# cardinality string columns (url) min/max is near-useless once pages
+# aren't sorted on the column. A small per-page bloom filter (the
+# split-block/bloom row-group filter idea from Parquet, stored here as an
+# extra `bloom` binary column in the same sidecar parquet) lets
+# `lookup_rows` skip every page that provably lacks all queried keys —
+# a false positive only decodes one extra page; false negatives are
+# impossible because build and probe share the exact `_key_hashes`
+# canonicalization the bloom join uses.
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_N_HASHES = 4
+
+
+def _bloom_seeds() -> np.ndarray:
+    from .ops.hashing import splitmix64
+    return splitmix64(np.arange(1, _BLOOM_N_HASHES + 1, dtype=np.uint64))
+
+
+def bloom_hashes(arr) -> np.ndarray:
+    """uint64 key hashes with the SAME canonicalization on both the build
+    and the probe side (pandas fixed-key siphash via the join module)."""
+    from .ops.join import _key_hashes
+    return _key_hashes(arr)
+
+
+def _page_bloom(arr) -> bytes:
+    """Bloom bitmap (little-endian uint64 words, power-of-two bit count)
+    over one page's values. An empty page yields an all-zero minimal
+    bitmap — every probe misses, the page prunes."""
+    from .ops.hashing import splitmix64
+    h = np.unique(bloom_hashes(arr))
+    n = max(1, len(h))
+    m_bits = 1 << int(np.ceil(np.log2(max(64, n * _BLOOM_BITS_PER_VALUE))))
+    bloom = np.zeros(m_bits // 64, dtype=np.uint64)
+    mask = np.uint64(m_bits - 1)
+    for s in _bloom_seeds():
+        idx = splitmix64(h ^ s) & mask
+        w = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        order = np.argsort(w, kind="stable")
+        w, bit = w[order], bit[order]
+        uw, starts = np.unique(w, return_index=True)
+        bloom[uw] |= np.bitwise_or.reduceat(bit, starts)
+    return bloom.astype("<u8").tobytes()
+
+
+def _bloom_maybe_any(bloom_bytes, hashes: np.ndarray) -> bool:
+    """True iff the page MIGHT contain at least one of the hashed keys."""
+    from .ops.hashing import splitmix64
+    if bloom_bytes is None or len(bloom_bytes) == 0:
+        return True  # no bloom recorded for this page: cannot prune
+    bloom = np.frombuffer(bloom_bytes, dtype="<u8")
+    mask = np.uint64(len(bloom) * 64 - 1)
+    hit = np.ones(len(hashes), dtype=bool)
+    for s in _bloom_seeds():
+        idx = splitmix64(hashes ^ s) & mask
+        hit &= ((bloom[(idx >> np.uint64(6)).astype(np.int64)]
+                 >> (idx & np.uint64(63))) & np.uint64(1)) > 0
+        if not hit.any():
+            return False
+    return True
+
+
+def bloom_prune_key_pages(zones_dir: str, col: str,
+                          hashes: np.ndarray) \
+        -> list[tuple[int, int, bool]] | None:
+    """Probe one partition's per-page blooms for ``col``: returns
+    ``[(page_idx, nrows, might_match), ...]`` sorted by page_idx, or
+    ``None`` when pruning is unavailable (no sidecar / no bloom column).
+    The caller maps surviving pages to ROW RANGES via the nrows cumsum
+    (the column's pages concatenate in page_idx order), so pruning stays
+    sound even on layouts whose other columns use different page
+    boundaries — but MUST first verify the sidecar's (page_idx, nrows)
+    exactly match the pages actually on disk (a stale or partial sidecar
+    would otherwise drop matching rows). Runs inside the decode task so
+    the sidecar read stays local to the partition's node."""
+    import pyarrow.parquet as pq
+
+    zf = os.path.join(zones_dir, f"{col}.parquet")
+    if not os.path.exists(zf):
+        return None
+    z = pq.read_table(zf)
+    if "bloom" not in z.schema.names:
+        return None
+    out = [(int(p), int(n), _bloom_maybe_any(b.as_py(), hashes))
+           for p, n, b in zip(z["page_idx"].to_pylist(),
+                              z["nrows"].to_pylist(), z["bloom"])]
+    out.sort()
+    return out
+
 
 def _part_dirs(out_dir: str) -> list[str]:
     pages_root = os.path.join(out_dir, "pages")
@@ -42,13 +137,19 @@ def _part_dirs(out_dir: str) -> list[str]:
 
 
 def _build_zone_partition(pages_dir: str, zones_dir: str,
-                          columns: list[str]) -> dict:
+                          columns: list[str],
+                          bloom_columns: list[str] | None = None) -> dict:
     """Pure per-partition zone build: decode each wanted column's pages,
     write ``<col>.parquet`` (page_idx, nrows, zmin, zmax) + ``meta.json``
-    with the layout-uniformity flag. Runs inside one Ray task."""
+    with the layout-uniformity flag. ``bloom_columns`` additionally get a
+    per-page ``bloom`` bitmap (point-lookup pruning); page boundaries come
+    from the pages actually on disk, so this path is valid for ANY layout
+    state (post-append, post-compact). Runs inside one Ray task."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
+    bloom_cols = set(bloom_columns or [])
+    columns = list(dict.fromkeys([*columns, *sorted(bloom_cols)]))
     meta_t = pads.dataset(pages_dir).to_table(
         columns=["page_idx", "column", "nrows"])
     # layout uniformity across ALL stored columns: page pruning drops the
@@ -73,6 +174,7 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
             np.asarray(sel["page_idx"])))
         rows = {"page_idx": [], "nrows": [], "nnull": [],
                 "zmin": [], "zmax": []}
+        blooms = [] if col in bloom_cols else None
         ztype = None
         for p, i in pages:
             chunk = EncodedChunk.from_bytes(sel["data"][i].as_py())
@@ -84,13 +186,18 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
             rows["nnull"].append(arr.null_count)
             rows["zmin"].append(mm["min"].as_py())
             rows["zmax"].append(mm["max"].as_py())
+            if blooms is not None:
+                blooms.append(_page_bloom(arr))
         if ztype is None:
             continue
-        t = pa.table({"page_idx": pa.array(rows["page_idx"], pa.int64()),
-                      "nrows": pa.array(rows["nrows"], pa.int64()),
-                      "nnull": pa.array(rows["nnull"], pa.int64()),
-                      "zmin": pa.array(rows["zmin"], type=ztype),
-                      "zmax": pa.array(rows["zmax"], type=ztype)})
+        cols = {"page_idx": pa.array(rows["page_idx"], pa.int64()),
+                "nrows": pa.array(rows["nrows"], pa.int64()),
+                "nnull": pa.array(rows["nnull"], pa.int64()),
+                "zmin": pa.array(rows["zmin"], type=ztype),
+                "zmax": pa.array(rows["zmax"], type=ztype)}
+        if blooms is not None:
+            cols["bloom"] = pa.array(blooms, pa.binary())
+        t = pa.table(cols)
         pq.write_table(t, os.path.join(zones_dir, f"{col}.parquet"))
         written.append(col)
     with open(os.path.join(zones_dir, "meta.json"), "w") as f:
@@ -111,25 +218,34 @@ def invalidate_zone_sidecar(out_dir: str, part_key: int) -> None:
 
 def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
                             columns: list[str], page_rows: int,
-                            uniform: bool = True) -> list[str]:
+                            uniform: bool = True,
+                            bloom_columns: list[str] | None = None
+                            ) -> list[str]:
     """Write one partition's zone sidecar from the partition table the
     encoder already holds in memory — zone maps for free at encode time
     (no decode pass; page boundaries = the encoder's ``page_rows``
     slicing, page_idx from 0). Columns whose type has no min/max kernel
     (lists, structs) are skipped. ``uniform=False`` (e.g. precoded heavy
     columns with their own page numbering) restricts the planner to
-    partition-level pruning."""
+    partition-level pruning. Columns in ``bloom_columns`` additionally
+    get a per-page ``bloom`` bitmap for point-lookup pruning
+    (:func:`bloom_prune_key_pages`); they are written even when absent
+    from ``columns``. ONLY valid for a partition whose page numbering
+    starts at 0 (fresh part-0 writes — the append path invalidates the
+    sidecar and defers to :func:`build_zone_maps`)."""
     import pyarrow.parquet as pq
 
     os.makedirs(zones_dir, exist_ok=True)
     written = []
+    bloom_cols = set(bloom_columns or [])
     n = table.num_rows
-    for col in columns:
+    for col in list(dict.fromkeys([*columns, *sorted(bloom_cols)])):
         if col not in table.schema.names:
             continue
         arr = table[col]
         rows = {"page_idx": [], "nrows": [], "nnull": [],
                 "zmin": [], "zmax": []}
+        blooms = [] if col in bloom_cols else None
         try:
             for pidx, lo in enumerate(range(0, max(n, 1), page_rows)):
                 sl = arr.slice(lo, page_rows)
@@ -139,13 +255,18 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
                 rows["nnull"].append(sl.null_count)
                 rows["zmin"].append(mm["min"].as_py())
                 rows["zmax"].append(mm["max"].as_py())
+                if blooms is not None:
+                    blooms.append(_page_bloom(sl))
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
             continue
-        t = pa.table({"page_idx": pa.array(rows["page_idx"], pa.int64()),
-                      "nrows": pa.array(rows["nrows"], pa.int64()),
-                      "nnull": pa.array(rows["nnull"], pa.int64()),
-                      "zmin": pa.array(rows["zmin"], type=arr.type),
-                      "zmax": pa.array(rows["zmax"], type=arr.type)})
+        cols = {"page_idx": pa.array(rows["page_idx"], pa.int64()),
+                "nrows": pa.array(rows["nrows"], pa.int64()),
+                "nnull": pa.array(rows["nnull"], pa.int64()),
+                "zmin": pa.array(rows["zmin"], type=arr.type),
+                "zmax": pa.array(rows["zmax"], type=arr.type)}
+        if blooms is not None:
+            cols["bloom"] = pa.array(blooms, pa.binary())
+        t = pa.table(cols)
         pq.write_table(t, os.path.join(zones_dir, f"{col}.parquet"))
         written.append(col)
     with open(os.path.join(zones_dir, "meta.json"), "w") as f:
@@ -153,11 +274,65 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
     return written
 
 
-def build_zone_maps(out_dir: str, columns: list[str]) -> list[dict]:
+def zone_sidecar_from_pages(zones_dir: str, col: str,
+                            pages: list[tuple[int, pa.Array]],
+                            bloom: bool = True) -> None:
+    """Write/extend one partition's sidecar with a column whose pages are
+    ALREADY decoded — ``pages`` is [(page_idx, values), ...] in row order.
+    Used for map-side precoded (heavy) key columns whose page boundaries
+    differ from the light table's: the sidecar records the column's OWN
+    page numbering, which point lookups map to row ranges
+    (:func:`bloom_prune_key_pages`). Merges the column into an existing
+    ``meta.json`` (or creates one with ``uniform=False`` — page-level
+    RANGE pruning across columns stays off, point lookups don't need
+    it)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(zones_dir, exist_ok=True)
+    rows = {"page_idx": [], "nrows": [], "nnull": [],
+            "zmin": [], "zmax": []}
+    blooms = [] if bloom else None
+    ztype = None
+    for p, arr in sorted(pages, key=lambda x: x[0]):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ztype = arr.type
+        mm = pc.min_max(arr)
+        rows["page_idx"].append(int(p))
+        rows["nrows"].append(len(arr))
+        rows["nnull"].append(arr.null_count)
+        rows["zmin"].append(mm["min"].as_py())
+        rows["zmax"].append(mm["max"].as_py())
+        if blooms is not None:
+            blooms.append(_page_bloom(arr))
+    if ztype is None:
+        return
+    cols = {"page_idx": pa.array(rows["page_idx"], pa.int64()),
+            "nrows": pa.array(rows["nrows"], pa.int64()),
+            "nnull": pa.array(rows["nnull"], pa.int64()),
+            "zmin": pa.array(rows["zmin"], type=ztype),
+            "zmax": pa.array(rows["zmax"], type=ztype)}
+    if blooms is not None:
+        cols["bloom"] = pa.array(blooms, pa.binary())
+    pq.write_table(pa.table(cols), os.path.join(zones_dir, f"{col}.parquet"))
+    meta_p = os.path.join(zones_dir, "meta.json")
+    meta = {"uniform": False, "columns": []}
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+    if col not in meta["columns"]:
+        meta["columns"].append(col)
+    with open(meta_p, "w") as f:
+        json.dump(meta, f)
+
+
+def build_zone_maps(out_dir: str, columns: list[str],
+                    bloom_columns: list[str] | None = None) -> list[dict]:
     """Build min/max zone maps for ``columns`` over every partition of an
     encoded layout — one Ray task per ``part_key=`` dir (same fan-out as
     ``decode_dir``); re-runnable and additive (new columns extend the
-    sidecar tree, pages are never touched)."""
+    sidecar tree, pages are never touched). ``bloom_columns`` also get
+    per-page bloom bitmaps (point-lookup pruning)."""
     import ray
 
     dirs = _part_dirs(out_dir)
@@ -168,7 +343,7 @@ def build_zone_maps(out_dir: str, columns: list[str]) -> list[dict]:
     def one(d: str) -> dict:
         return _build_zone_partition(os.path.join(pages_root, d),
                                      os.path.join(zones_root, d),
-                                     columns)
+                                     columns, bloom_columns)
 
     return ray.get([one.remote(d) for d in dirs])
 

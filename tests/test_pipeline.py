@@ -779,7 +779,9 @@ def test_alter_layout_drop_rename(ray_session, web, tmp_path):
     import glob as _glob
     zfiles = {os.path.basename(p) for p in _glob.glob(
         os.path.join(out, "zones", "*", "*.parquet"))}
-    assert zfiles == {"fetched.parquet"}
+    # fetched = renamed warc_ts zone map; url = the key's bloom sidecar
+    # every fresh encode writes for point-lookup page pruning
+    assert zfiles == {"fetched.parquet", "url.parquet"}
     # pruned decode still works on the renamed column
     from raystack.zones import count_where
     import datetime as _dt
