@@ -290,6 +290,18 @@ def run_bench(num_cpus: int) -> dict:
     queries["zone_count"] = round(time.perf_counter() - t0, 3)
     assert 0 < n_zone <= n_rows, n_zone
 
+    # point lookup over the encoded headline layout: partition routing +
+    # key-bloom page pruning (decode ~1 page per column per hit instead
+    # of the routed partitions' full pages)
+    t_urls = pq.read_table(paths[0], columns=["url"])["url"]
+    step = max(1, t_urls.length() // 5)
+    targets = list(dict.fromkeys(
+        t_urls[i].as_py() for i in range(0, t_urls.length(), step)))[:5]
+    t0 = time.perf_counter()
+    n_hit = pl.lookup_rows(out, targets, columns=["lang"]).count()
+    queries["point_lookup"] = round(time.perf_counter() - t0, 3)
+    assert n_hit == len(targets), (n_hit, targets)
+
     # incremental ingest: append a 1/8-size day-2 increment into the
     # headline layout (persisted-keyer routing, map-side precode,
     # exactly-once tagging). The layout was just written by the headline
