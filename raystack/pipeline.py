@@ -550,7 +550,9 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                             zone_sidecar_from_table)
         invalidate_zone_sidecar(out_dir, pk)  # never leave stale min/max
         cols = [c for c in (zone_columns or []) if c in full.schema.names]
-        bloom = [url_col] if url_col in full.schema.names else None
+        # bloom only when the key's pages are actually stored
+        bloom = ([url_col] if url_col in full.schema.names
+                 and url_col in enc_cols else None)
         if cols or bloom:  # groupby path: every column shares boundaries
             zone_sidecar_from_table(
                 os.path.join(out_dir, ZONES_DIRNAME, f"part_key={pk}"),
@@ -1041,9 +1043,10 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                 if c in full.schema.names and c not in heavy]
         # key-column blooms only on fresh part-0 writes (pages number from
         # 0, matching the sidecar's slicing); appends invalidate the
-        # sidecar and defer to build_zone_maps
-        bloom = ([bloom_col] if bloom_col and bloom_col in full.schema.names
-                 and bloom_col not in heavy else None)
+        # sidecar and defer to build_zone_maps. light_cols membership also
+        # guarantees the key's pages are actually STORED (a column-subset
+        # encode that drops the key must not grow a pageless sidecar)
+        bloom = [bloom_col] if bloom_col and bloom_col in light_cols else None
         if cols or bloom:
             # precoded heavy columns carry their own page numbering →
             # page boundaries differ → partition-level pruning only
@@ -2171,6 +2174,60 @@ def lookup_rows(out_dir: str, values: list[str],
         return t.filter(pc.is_in(t[url_col], value_set=vals))
 
     return decoded.map_batches(exact, batch_format="pyarrow")
+
+
+def lookup_join(out_dir: str, keys_ds, key_col: str | None = None,
+                columns: list[str] | None = None):
+    """Distributed bulk point lookup (index fetch): route a whole Dataset
+    of keys through the layout's persisted partition-key math, shuffle
+    ONLY the keys (a ``groupby(part_key)`` whose bytes are the key column,
+    never the pages), then ONE task per TOUCHED partition decodes it
+    bloom-pruned against that group's key set and returns the rows whose
+    ``url_col`` value is in the set. Untouched partitions are never
+    opened; within a touched one the per-page key blooms cut decode to
+    the pages that might hold a queried key. Duplicate keys don't
+    duplicate output (every stored matching row returns exactly once).
+    This is :func:`lookup_rows` at Dataset scale — use it when the key
+    set is itself too big to sit on the driver (joining a 100 TB layout
+    against a billion-row key table moves only the keys)."""
+    from .zones import ZONES_DIRNAME, bloom_hashes
+
+    cfg = mf.load_config(out_dir)
+    if not cfg:
+        raise FileNotFoundError(f"no partitioning config under {out_dir}")
+    url_col = cfg["url_col"]
+    kc = key_col or url_col
+    num_partitions = cfg["num_partitions"]
+    hot = cfg.get("hot_hosts") or {}
+    hmap = cfg.get("host_map")
+    want_cols = columns
+    if want_cols is not None and url_col not in want_cols:
+        want_cols = [url_col, *want_cols]
+    pages_root = os.path.join(out_dir, "pages")
+    zones_root = os.path.join(out_dir, ZONES_DIRNAME)
+
+    def key_batch(t: pa.Table) -> pa.Table:
+        vals = t[kc].combine_chunks().cast(pa.string())
+        pk = compute_part_keys(vals, num_partitions, hot, hmap)
+        return pa.table({"__k": vals,
+                         "part_key": pa.array(pk, type=pa.int64())})
+
+    def fetch_group(g: pa.Table) -> pa.Table:
+        pk = int(g["part_key"][0].as_py())
+        part_dir = os.path.join(pages_root, f"part_key={pk}")
+        if not os.path.isdir(part_dir):
+            return pa.table({})
+        keys = pc.unique(g["__k"].combine_chunks())
+        t = _lookup_partition_dir(
+            part_dir, os.path.join(zones_root, f"part_key={pk}"),
+            url_col, bloom_hashes(keys), want_cols)
+        if t is None or t.num_rows == 0:
+            return pa.table({})
+        return t.filter(pc.is_in(t[url_col], value_set=keys))
+
+    return keys_ds.map_batches(key_batch, batch_format="pyarrow") \
+        .groupby("part_key") \
+        .map_groups(fetch_group, batch_format="pyarrow")
 
 
 def layout_stats(out_dir: str) -> dict:

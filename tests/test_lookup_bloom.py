@@ -119,6 +119,36 @@ def test_lookup_falls_back_without_sidecar(ray_session, web, tmp_path):
     assert with_bloom.equals(without)
 
 
+def test_lookup_join_dataset_scale(ray_session, web, tmp_path):
+    # bulk index fetch: a Dataset of keys joined against the layout —
+    # only keys shuffle; touched partitions decode bloom-pruned
+    import ray.data
+    out = str(tmp_path / "encj")
+    pl.encode_partitioned_tasks(web, out, num_partitions=4, page_rows=64)
+    urls_df = read_aligned(web, add_filename=False).to_pandas()
+    hit = urls_df["url"].iloc[::37].tolist()
+    misses = [f"https://nope{i}.example/x" for i in range(20)]
+    # duplicates in the key set must not duplicate output rows
+    keys = ray.data.from_arrow(pa.table(
+        {"url": pa.array(hit + misses + hit[:5])}))
+    got = pl.lookup_join(out, keys, columns=["text"]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    exp = urls_df[urls_df["url"].isin(hit)][["url", "text"]] \
+        .sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == exp["url"].tolist()
+    assert got["text"].tolist() == exp["text"].tolist()
+    # differently-named key column routes the same
+    keys2 = ray.data.from_arrow(pa.table({"u": pa.array(hit)}))
+    got2 = pl.lookup_join(out, keys2, key_col="u", columns=["text"]) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert got2["url"].tolist() == exp["url"].tolist()
+    # fallback parity: no sidecars → full-decode path, identical result
+    shutil.rmtree(os.path.join(out, "zones"))
+    got3 = pl.lookup_join(out, keys, columns=["text"]).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert got3.equals(got)
+
+
 def test_lookup_after_append_then_rebuild(ray_session, web, tmp_path):
     # append invalidates touched sidecars → lookup falls back (correct,
     # unpruned); build_zone_maps with bloom_columns restores pruning
