@@ -710,7 +710,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from raystack.zones import build_zone_maps, count_where
         enc = _ensure_webtext_enc(sf)
-        if not os.path.isdir(os.path.join(enc, "zones")):
+        # gate on the warc_ts sidecar FILES, not the zones/ dir — fresh
+        # encodes already create zones/ for the url key blooms, which
+        # would otherwise silently skip the min/max build and run the
+        # count fully un-accelerated
+        import glob as _glob
+        if not _glob.glob(os.path.join(enc, "zones", "part_key=*",
+                                       "warc_ts.parquet")):
             build_zone_maps(enc, ["warc_ts"])
         hi = _dt.datetime(2024, 3, 1, 1, 0, 30)
         n = count_where(enc, {"warc_ts": (None, hi)})

@@ -50,16 +50,20 @@ def audio_hash64(samples: np.ndarray, rate: int) -> int:
     lo = min(_F_LO, hi / 8.0) if hi <= _F_LO else _F_LO
     edges_hz = np.geomspace(max(lo, 1e-3), hi, _N_BANDS + 1)
     edges = np.unique(np.clip(
-        np.round(edges_hz * flen / rate).astype(np.int64), 1, nbins))
+        np.round(edges_hz * flen / rate).astype(np.int64), 1, nbins - 1))
     if len(edges) < _N_BANDS + 1:  # tiny spectra: fill from free bins
-        free = np.setdiff1d(np.arange(1, nbins + 1), edges)
+        free = np.setdiff1d(np.arange(1, nbins), edges)
         edges = np.sort(np.append(
             edges, free[: _N_BANDS + 1 - len(edges)]))
     if len(edges) < _N_BANDS + 1:  # truly degenerate: per-bin zero-pad
         energy = np.zeros((_N_FRAMES, _N_BANDS))
         energy[:, : max(nbins - 1, 0)] = (mag[:, 1:] ** 2)
     else:
-        energy = np.add.reduceat((mag ** 2), edges[:-1],
+        # reduceat over ALL 5 edges: the 5th segment [edges[4]:nyquist]
+        # holds everything ABOVE the top band edge and is dropped —
+        # without it the 4th band ran to Nyquist, breaking sample-rate
+        # invariance for clips with energy above _F_HI
+        energy = np.add.reduceat((mag ** 2), edges,
                                  axis=1)[:, :_N_BANDS]
     delta = energy[1:] > energy[:-1]  # (16, 4)
     bits = delta.ravel().astype(np.uint64)

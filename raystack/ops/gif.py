@@ -252,8 +252,11 @@ def decode_gif_frames(payload: bytes, every_n: int = 1,
     out = []
     for k, (left, top, fw, fh, pal, tidx, disposal, rows) in \
             enumerate(frames):
-        fh_c = min(fh, h - top)
-        fw_c = min(fw, w - left)
+        # clamp at 0: a frame placed entirely past the logical screen
+        # contributes nothing (negative slice bounds would desync the
+        # region/canvas shapes and raise)
+        fh_c = max(0, min(fh, h - top))
+        fw_c = max(0, min(fw, w - left))
         region = rows[:fh_c, :fw_c]
         rgb = pal[region]
         vis = np.ones(region.shape, bool) if tidx is None \

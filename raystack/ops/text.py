@@ -207,8 +207,19 @@ def add_extracted_text(ds, html_col: str = "html",
                        dtype=np.int64)
         b = np.asarray(pc.fill_null(pc.find_substring(col, close_tag), -1),
                        dtype=np.int64)
-        valid = (a >= 0) & (b >= a + off)
         data, starts, lengths = flatten_column(col)
+        # find_substring gives the FIRST close anywhere; the contract is
+        # the first close AFTER the open (gen.extract_text's
+        # html.index(close, i)). Rows where a stray close precedes the
+        # open rescan just their tail — rare, so the hot path stays
+        # one kernel per tag
+        rescan = np.flatnonzero((a >= 0) & (b >= 0) & (b < a + off))
+        for i in rescan:
+            lo = starts[i] + a[i] + off
+            tail = data[lo: starts[i] + lengths[i]].tobytes()
+            j = tail.find(close_tag)
+            b[i] = a[i] + off + j if j >= 0 else -1
+        valid = (a >= 0) & (b >= a + off)
         s = starts + a + off
         out_lens = np.where(valid, starts + b - s, 0).astype(np.int64)
         total = int(out_lens.sum())

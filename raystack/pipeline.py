@@ -1592,7 +1592,9 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
         for s in _load_shard_ledger(out_dir):
             done_tags[s["idx"]] = s["tag"]
         for idx, tag in done_tags.items():
-            if idx < len(tags) and tags[idx] != tag:
+            if idx >= len(tags) or tags[idx] != tag:
+                # idx >= len(tags): the input list SHRANK — the layout
+                # still holds the removed shards' rows; fail loudly
                 raise ValueError(
                     f"encode_sharded resume: shard {idx}'s file list "
                     "changed since the ledger entry was written — "
@@ -1616,7 +1618,8 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
                 zone_columns=zone_columns)
         else:
             summary = encode_append(
-                files, out_dir, add_filename=add_filename,
+                files, out_dir, columns_select=columns_select,
+                columns_rename=columns_rename, add_filename=add_filename,
                 schema="union", precode=precode, page_rows=page_rows,
                 map_bytes=map_bytes, logger=logger)
         _append_shard_ledger(out_dir, {

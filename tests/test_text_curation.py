@@ -387,11 +387,15 @@ def test_add_extracted_text_invariant_and_oracle(ray_session, tmp_path):
     # open → null, invalid UTF-8 INSIDE main → only that row null
     import pyarrow as pa
     edge = pa.table({
-        "url": pa.array(["a", "b", "c", "d", "e"]),
+        "url": pa.array(["a", "b", "c", "d", "e", "f"]),
         "html": pa.array([b"plain bytes", None,
                           b"</main>zz<main>", b"<main>ok</main>",
-                          b"<main>\xff\xfe</main>"], pa.binary()),
+                          b"<main>\xff\xfe</main>",
+                          # stray close BEFORE the open: the contract is
+                          # the first close AFTER the open (index(close, i))
+                          b"</main><main>X</main>"], pa.binary()),
     })
     out = add_extracted_text(ray.data.from_arrow(edge)) \
         .to_pandas().sort_values("url")
-    assert out["text_extracted"].tolist() == [None, None, None, "ok", None]
+    assert out["text_extracted"].tolist() == \
+        [None, None, None, "ok", None, "X"]
