@@ -380,15 +380,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["source"])
         return frequent_items(ds, "source", k=10)
 
-    def url_parts(sf):
-        """Vectorized URL decomposition over the webtext relation (one
-        RE2 extract_regex kernel; DuckDB's regexp_extract runs the same
-        RE2 pattern). Reads the scale-keyed snapshot read-only."""
-        from raystack.ops.text import add_url_parts
+    def extract_text(sf):
+        """The north-star per-row invariant IN the driver gate: text
+        extracted from the binary ``html`` column (bytes between the
+        first ``<main>`` and the first following ``</main>``, UTF-8
+        decoded) — the oracle mirrors the extractor with hex/position
+        arithmetic over the BLOB, so every byte of every extracted span
+        is hash-compared. Merged with the former ``url_parts`` host
+        decomposition (same RE2 pattern both sides) so the slot proves
+        both string kernels."""
+        from raystack.ops.text import add_extracted_text, add_url_parts
         _, snap, _ = _ensure_webtext(sf)
-        ds = _read_pq(snap, columns=["url"])
+        ds = _read_pq(snap, columns=["url", "html"])
+        ds = add_extracted_text(ds)
         return add_url_parts(ds).select_columns(
-            ["url", "scheme", "host", "path"])
+            ["url", "host", "text_extracted"])
 
     def curate_corpus(sf):
         """FLAGSHIP composition: langid -> quality -> quality filter ->
@@ -759,7 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_lineitem": roundtrip_lineitem,
         "roundtrip_embeddings": roundtrip_embeddings,
         "csv_ingest": csv_ingest,
-        "url_parts": url_parts,
+        "extract_text": extract_text,
         "minhash_dedup": minhash_dedup,
         "jaccard_pairs": jaccard_pairs,
         "exact_dedup": exact_dedup,
@@ -1163,17 +1169,19 @@ def oracle_sql() -> dict[str, str]:
         "frequent_sources": ("""
             SELECT source AS value, count(*) AS n FROM documents
             GROUP BY source ORDER BY n DESC, value LIMIT 10"""),
-        "url_parts": (f"""
+        "extract_text": (f"""
             SELECT url,
-                   regexp_extract(url,
-                     '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 1)
-                     AS scheme,
                    regexp_extract(url,
                      '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 2)
                      AS host,
-                   regexp_extract(url,
-                     '^([a-z][a-z0-9+.-]*)://([^/?#]*)([^?#]*)', 3)
-                     AS path
+                   CASE WHEN position('3C6D61696E3E' IN hex(html)) > 0
+                         AND position('3C2F6D61696E3E' IN hex(html))
+                             >= position('3C6D61696E3E' IN hex(html)) + 12
+                   THEN decode(unhex(substring(hex(html),
+                          position('3C6D61696E3E' IN hex(html)) + 12,
+                          position('3C2F6D61696E3E' IN hex(html))
+                            - position('3C6D61696E3E' IN hex(html)) - 12)))
+                   ELSE NULL END AS text_extracted
             FROM read_parquet('{_ORACLE_SNAP}/*.parquet')"""),
         "bpe_token_counts": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
