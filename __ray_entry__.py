@@ -251,6 +251,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return add_token_count(ds).select_columns(["doc_id", "n_tokens"])
 
+    def sequence_pack(sf):
+        """GPT-style cross-document sequence packing: the corpus token
+        stream (whitespace tokens + 1 separator per doc, doc_id order)
+        cut into exact 512-token training sequences — one row per
+        (doc, sequence) span, every offset hash-compared against a
+        DuckDB window-function mirror (prefix sum + generate_series)."""
+        from raystack.ops.packing import sequence_pack_plan
+        ds = _read_pq(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        return sequence_pack_plan(ds, 512)
+
     def bpe_token_counts(sf):
         """BPE-ish token counting (GPT-2-style piece regex, one RE2
         kernel per batch; DuckDB runs the same RE2 pattern)."""
@@ -779,7 +790,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid,
         "quality": quality,
         "fingerprints": fingerprints,
-        "token_counts": token_counts,
+        # token_counts folded into sequence_pack (r4): the pack plan's
+        # every offset is a function of the exact per-doc token count,
+        # so the window mirror subsumes the count oracle
+        "sequence_pack": sequence_pack,
         "bpe_token_counts": bpe_token_counts,
         "dedup_paragraphs": dedup_paragraphs,
         "holdout_split": holdout_split,
@@ -1091,9 +1105,26 @@ def oracle_sql() -> dict[str, str]:
                          "min(ts) AS min_ts, max(ts) AS max_ts, "
                          "min(user_id) AS min_user FROM events "
                          "GROUP BY event_type"),
-        "token_counts": ("SELECT doc_id, "
-                         "len(regexp_extract_all(text, '\\S+')) AS n_tokens "
-                         "FROM documents"),
+        "sequence_pack": ("""
+            WITH toks AS (SELECT doc_id,
+                    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                      AS n_tokens FROM documents),
+            c AS (SELECT doc_id, n_tokens + 1 AS c FROM toks),
+            o AS (SELECT doc_id, c,
+                    COALESCE(SUM(c) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS o
+                  FROM c),
+            s AS (SELECT doc_id, o, c,
+                    UNNEST(generate_series(CAST(o // 512 AS BIGINT),
+                      CAST((o + c - 1) // 512 AS BIGINT))) AS seq_id
+                  FROM o WHERE c > 0)
+            SELECT doc_id, seq_id,
+                   GREATEST(o, seq_id*512) - seq_id*512 AS seq_off,
+                   GREATEST(o, seq_id*512) - o AS doc_off,
+                   LEAST(o+c, (seq_id+1)*512)
+                     - GREATEST(o, seq_id*512) AS n_toks
+            FROM s"""),
         "dedup_paragraphs": ("""
             WITH ps AS (
               SELECT doc_id,
