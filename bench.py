@@ -238,6 +238,13 @@ def run_bench(num_cpus: int) -> dict:
     add_token_count(docs).count()
     queries["token_counts"] = round(time.perf_counter() - t0, 3)
 
+    # GPT-style cross-doc packing plan: exact global prefix sums (one
+    # bounded driver collect + one groupby shuffle) + span emission
+    from raystack.ops.packing import sequence_pack_plan
+    t0 = time.perf_counter()
+    sequence_pack_plan(docs, 2048).count()
+    queries["sequence_pack"] = round(time.perf_counter() - t0, 3)
+
     from raystack.ops.dedup import minhash_lsh_dedup
     t_mh = float("inf")
     for _ in range(2):  # noisy-box guard: this query is many small

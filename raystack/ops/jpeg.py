@@ -4,21 +4,29 @@ Completes the :mod:`raystack.ops.multimodal` real-decoder tier with the
 most common web-crawl image format. Everything here follows the
 published JPEG standard (ITU-T T.81):
 
-- :func:`decode_jpeg` — baseline sequential DCT (SOF0/SOF1), 8-bit
-  samples, huffman entropy coding, grayscale or YCbCr scans, any
-  integer subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), restart
-  markers (DRI/RSTn). Progressive (SOF2), arithmetic coding, 12-bit,
-  hierarchical and CMYK streams raise ``ValueError`` — never wrong
-  pixels. The hot loops are numpy: huffman decoding uses a flat
-  16-bit prefix LUT per table, and dequantize + IDCT + plane assembly
-  run as single vectorized einsum/matmul passes over every block at
-  once.
+- :func:`decode_jpeg` — sequential DCT (SOF0/SOF1) AND progressive
+  (SOF2, huffman: spectral selection + successive approximation per
+  Annex G — multi-scan coefficient accumulation, EOB runs, refinement
+  correction bits, per-scan restart markers), 8-bit samples, grayscale
+  or YCbCr, any integer subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0),
+  DRI/RSTn. Arithmetic coding, 12-bit, lossless, hierarchical and
+  CMYK streams raise ``ValueError`` — never wrong pixels. The hot
+  loops are numpy: huffman decoding uses a flat 16-bit prefix LUT per
+  table, and dequantize + IDCT + plane assembly run as single
+  vectorized einsum/matmul passes over every block at once.
 - :func:`encode_jpeg` — the fixture writer (inverse path): Annex K
   quantization tables scaled by the IJG quality formula, Annex K
   standard huffman tables, 4:4:4 or 4:2:0, optional restart markers.
   Entropy coding is lossless, so two encodes of the same image that
   differ only in ``restart_interval`` must decode bit-identically —
   the tests assert exactly that.
+- :func:`encode_jpeg_progressive` — progressive fixture writer with a
+  parameterized scan script (DC/AC successive-approximation depths,
+  spectral band split, EOB-run cap, restarts). Both entropy layers
+  are lossless over the same quantized coefficients, so progressive
+  and baseline encodes of an image must DECODE identically — the
+  tests assert pixel equality plus a coefficient-level property
+  sweep.
 
 Reference semantics parity: the reference repo has no media decode at
 all; this is graft capability (multimodal binary columns for a
@@ -127,7 +135,7 @@ _DCT_C = _dct_basis()
 
 # JPEG "modes of operation" SOFn codes this decoder refuses (T.81 Table B.1)
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive", 0xC3: "lossless", 0xC5: "differential sequential",
+    0xC3: "lossless", 0xC5: "differential sequential",
     0xC6: "differential progressive", 0xC7: "differential lossless",
     0xC9: "arithmetic sequential", 0xCA: "arithmetic progressive",
     0xCB: "arithmetic lossless", 0xCD: "differential arithmetic sequential",
@@ -246,6 +254,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dri = 0
     sof = None
     scan = None
+    progressive = False
     n = len(payload)
     while i < n:
         if payload[i] != 0xFF:
@@ -267,7 +276,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if len(seg) != ln - 2:
             raise ValueError("truncated JPEG segment")
         i += ln
-        if code in (0xC0, 0xC1):  # baseline / extended sequential huffman
+        if code in (0xC0, 0xC1, 0xC2):  # sequential huffman / progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError(f"JPEG precision {prec} unsupported")
@@ -278,6 +287,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 1 + 5 + c * 3)
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (h, w, comps)
+            progressive = code == 0xC2
         elif code in _SOF_UNSUPPORTED:
             raise ValueError(
                 f"JPEG {_SOF_UNSUPPORTED[code]} mode unsupported "
@@ -317,7 +327,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = struct.unpack_from(">BB", seg, 1 + c * 2)
                 sel.append((cs, tdta >> 4, tdta & 15))
-            scan = sel
+            ss, se, ahal = struct.unpack_from(">BBB", seg, 1 + ns * 2)
+            scan = (sel, ss, se, ahal >> 4, ahal & 15)
             break
         # APPn / COM / DNL etc.: skipped
     if sof is None or scan is None:
@@ -326,23 +337,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(comps) not in (1, 3):
         raise ValueError(f"{len(comps)}-component JPEG unsupported")
 
+    if progressive:
+        return _decode_progressive(payload, i, qt, hdc, hac, dri, sof, scan)
+    scan = scan[0]  # baseline: only the component selectors matter
+
     # destuff entropy data, split at restart markers
-    segments = [bytearray()]
-    while i < n:
-        b = payload[i]
-        if b != 0xFF:
-            segments[-1].append(b)
-            i += 1
-            continue
-        m = payload[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:
-            segments[-1].append(0xFF)
-            i += 2
-        elif 0xD0 <= m <= 0xD7:
-            segments.append(bytearray())
-            i += 2
-        else:
-            break  # EOI or next real marker
+    segments, i = _destuff(payload, i)
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -392,7 +392,37 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     preds[k] = _decode_block(br, dc_lut, ac_lut,
                                              coefs[bi], preds[k])
 
-    # dequantize + IDCT + assemble + upsample, vectorized per component
+    return _reconstruct(comps, geo, qt, h, w, hmax, vmax)
+
+
+def _destuff(payload: bytes, i: int):
+    """Destuff one scan's entropy data starting at ``i``, split at
+    restart markers. Returns ``(segments, i_after)`` with ``i_after``
+    pointing at the 0xFF of the terminating marker."""
+    n = len(payload)
+    segments = [bytearray()]
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            segments[-1].append(b)
+            i += 1
+            continue
+        m = payload[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            segments[-1].append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:
+            segments.append(bytearray())
+            i += 2
+        else:
+            break  # EOI or next real marker
+    return segments, i
+
+
+def _reconstruct(comps, geo, qt, h, w, hmax, vmax) -> np.ndarray:
+    """Shared decoder tail: dequantize + IDCT + assemble + upsample,
+    vectorized per component. ``geo`` holds per-component
+    ``(H, V, blocks_wide, (nblocks, 64) int32 coefficients)``."""
     planes = []
     for (cid, H, V, tq_), (H2, V2, bw, coefs) in zip(comps, geo):
         if tq_ not in qt:
@@ -418,6 +448,262 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2, huffman): T.81 Annex G — spectral selection +
+# successive approximation, multi-scan coefficient accumulation
+# ---------------------------------------------------------------------------
+
+def _ac_first_block(br, ac_lut, coef, ss, se, al, eobrun):
+    """AC first scan (Ah=0) for one block (T.81 G.2.2): run/size coding
+    of the band's point-transformed coefficients with end-of-band runs.
+    Returns the new ``eobrun``."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _hdecode(br, *ac_lut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.receive(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient index out of band")
+            coef[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac_lut, coef, ss, se, al, eobrun):
+    """AC refinement scan (Ah=Al+1) for one block (T.81 G.1.2.3):
+    newly-significant coefficients arrive as ±1<<Al; every already-
+    nonzero coefficient passed on the way receives one correction bit.
+    Returns the new ``eobrun``."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _hdecode(br, *ac_lut)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn — includes THIS block
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0  # ZRL: 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad JPEG AC refinement code")
+                val = p1 if br.receive(1) else m1
+            # advance over r zero-history slots, applying correction
+            # bits to every nonzero-history coefficient on the way
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    if br.receive(1) and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overruns band")
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # tail of the current block: corrections only
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                if br.receive(1) and (coef[z] & p1) == 0:
+                    coef[z] += p1 if coef[z] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload, i, qt, hdc, hac, dri, sof, scan):
+    """Multi-scan progressive decode loop: each SOS refines the shared
+    per-component coefficient arrays; reconstruction happens once at
+    EOI. Entry: ``i`` points at the first scan's entropy data and
+    ``scan`` holds its parsed header."""
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("bad JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = []  # (H, V, padded blocks_wide, nbw, nbh, coefs)
+    for cid, H, V, tq_ in comps:
+        if hmax % H or vmax % V:
+            raise ValueError("non-integer JPEG subsampling ratio")
+        bw = mcux * H
+        bh = mcuy * V
+        cw = -(-w * H // hmax)
+        ch = -(-h * V // vmax)
+        geo.append((H, V, bw, -(-cw // 8), -(-ch // 8),
+                    np.zeros((bh * bw, 64), np.int32)))
+    by_id = {c[0]: k for k, c in enumerate(comps)}
+
+    n = len(payload)
+    while True:
+        segments, i = _destuff(payload, i)
+        _prog_scan(scan, segments, geo, hdc, hac, dri, mcux, mcuy, by_id)
+        # markers between scans: DHT/DQT/DRI may change, next SOS or EOI
+        scan = None
+        while i < n:
+            while i < n and payload[i] == 0xFF:
+                i += 1
+            if i >= n:
+                break
+            code = payload[i]
+            i += 1
+            if code == 0xD9:  # EOI
+                break
+            if code == 0x01 or 0xD0 <= code <= 0xD7:
+                continue
+            if i + 2 > n:
+                raise ValueError("truncated JPEG segment")
+            (ln,) = struct.unpack_from(">H", payload, i)
+            seg = payload[i + 2: i + ln]
+            if len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            i += ln
+            if code == 0xC4:
+                p = 0
+                while p < len(seg):
+                    tc_th = seg[p]
+                    bits = list(seg[p + 1: p + 17])
+                    nvals = sum(bits)
+                    vals = list(seg[p + 17: p + 17 + nvals])
+                    if len(vals) != nvals:
+                        raise ValueError("truncated DHT")
+                    lut = _build_huff_lut(bits, vals)
+                    (hdc if (tc_th >> 4) == 0 else hac)[tc_th & 15] = lut
+                    p += 17 + nvals
+            elif code == 0xDB:
+                p = 0
+                while p < len(seg):
+                    pq, tq_ = seg[p] >> 4, seg[p] & 15
+                    if pq == 0:
+                        tab = np.frombuffer(seg, np.uint8, 64, p + 1) \
+                            .astype(np.int64)
+                        p += 65
+                    else:
+                        tab = np.frombuffer(seg, ">u2", 64, p + 1) \
+                            .astype(np.int64)
+                        p += 129
+                    dz = np.zeros(64, np.int64)
+                    dz[ZIGZAG] = tab
+                    qt[tq_] = dz
+            elif code == 0xDD:
+                (dri,) = struct.unpack(">H", seg)
+            elif code == 0xDA:
+                ns = seg[0]
+                sel = []
+                for c in range(ns):
+                    cs, tdta = struct.unpack_from(">BB", seg, 1 + c * 2)
+                    sel.append((cs, tdta >> 4, tdta & 15))
+                ss, se, ahal = struct.unpack_from(">BBB", seg, 1 + ns * 2)
+                scan = (sel, ss, se, ahal >> 4, ahal & 15)
+                break
+            elif code in (0xC0, 0xC1, 0xC2) or code in _SOF_UNSUPPORTED:
+                raise ValueError("second SOF in JPEG stream")
+            # APPn / COM: skipped
+        if scan is None:
+            break
+
+    geo_out = [(H, V, bw, coefs) for H, V, bw, _, _, coefs in geo]
+    return _reconstruct(comps, geo_out, qt, h, w, hmax, vmax)
+
+
+def _prog_scan(scan, segments, geo, hdc, hac, dri, mcux, mcuy, by_id):
+    """Decode one progressive scan into the coefficient arrays."""
+    sel, ss, se, ah, al = scan
+    if ss > 63 or se > 63 or se < ss:
+        raise ValueError("bad JPEG spectral band")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive JPEG scan mixes DC and AC")
+    if not is_dc and len(sel) != 1:
+        raise ValueError("progressive JPEG AC scan must be single-component")
+    order = []
+    for cs, td, ta in sel:
+        if cs not in by_id:
+            raise ValueError("SOS references unknown component")
+        k = by_id[cs]
+        if is_dc and ah == 0 and td not in hdc:
+            raise ValueError("SOS references missing huffman table")
+        if not is_dc and ta not in hac:
+            raise ValueError("SOS references missing huffman table")
+        order.append((k, hdc.get(td), hac.get(ta)))
+
+    interleaved = len(sel) > 1
+    if interleaved:
+        total = mcux * mcuy
+    else:
+        k0 = order[0][0]
+        total = geo[k0][3] * geo[k0][4]  # nbw * nbh
+    per_seg = dri if dri else total
+
+    br = _BitReader(bytes(segments[0]))
+    seg_idx = 0
+    preds = {k: 0 for k, _, _ in order}
+    eobrun = 0
+    for unit in range(total):
+        if unit and unit % per_seg == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG restart segment missing")
+            br = _BitReader(bytes(segments[seg_idx]))
+            preds = {k: 0 for k, _, _ in order}
+            eobrun = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(unit, mcux)
+            for k, dc_lut, _ in order:
+                H, V, bw, _, _, coefs = geo[k]
+                for v in range(V):
+                    for hh in range(H):
+                        bi = (my * V + v) * bw + (mx * H + hh)
+                        preds[k] = _dc_prog_block(
+                            br, dc_lut, coefs[bi], ah, al, preds[k])
+        else:
+            k, dc_lut, ac_lut = order[0]
+            H, V, bw, nbw, nbh, coefs = geo[k]
+            bi = (unit // nbw) * bw + (unit % nbw)
+            if is_dc:
+                preds[k] = _dc_prog_block(br, dc_lut, coefs[bi], ah, al,
+                                          preds[k])
+            elif ah == 0:
+                eobrun = _ac_first_block(br, ac_lut, coefs[bi], ss, se,
+                                         al, eobrun)
+            else:
+                eobrun = _ac_refine_block(br, ac_lut, coefs[bi], ss, se,
+                                          al, eobrun)
+
+
+def _dc_prog_block(br, dc_lut, coef, ah, al, pred):
+    """DC coefficient, first (Ah=0: diff coding of the point-transformed
+    value) or refinement (one raw bit) pass."""
+    if ah == 0:
+        t = _hdecode(br, *dc_lut)
+        pred += _extend(br.receive(t), t) if t else 0
+        coef[0] = pred << al
+    else:
+        if br.receive(1):
+            coef[0] |= 1 << al
+    return pred
 
 
 # ---------------------------------------------------------------------------
@@ -518,14 +804,11 @@ _SUBSAMPLE_LUMA = {"444": (1, 1), "422": (2, 1), "440": (1, 2),
                    "420": (2, 2)}
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsample=False, restart_interval: int = 0) -> bytes:
-    """(h, w[, 1|3]) uint8 gray/RGB → baseline JPEG bytes (fixture
-    writer; lossy inverse of :func:`decode_jpeg`). ``subsample`` is
-    ``False``/``"444"``, ``True``/``"420"``, ``"422"`` or ``"440"``
-    (chroma box-averaged by the luma sampling factor);
-    ``restart_interval`` emits DRI + RSTn markers so tests can exercise
-    the decoder's restart path."""
+def _quantize_planes(img: np.ndarray, quality: int, subsample):
+    """Shared encoder front: color transform + subsample + forward DCT +
+    quantize. Returns ``(quantized, samps, qids, qtabs, h, w, mcux,
+    mcuy)`` with ``quantized`` per-component ``(H, V, blocks_wide,
+    (nblocks, 64) int32 zigzag coefficients)``."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nch = img.shape
@@ -581,6 +864,21 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         qz = np.round(coefs.reshape(-1, 64) / qtabs[qid]) \
             .astype(np.int32)[:, ZIGZAG]
         quantized.append((H, V, bw, qz))
+    return quantized, samps, qids, qtabs, h, w, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsample=False, restart_interval: int = 0) -> bytes:
+    """(h, w[, 1|3]) uint8 gray/RGB → baseline JPEG bytes (fixture
+    writer; lossy inverse of :func:`decode_jpeg`). ``subsample`` is
+    ``False``/``"444"``, ``True``/``"420"``, ``"422"`` or ``"440"``
+    (chroma box-averaged by the luma sampling factor);
+    ``restart_interval`` emits DRI + RSTn markers so tests can exercise
+    the decoder's restart path."""
+    quantized, samps, qids, qtabs, h, w, mcux, mcuy = \
+        _quantize_planes(img, quality, subsample)
+    hids = ([(0, 0)] if len(quantized) == 1
+            else [(0, 0), (1, 1), (1, 1)])
 
     dc_tabs = [_huff_encode_table(*HUFF_DC_LUMA),
                _huff_encode_table(*HUFF_DC_CHROMA)]
@@ -589,7 +887,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 
     bw_ = _BitWriter()
     entropy = bytearray()
-    preds = [0] * len(planes)
+    preds = [0] * len(quantized)
     total = mcux * mcuy
     for mcu in range(total):
         if restart_interval and mcu and mcu % restart_interval == 0:
@@ -598,7 +896,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             entropy += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1)
                                             & 7)])
             bw_ = _BitWriter()
-            preds = [0] * len(planes)
+            preds = [0] * len(quantized)
         my, mx = divmod(mcu, mcux)
         for k, (H, V, bwk, qz) in enumerate(quantized):
             td, ta = hids[k]
@@ -618,26 +916,279 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     for qid, tab in enumerate(qtabs):
         out += seg(0xDB, bytes([qid])
                    + bytes(int(x) for x in tab[ZIGZAG]))
-    sof_body = struct.pack(">BHHB", 8, h, w, len(planes))
+    sof_body = struct.pack(">BHHB", 8, h, w, len(quantized))
     for k, (H, V) in enumerate(samps):
         sof_body += bytes([k + 1, (H << 4) | V, qids[k]])
     out += seg(0xC0, sof_body)
     huff_sets = {(0, 0): HUFF_DC_LUMA, (0, 1): HUFF_DC_CHROMA,
                  (1, 0): HUFF_AC_LUMA, (1, 1): HUFF_AC_CHROMA}
-    used = sorted({(0, hid[0]) for hid in hids[:len(planes)]}
-                  | {(1, hid[1]) for hid in hids[:len(planes)]})
+    used = sorted({(0, hid[0]) for hid in hids[:len(quantized)]}
+                  | {(1, hid[1]) for hid in hids[:len(quantized)]})
     for tc, th in used:
         bits, vals = huff_sets[(tc, th)]
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
                    + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos_body = bytes([len(planes)])
-    for k in range(len(planes)):
+    sos_body = bytes([len(quantized)])
+    for k in range(len(quantized)):
         td, ta = hids[k]
         sos_body += bytes([k + 1, (td << 4) | ta])
     sos_body += bytes([0, 63, 0])
     out += seg(0xDA, sos_body)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture writer for the Annex G decoder paths)
+# ---------------------------------------------------------------------------
+
+# fixture tables that cover every progressive symbol: DC categories 0-11
+# as 4-bit codes; ALL 256 run/size bytes (incl. EOBn 0x10..0xE0 and ZRL)
+# as 9-bit codes — wasteful but canonical-valid, and the decoder builds
+# its LUT from the DHT segment like for any stream
+_PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+class _ProgScanWriter:
+    """One scan's entropy writer: bit writing + RSTn framing + shared
+    end-of-band run state (AC scans)."""
+
+    def __init__(self, eobrun_cap: int, ac_enc):
+        self.bw = _BitWriter()
+        self.out = bytearray()
+        self.rst = 0
+        self.eobrun = 0
+        self.br: list[int] = []
+        self.cap = eobrun_cap
+        self.ac_enc = ac_enc
+
+    def flush_eob(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac_enc[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            for b in self.br:
+                self.bw.write(b, 1)
+            self.br = []
+            self.eobrun = 0
+
+    def restart(self):
+        self.flush_eob()
+        self.bw.flush()
+        self.out += self.bw.out
+        self.out += bytes([0xFF, 0xD0 + (self.rst & 7)])
+        self.rst += 1
+        self.bw = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.bw.flush()
+        self.out += self.bw.out
+        return bytes(self.out)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample=False, *, dc_al: int = 1,
+                            ac_al: int = 1, band_split: int = 5,
+                            restart_interval: int = 0,
+                            eobrun_cap: int = 32767) -> bytes:
+    """(h, w[, 1|3]) uint8 gray/RGB → progressive JPEG (SOF2) bytes —
+    the fixture writer for :func:`decode_jpeg`'s Annex G paths. Scan
+    script: interleaved DC first scan at Al=``dc_al`` + DC refinement
+    bit scans down to 0; per component, AC first scans at Al=``ac_al``
+    over the spectral bands (1..``band_split``, ``band_split``+1..63)
+    + AC refinement scans down to 0. Quantized coefficients are
+    IDENTICAL to :func:`encode_jpeg` at the same quality/subsampling,
+    and all scans together are lossless over them — so the progressive
+    and baseline encodes of an image must DECODE identically (the
+    tests assert exactly that). ``eobrun_cap`` bounds end-of-band run
+    accumulation (small caps exercise the decoder's multi-EOBn path);
+    ``restart_interval`` is in MCUs for the DC scans and blocks for the
+    AC scans, per T.81."""
+    if not (0 <= dc_al <= 13 and 0 <= ac_al <= 13):
+        raise ValueError("bad successive-approximation depth")
+    if not 1 <= band_split <= 63:
+        raise ValueError("band_split must be in 1..63")
+    if not 1 <= eobrun_cap <= 32767:
+        raise ValueError("eobrun_cap must be in 1..32767")
+    quantized, samps, qids, qtabs, h, w, mcux, mcuy = \
+        _quantize_planes(img, quality, subsample)
+    ncomp = len(quantized)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    dims = []  # per comp: (nbw, nbh) — ceil over the UNPADDED comp size
+    for H, V in samps:
+        cw = -(-w * H // hmax)
+        ch = -(-h * V // vmax)
+        dims.append((-(-cw // 8), -(-ch // 8)))
+    dc_enc = _huff_encode_table(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_enc = _huff_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def dc_scan(ah, al) -> bytes:
+        ws = _ProgScanWriter(eobrun_cap, ac_enc)
+        preds = [0] * ncomp
+        total = mcux * mcuy
+        per = restart_interval or total
+        for mcu in range(total):
+            if mcu and mcu % per == 0:
+                ws.restart()
+                preds = [0] * ncomp
+            my, mx = divmod(mcu, mcux)
+            for k in range(ncomp):
+                H, V, bwk, qz = quantized[k]
+                for v in range(V):
+                    for hh in range(H):
+                        bi = (my * V + v) * bwk + (mx * H + hh)
+                        dc = int(qz[bi][0])
+                        if ah == 0:
+                            d = dc >> al  # arithmetic shift (T.81 A.4.1)
+                            diff = d - preds[k]
+                            preds[k] = d
+                            t = _category(diff)
+                            code, ln = dc_enc[t]
+                            ws.bw.write(code, ln)
+                            if t:
+                                ws.bw.write(
+                                    diff if diff > 0
+                                    else diff + (1 << t) - 1, t)
+                        else:
+                            ws.bw.write((dc >> al) & 1, 1)
+        return ws.finish()
+
+    def ac_first_scan(k, ss, se, al) -> bytes:
+        H, V, bw_pad, qz = quantized[k]
+        nbw, nbh = dims[k]
+        ws = _ProgScanWriter(eobrun_cap, ac_enc)
+        per = restart_interval or (nbw * nbh)
+        for u in range(nbw * nbh):
+            if u and u % per == 0:
+                ws.restart()
+            blk = qz[(u // nbw) * bw_pad + (u % nbw)]
+            r = 0
+            wrote = False
+            for kk in range(ss, se + 1):
+                v = int(blk[kk])
+                v = (abs(v) >> al) * (1 if v > 0 else -1)  # toward zero
+                if v == 0:
+                    r += 1
+                    continue
+                ws.flush_eob()
+                while r > 15:
+                    code, ln = ac_enc[0xF0]
+                    ws.bw.write(code, ln)
+                    r -= 16
+                s = _category(v)
+                code, ln = ac_enc[(r << 4) | s]
+                ws.bw.write(code, ln)
+                ws.bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                r = 0
+                wrote = True
+            if r > 0 or not wrote:  # band tail (or whole band) is zero
+                ws.eobrun += 1
+                if ws.eobrun >= min(eobrun_cap, 32767):
+                    ws.flush_eob()
+        return ws.finish()
+
+    def ac_refine_scan(k, ss, se, al) -> bytes:
+        H, V, bw_pad, qz = quantized[k]
+        nbw, nbh = dims[k]
+        ws = _ProgScanWriter(eobrun_cap, ac_enc)
+        per = restart_interval or (nbw * nbh)
+        p_bits = 1
+        for u in range(nbw * nbh):
+            if u and u % per == 0:
+                ws.restart()
+            blk = qz[(u // nbw) * bw_pad + (u % nbw)]
+            tv = [abs(int(blk[kk])) >> al for kk in range(ss, se + 1)]
+            # last newly-significant position: ZRLs may only be emitted
+            # up to here — beyond it, zero runs fold into the EOB run
+            eobpos = max((kk for idx, kk in enumerate(range(ss, se + 1))
+                          if tv[idx] == 1), default=ss - 1)
+            brblock: list[int] = []
+            r = 0
+            for idx, kk in enumerate(range(ss, se + 1)):
+                t = tv[idx]
+                if t == 0:
+                    r += 1
+                    continue
+                # drain pending 16-zero runs BEFORE buffering this
+                # position's bit, so correction bits stay in positional
+                # order relative to the ZRLs the decoder advances over
+                while r > 15 and kk <= eobpos:
+                    ws.flush_eob()
+                    code, ln = ac_enc[0xF0]
+                    ws.bw.write(code, ln)
+                    for b in brblock:
+                        ws.bw.write(b, p_bits)
+                    brblock = []
+                    r -= 16
+                if t > 1:  # history-significant: one correction bit
+                    brblock.append(t & 1)
+                    continue
+                ws.flush_eob()
+                code, ln = ac_enc[(r << 4) | 1]
+                ws.bw.write(code, ln)
+                ws.bw.write(1 if int(blk[kk]) > 0 else 0, 1)
+                for b in brblock:
+                    ws.bw.write(b, p_bits)
+                brblock = []
+                r = 0
+            if r > 0 or brblock:
+                ws.eobrun += 1
+                ws.br.extend(brblock)
+                if ws.eobrun >= min(eobrun_cap, 32767) or len(ws.br) > 900:
+                    ws.flush_eob()
+        return ws.finish()
+
+    # ---- assemble the stream
+    def seg(code: int, body: bytes) -> bytes:
+        return bytes([0xFF, code]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for qid, tab in enumerate(qtabs):
+        out += seg(0xDB, bytes([qid]) + bytes(int(x) for x in tab[ZIGZAG]))
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for k, (H, V) in enumerate(samps):
+        sof_body += bytes([k + 1, (H << 4) | V, qids[k]])
+    out += seg(0xC2, sof_body)
+    out += seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_BITS)
+               + bytes(_PROG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS)
+               + bytes(_PROG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos(sel_comps, ss, se, ah, al, body: bytes) -> bytes:
+        hdr = bytes([len(sel_comps)])
+        for k in sel_comps:
+            hdr += bytes([k + 1, 0x00])  # DC table 0, AC table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + body
+
+    # DC: first scan + bitwise refinements down to full precision
+    out += sos(list(range(ncomp)), 0, 0, 0, dc_al, dc_scan(0, dc_al))
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(list(range(ncomp)), 0, 0, al + 1, al, dc_scan(al + 1, al))
+    # AC: per component, banded first scans then refinements
+    bands = [(1, band_split)]
+    if band_split < 63:
+        bands.append((band_split + 1, 63))
+    for k in range(ncomp):
+        for ss, se in bands:
+            out += sos([k], ss, se, 0, ac_al, ac_first_scan(k, ss, se, ac_al))
+    for al in range(ac_al - 1, -1, -1):
+        for k in range(ncomp):
+            for ss, se in bands:
+                out += sos([k], ss, se, al + 1, al,
+                           ac_refine_scan(k, ss, se, al))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -19,8 +19,7 @@ Decode support has two tiers:
   and PCM WAV audio (:func:`decode_wav` — stdlib ``wave``). :class:`MediaDecoder` sniffs each payload's magic
   bytes and emits real width/height/channels or
   sample-rate/duration/RMS features.
-- **STUBS** for library-bound formats (progressive JPEG and MP4 need
-  PIL/ffmpeg,
+- **STUBS** for library-bound formats (MP4 codec decode needs ffmpeg,
   which this container doesn't ship — clearly marked below). Everything
   Ray-side is real and tested either way: the media schema, actor-pool
   ``map_batches`` stages with small batch sizes (large binary payloads),

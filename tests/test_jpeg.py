@@ -118,3 +118,141 @@ def test_jpeg_media_decoder_stage(ray_session):
     assert got.loc[0, "kind"] == "image"
     assert (got.loc[0, "width"], got.loc[0, "height"],
             got.loc[0, "channels"]) == (30, 20, 3)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2): every scan-script knob must decode identically to
+# the baseline encode of the same image (same quantized coefficients,
+# both entropy layers lossless over them)
+# ---------------------------------------------------------------------------
+
+def _test_img(shape, seed=11, smooth=True):
+    rng = np.random.default_rng(seed)
+    if smooth:
+        h, w = shape[:2]
+        base = (np.linspace(0, 255, w)[None, :]
+                + np.linspace(0, 128, h)[:, None]) / 1.5
+        noise = rng.normal(0, 24, shape)
+        if len(shape) == 3:
+            base = base[:, :, None]
+        return np.clip(base + noise, 0, 255).astype(np.uint8)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_progressive_matches_baseline_gray_and_rgb():
+    from raystack.ops.jpeg import (decode_jpeg, encode_jpeg,
+                                   encode_jpeg_progressive)
+    for shape, sub in [((24, 40), False), ((33, 50, 3), "420"),
+                       ((17, 23, 3), "444"), ((31, 38, 3), "422"),
+                       ((26, 19, 3), "440")]:
+        img = _test_img(shape)
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=80,
+                                                   subsample=sub))
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_scan_script_knobs():
+    from raystack.ops.jpeg import (decode_jpeg, encode_jpeg,
+                                   encode_jpeg_progressive)
+    img = _test_img((29, 43, 3), seed=3)
+    want = decode_jpeg(encode_jpeg(img, quality=70, subsample="420"))
+    for kw in [dict(dc_al=0, ac_al=0),            # spectral selection only
+               dict(dc_al=2, ac_al=2),            # two refinement levels
+               dict(band_split=1),                # minimal first band
+               dict(band_split=63),               # single AC band
+               dict(eobrun_cap=1),                # every EOB emitted alone
+               dict(eobrun_cap=2),                # multi-block EOB runs
+               dict(restart_interval=3)]:         # RSTn in every scan kind
+        got = decode_jpeg(encode_jpeg_progressive(
+            img, quality=70, subsample="420", **kw))
+        assert np.array_equal(want, got), kw
+
+
+def test_progressive_flat_image_pure_eobruns():
+    # constant image: every AC band is zero -> the scans are one long
+    # EOB run; DC still refines correctly
+    from raystack.ops.jpeg import (decode_jpeg, encode_jpeg,
+                                   encode_jpeg_progressive)
+    img = np.full((40, 56, 3), 137, np.uint8)
+    want = decode_jpeg(encode_jpeg(img, quality=90))
+    got = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(want, got)
+    assert np.all(np.abs(got.astype(int) - 137) <= 2)
+
+
+def test_progressive_noise_image_and_tiny():
+    from raystack.ops.jpeg import (decode_jpeg, encode_jpeg,
+                                   encode_jpeg_progressive)
+    for shape in [(8, 8), (7, 5, 3), (9, 16, 3), (64, 64)]:
+        img = _test_img(shape, seed=5, smooth=False)
+        want = decode_jpeg(encode_jpeg(img, quality=95))
+        got = decode_jpeg(encode_jpeg_progressive(img, quality=95,
+                                                  dc_al=1, ac_al=2,
+                                                  eobrun_cap=3))
+        assert np.array_equal(want, got), shape
+
+
+def test_progressive_media_decoder_dispatch(ray_session):
+    # the actor stage's magic-byte sniff routes SOF2 streams through the
+    # same decode_jpeg entry
+    import pyarrow as pa
+    import ray.data
+
+    from raystack.ops.jpeg import encode_jpeg_progressive
+    from raystack.ops.multimodal import decode_media
+    img = _test_img((21, 34, 3))
+    payload = encode_jpeg_progressive(img, quality=80, subsample="420")
+    t = pa.table({"media_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([payload], pa.binary()),
+                  "mime": pa.array(["image/jpeg"]),
+                  "meta": pa.array(["{}"])})
+    out = decode_media(ray.data.from_arrow(t)).to_pandas()
+    assert out["width"].tolist() == [34]
+    assert out["height"].tolist() == [21]
+    assert out["channels"].tolist() == [3]
+
+
+def test_progressive_coefficient_property(ray_session=None):
+    # coefficient-level round trip: drive the scan writers over synthetic
+    # sparse blocks (heavy on the |1| newly-significant edge) and check
+    # the decoder reproduces every coefficient exactly, across scan-script
+    # knobs. Catches bit-order bugs pixel tests can average away.
+    import raystack.ops.jpeg as J
+    orig_q, orig_r = J._quantize_planes, J._reconstruct
+    captured, target = [], [None]
+    J._quantize_planes = lambda img, q, s: target[0]
+
+    def spy(comps, geo, qt, h, w, hmax, vmax):
+        captured.append([g[3].copy() for g in geo])
+        return orig_r(comps, geo, qt, h, w, hmax, vmax)
+    J._reconstruct = spy
+    try:
+        rng = np.random.default_rng(42)
+        qtab = np.ones(64, np.int64)
+        for _ in range(150):
+            nbw = int(rng.integers(1, 4))
+            nbh = int(rng.integers(1, 3))
+            n = nbw * nbh
+            qz = np.zeros((n, 64), np.int32)
+            for b in range(n):
+                kidx = rng.choice(63, size=int(rng.integers(0, 12)),
+                                  replace=False) + 1
+                qz[b, kidx] = rng.choice([-7, -3, -2, -1, -1, 1, 1, 2, 3, 7],
+                                         size=len(kidx))
+            qz[:, 0] = rng.integers(-200, 200, n)
+            target[0] = ([(1, 1, nbw, qz)], [(1, 1)], [0], [qtab],
+                         nbh * 8, nbw * 8, nbw, nbh)
+            payload = J.encode_jpeg_progressive(
+                np.zeros((nbh * 8, nbw * 8), np.uint8),
+                dc_al=int(rng.integers(0, 4)), ac_al=int(rng.integers(0, 4)),
+                band_split=int(rng.integers(1, 64)),
+                eobrun_cap=int(rng.choice([1, 2, 3, 32767])),
+                restart_interval=int(rng.choice([0, 0, 1, 2, 5])))
+            captured.clear()
+            J.decode_jpeg(payload)
+            want = np.zeros_like(qz)
+            want[:, np.asarray(J.ZIGZAG)] = qz
+            assert np.array_equal(captured[0][0], want)
+    finally:
+        J._quantize_planes, J._reconstruct = orig_q, orig_r
