@@ -1191,3 +1191,38 @@ def test_append_lifecycle_matches_fresh_union(ray_session, tmp_path):
     some = pq.read_table(extra[0])["url"].to_pylist()[:3]
     found = pl.lookup_rows(out, some).to_pandas()
     assert set(some) <= set(found["url"])
+
+
+def test_encode_sharded_rename_select_route_into_appends(ray_session,
+                                                         tmp_path):
+    # columns_rename/columns_select must reach the APPEND shards too —
+    # drifted file 3 carries `body` (renamed text); with 8 files and
+    # 2-map shards, the rename lands in a later shard, not just shard 0
+    paths = write_webtext(str(tmp_path / "w"), n_rows=1600, n_files=8,
+                          drift=True)
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    kw = dict(columns_rename={"body": "text"},
+              columns_select=["url", "warc_ts", "text", "lang"],
+              num_partitions=4, add_filename=False)
+    pl.encode_partitioned_tasks(paths, single, **kw)
+    s = pl.encode_sharded(paths, sharded, map_bytes=1, max_refs=8, **kw)
+    assert s["shards"] == 4
+    a, b = _decoded_sorted(sharded), _decoded_sorted(single)
+    assert sorted(a.columns) == ["lang", "text", "url", "warc_ts"]
+    assert a.equals(b)
+
+
+def test_encode_sharded_resume_rejects_shrunk_inputs(ray_session,
+                                                     tmp_path):
+    # a SHRUNK file list under resume must fail loudly: the layout still
+    # holds the removed shards' rows
+    paths = write_webtext(str(tmp_path / "w"), n_rows=800, n_files=8,
+                          drift=False)
+    out = str(tmp_path / "enc")
+    pl.encode_sharded(paths, out, num_partitions=2, add_filename=False,
+                      map_bytes=1, max_refs=2)
+    with pytest.raises(ValueError, match="file list"):
+        pl.encode_sharded(paths[:4], out, num_partitions=2,
+                          add_filename=False, map_bytes=1, max_refs=2,
+                          resume=True)
