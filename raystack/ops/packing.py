@@ -55,11 +55,19 @@ _EMPTY_PLAN = pa.table({
 
 
 def _bucket_of(ids: np.ndarray, lo: int, hi: int, n_buckets: int) -> np.ndarray:
-    """Order-preserving id-range bucket in [0, n_buckets)."""
+    """Order-preserving id-range bucket in [0, n_buckets).
+
+    All math stays exact for the FULL int64 id range: ``span`` and the
+    bucket width are Python ints (arbitrary precision), and the offset
+    ``ids - lo`` is computed as a wrapping uint64 subtraction (two's
+    complement makes it the true unsigned difference for any
+    ``lo <= id <= hi``) — a plain ``(ids - lo) * n_buckets`` would
+    overflow int64/uint64 for wide id ranges and silently scramble the
+    bucket order, corrupting every prefix sum downstream."""
     span = hi - lo + 1
-    # float math would lose precision past 2**53; stay in int64/object-free
-    return ((ids - lo).astype(np.uint64) * np.uint64(n_buckets)
-            // np.uint64(span)).astype(np.int64)
+    width = -(-span // n_buckets)  # ceil; exact in Python ints
+    off = ids.astype(np.int64).view(np.uint64) - np.int64(lo).view(np.uint64)
+    return (off // np.uint64(width)).astype(np.int64)
 
 
 def sequence_pack_plan(ds, seq_len: int, *, id_col: str = "doc_id",

@@ -125,3 +125,16 @@ def test_pack_plan_duplicate_ids_refused(ray_session):
     with pytest.raises(Exception, match="duplicate"):
         sequence_pack_plan(ray.data.from_pandas(df), 16,
                            n_buckets=1).to_pandas()
+
+
+def test_pack_plan_extreme_id_range(ray_session):
+    # ids spanning nearly the full int64 range: bucket math must stay
+    # exact (a naive (id-lo)*n_buckets overflows and scrambles order)
+    df = pd.DataFrame({
+        "doc_id": [-(2**62) - 7, -99, 0, 3, 2**61, 2**62 + 11],
+        "n_tokens": [5, 100, 0, 37, 64, 129],
+    }).sample(frac=1.0, random_state=1)
+    plan = sequence_pack_plan(ray.data.from_pandas(df), 64,
+                              n_buckets=5).to_pandas()
+    mirror = _mirror(df, 64, sep=1)
+    pd.testing.assert_frame_equal(_canon(plan), _canon(mirror))
