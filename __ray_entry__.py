@@ -1111,9 +1111,9 @@ def oracle_sql() -> dict[str, str]:
                       AS n_tokens FROM documents),
             c AS (SELECT doc_id, n_tokens + 1 AS c FROM toks),
             o AS (SELECT doc_id, c,
-                    COALESCE(SUM(c) OVER (ORDER BY doc_id
+                    CAST(COALESCE(SUM(c) OVER (ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS o
+                      0) AS BIGINT) AS o
                   FROM c),
             s AS (SELECT doc_id, o, c,
                     UNNEST(generate_series(CAST(o // 512 AS BIGINT),

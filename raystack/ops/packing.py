@@ -125,10 +125,14 @@ def sequence_pack_plan(ds, seq_len: int, *, id_col: str = "doc_id",
         c = t[tokens_col].combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64) + sep_tokens
         b = _bucket_of(ids.astype(np.int64), lo, hi, n_buckets)
-        sums = np.bincount(b, weights=c, minlength=n_buckets)
+        # integer accumulation — bincount's float64 weights would lose
+        # exactness once a bucket's token sum passes 2**53 (reachable at
+        # 10^12-doc corpus scale), silently shifting every later offset
+        sums = np.zeros(n_buckets, np.int64)
+        np.add.at(sums, b, c)
         nz = np.flatnonzero(sums)
         return pa.table({"bucket": pa.array(nz, pa.int64()),
-                         "c_sum": pa.array(sums[nz].astype(np.int64))})
+                         "c_sum": pa.array(sums[nz])})
 
     agg = slim.map_batches(partial_sums, batch_format="pyarrow") \
         .groupby("bucket").sum("c_sum").to_pandas()
