@@ -275,6 +275,14 @@ def run_bench(num_cpus: int) -> dict:
     queries["contamination"] = round(time.perf_counter() - t0, 3)
     assert n_contam >= len(bench_docs), n_contam  # plants must be found
 
+    # substring-level exact dedup (ExactSubstr): one window-hash counting
+    # scan + one duplicated-window strip scan, slim groupby in between
+    from raystack.ops.substr import dedup_substrings
+    t0 = time.perf_counter()
+    n_sub = dedup_substrings(docs, min_tokens=32).count()
+    queries["substr_dedup"] = round(time.perf_counter() - t0, 3)
+    assert n_sub == t_doc.num_rows, n_sub
+
     # bloom-accelerated anti-join: drop list = every 7th doc_id
     from raystack.ops.join import semi_join_bloom
     drop = ray.data.from_arrow(pa.table(
