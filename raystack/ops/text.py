@@ -161,6 +161,32 @@ def hash_split(ds, id_col: str = "doc_id", fraction: float = 0.1,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def seeded_shuffle(ds, seed: int, id_col: str = "doc_id"):
+    """Deterministic global shuffle for training epochs: rows reorder by
+    ``splitmix64(id ^ seed)``. splitmix64 is a BIJECTION on uint64, so
+    unique ids give collision-free keys and the permutation is total and
+    identical on any cluster size, partitioning, or input order — and a
+    different seed gives an independent permutation (epoch = seed). The
+    one all-to-all is Ray's range-partitioned distributed sort; there is
+    no RNG state to coordinate or checkpoint — a resumed run reproduces
+    the exact epoch order from the seed alone. Keys sort as int64 via an
+    order-preserving offset (uint64 ^ 2^63), and the key column is
+    dropped from the output."""
+    from .hashing import splitmix64
+    s = np.uint64(seed)
+    flip = np.uint64(1 << 63)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.uint64)
+        k = (splitmix64(ids ^ s) ^ flip).view(np.int64)
+        return t.append_column("__epoch_key", pa.array(k))
+
+    shuffled = ds.map_batches(add_key, batch_format="pyarrow") \
+        .sort("__epoch_key")
+    return shuffled.map_batches(lambda t: t.drop_columns(["__epoch_key"]),
+                                batch_format="pyarrow")
+
+
 def add_url_parts(ds, url_col: str = "url"):
     """Vectorized URL decomposition (webtext staple): scheme, host, path
     — one ``extract_regex`` kernel per batch; non-URLs get nulls."""
