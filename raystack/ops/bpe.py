@@ -188,8 +188,11 @@ class BpeEncoder:
         lst = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()),
             pa.array(flat.astype(np.int32), pa.int32()))
+        # bare metadata: a pandas-written input carries a schema metadata
+        # blob that defeats Ray's schema-dedup fast path downstream
         return t.append_column(self.out_col, lst).append_column(
-            self.out_col + "_n", pa.array(row_tok))
+            self.out_col + "_n", pa.array(row_tok)) \
+            .replace_schema_metadata(None)
 
 
 def add_bpe_ids(ds, tokenizer: dict, text_col: str = "text",

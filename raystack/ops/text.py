@@ -179,7 +179,9 @@ def seeded_shuffle(ds, seed: int, id_col: str = "doc_id"):
     def add_key(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col]).astype(np.uint64)
         k = (splitmix64(ids ^ s) ^ flip).view(np.int64)
-        return t.append_column("__epoch_key", pa.array(k))
+        # bare metadata so the sort's schema unify stays hashable
+        return t.append_column("__epoch_key", pa.array(k)) \
+            .replace_schema_metadata(None)
 
     shuffled = ds.map_batches(add_key, batch_format="pyarrow") \
         .sort("__epoch_key")
