@@ -84,3 +84,75 @@ def curate_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     return out.map_batches(
         lambda t: t.select([id_col, "lang_pred", "quality", "holdout"]),
         batch_format="pyarrow")
+
+
+def mix_corpora(sources: dict, proportions: dict, total_rows: int = None,
+                seed: int = 0, id_col: str = "doc_id",
+                source_col: str = "source"):
+    """Deterministic curriculum mixing: build a training mix hitting the
+    target ``proportions`` (by document count) across named source
+    corpora, reproducible from ``seed`` alone.
+
+    Each source is hash-sampled at rate ``proportions[k] * total /
+    count_k`` — the per-row decision is ``splitmix64(id ^ source_salt) %
+    10000 < rate * 10000`` (the :func:`raystack.ops.text.hash_split`
+    primitive), so membership never depends on partitioning, cluster
+    size, or execution order, and a resumed run reproduces the exact mix.
+    Proportions hold in expectation (hash sampling is binomial, not an
+    exact take-N — the scale-safe trade: no global coordination). When
+    ``total_rows`` is None the mix is as large as the proportions allow
+    (the binding source is used in full). The result carries
+    ``source_col`` and is globally shuffled by a per-source-salted
+    bijective key, so same-id rows from different sources still order
+    deterministically.
+
+    Scale shape: per-source row counts come from Dataset metadata (no
+    scan); sampling + tagging are map-only; the one all-to-all is the
+    final epoch-shuffle sort."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .ops.hashing import splitmix64
+
+    if set(sources) != set(proportions):
+        raise ValueError("sources and proportions must share keys")
+    tot_p = sum(proportions.values())
+    props = {k: p / tot_p for k, p in proportions.items()}
+    counts = {k: ds.count() for k, ds in sources.items()}
+    max_total = min(counts[k] / p for k, p in props.items() if p > 0)
+    total = max_total if total_rows is None else float(total_rows)
+    if total > max_total + 1e-9:
+        binding = min((counts[k] / p, k)
+                      for k, p in props.items() if p > 0)[1]
+        raise ValueError(
+            f"total_rows={total_rows} unreachable: source '{binding}' has "
+            f"{counts[binding]} rows but needs "
+            f"{int(props[binding] * total)}")
+
+    flip = np.uint64(1 << 63)
+    parts = []
+    for si, name in enumerate(sorted(sources)):
+        rate = props[name] * total / counts[name] if counts[name] else 0.0
+        thresh = np.uint64(int(round(min(1.0, rate) * 10000)))
+        salt = np.uint64(seed) ^ splitmix64(
+            np.array([si + 1], np.uint64))[0]
+
+        def tag(t: pa.Table, _thresh=thresh, _salt=salt,
+                _name=name) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.uint64)
+            h = splitmix64(ids ^ _salt)
+            kept = t.filter(pa.array(h % np.uint64(10000) < _thresh))
+            k_ids = np.asarray(kept[id_col]).astype(np.uint64)
+            key = (splitmix64(k_ids ^ _salt) ^ flip).view(np.int64)
+            return kept.append_column(
+                source_col, pa.array([_name] * kept.num_rows,
+                                     pa.string())).append_column(
+                "__mix_key", pa.array(key)).replace_schema_metadata(None)
+
+        parts.append(sources[name].map_batches(tag,
+                                               batch_format="pyarrow"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    return u.sort("__mix_key").map_batches(
+        lambda t: t.drop_columns(["__mix_key"]), batch_format="pyarrow")
