@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from .alp import AlpCodec, AlpRdCodec
 from .base import Codec, EncodedChunk, apply_validity, split_validity  # noqa: F401
 from .delta import ByteSplitCodec, DeltaBitpackCodec
 from .dictionary import DictionaryCodec
@@ -42,6 +43,10 @@ def get_codec(name: str) -> Codec:
         return DeltaBitpackCodec()
     if name == "bytesplit":
         return ByteSplitCodec()
+    if name == "alp":
+        return AlpCodec()
+    if name == "alprd":
+        return AlpRdCodec()
     if name == "fsst":
         return FsstCodec()
     raise KeyError(f"unknown codec {name!r}")
@@ -53,5 +58,5 @@ def decode_blob(blob: bytes) -> pa.Array:
 
 
 ALL_CODECS = ["plain", "dict", "dict->fsst", "rle", "rle->dict",
-              "for_bitpack", "delta_bitpack", "bytesplit", "fsst",
-              "plain+zs", "dict+zs", "fsst+zs", "plain+z"]
+              "for_bitpack", "delta_bitpack", "bytesplit", "alp", "alprd",
+              "fsst", "plain+zs", "dict+zs", "fsst+zs", "plain+z"]

@@ -94,6 +94,9 @@ def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
         return out
     out = ["plain", "plain+zs"]
     if pa.types.is_floating(t):
+        from .codecs import alp
+        if alp.is_supported(t):
+            out += ["alp", "alprd"]
         out.append("bytesplit")
     if stats is None or stats["distinct_ratio"] < 0.5:
         out.append("dict")

@@ -71,6 +71,8 @@ def _candidates(arr: pa.Array):
         out += ["dict", "rle"]
         if pa.types.is_floating(arr.type):
             out += ["bytesplit"]
+            if arr.type in (pa.float32(), pa.float64()):
+                out += ["alp", "alprd"]
     return out
 
 
