@@ -23,6 +23,9 @@ def get_codec(name: str) -> Codec:
         return ZstdWrapCodec(get_codec(name[:-3]))
     if name.endswith("+z"):
         return ZlibWrapCodec(get_codec(name[:-2]))
+    if name.startswith("list->"):
+        from .listwrap import ListCodec
+        return ListCodec(get_codec(name[len("list->"):]))
     if name == "plain":
         return PlainCodec()
     if name == "nulls":

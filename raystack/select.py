@@ -71,6 +71,23 @@ def _stats(sample: pa.Array) -> dict:
 
 def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
     """Candidate codecs for a type, pruned by sample stats when given."""
+    from .codecs import alp, listwrap
+    if listwrap.is_supported(t):
+        child = t.value_type
+        if alp.is_supported(child):
+            inner = ["alprd", "alp"]
+        elif pa.types.is_floating(child):
+            inner = ["bytesplit"]
+        elif forbp.is_supported(child):
+            inner = ["for_bitpack", "delta_bitpack", "dict"]
+        elif fsst.is_supported(child):
+            inner = ["fsst", "dict", "plain+zs"]
+        elif listwrap.is_supported(child):
+            inner = [c for c in candidates_for(child)
+                     if c.startswith("list->")]
+        else:
+            inner = ["plain+zs"]
+        return ["plain", "plain+zs"] + [f"list->{c}" for c in inner]
     if forbp.is_supported(t):
         out = ["plain", "for_bitpack", "for_bitpack+zs", "delta_bitpack",
                "delta_bitpack+zs"]
@@ -94,7 +111,6 @@ def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
         return out
     out = ["plain", "plain+zs"]
     if pa.types.is_floating(t):
-        from .codecs import alp
         if alp.is_supported(t):
             out += ["alp", "alprd"]
         out.append("bytesplit")
