@@ -334,6 +334,20 @@ def run_bench(num_cpus: int) -> dict:
     queries["append_increment"] = round(time.perf_counter() - t0, 3)
     assert s_app["rows"] == n_rows + n_rows // 8, s_app["rows"]
 
+    # embeddings table: structural list codec (list->alprd child) encode
+    # + partition-local decode roundtrip over list<float32> vectors
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.isfile(emb_path):
+        emb_out = os.path.join(CACHE, "emb_enc")
+        shutil.rmtree(emb_out, ignore_errors=True)
+        ds_e = _read_pq(emb_path)
+        t0 = time.perf_counter()
+        s_e = pl.encode_partitioned(ds_e, emb_out, url_col="vec_id",
+                                    num_partitions=8)
+        n_e = pl.decode_pages(pl.read_encoded(emb_out)).count()
+        queries["embeddings_roundtrip"] = round(time.perf_counter() - t0, 3)
+        assert n_e == s_e["rows"], (n_e, s_e["rows"])
+
     ray.shutdown()
     return {
         "metric": "webtext encode wall sec (align + codec encode + "
