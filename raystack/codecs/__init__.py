@@ -52,6 +52,9 @@ def get_codec(name: str) -> Codec:
         return AlpRdCodec()
     if name == "fsst":
         return FsstCodec()
+    if name == "fc":
+        from .fc import FrontCodingCodec
+        return FrontCodingCodec()
     raise KeyError(f"unknown codec {name!r}")
 
 
@@ -62,4 +65,5 @@ def decode_blob(blob: bytes) -> pa.Array:
 
 ALL_CODECS = ["plain", "dict", "dict->fsst", "rle", "rle->dict",
               "for_bitpack", "delta_bitpack", "bytesplit", "alp", "alprd",
-              "fsst", "plain+zs", "dict+zs", "fsst+zs", "plain+z"]
+              "fsst", "fc", "fc+zs", "plain+zs", "dict+zs", "fsst+zs",
+              "plain+z"]

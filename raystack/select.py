@@ -105,9 +105,9 @@ def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
             if stats is not None and stats["run_ratio"] < 0.5:
                 out.append("rle->dict")
         if wide and not (stats is not None and low_card):
-            out += ["fsst+zs"]
+            out += ["fsst+zs", "fc+zs"]
         if stats is None:
-            out += ["fsst", "fsst+zs", "rle->dict"]
+            out += ["fsst", "fsst+zs", "rle->dict", "fc", "fc+zs"]
         return out
     out = ["plain", "plain+zs"]
     if pa.types.is_floating(t):
@@ -152,9 +152,10 @@ def choose_codec(arr: pa.Array, column: str = "", part_key: int | str = 0) -> st
     plain_cost = est.get("plain", float("inf"))
     best = min(est, key=est.get)  # type: ignore[arg-type]
     # speed-aware hysteresis: full-column FSST encodes ~20x slower than the
-    # buffer-level codecs; only pick it when the size win is decisive
+    # buffer-level codecs, and front coding's writer-trick decode is ~10-40x
+    # slower than plain; only pick them when the size win is decisive
     # (> 10%), not sampling noise
-    slow = {"fsst", "fsst+z", "fsst+zs"}
+    slow = {"fsst", "fsst+z", "fsst+zs", "fc", "fc+z", "fc+zs"}
     if best in slow:
         fast = {k: v for k, v in est.items() if k not in slow}
         if fast:

@@ -66,7 +66,7 @@ def _candidates(arr: pa.Array):
     if forbp.is_supported(arr.type):
         out += ["for_bitpack", "delta_bitpack", "delta_bitpack+z", "dict", "rle"]
     elif fsst.is_supported(arr.type):
-        out += ["dict", "dict->fsst", "rle", "rle->dict", "fsst", "fsst+z"]
+        out += ["dict", "dict->fsst", "rle", "rle->dict", "fsst", "fsst+z", "fc", "fc+zs"]
     else:
         out += ["dict", "rle"]
         if pa.types.is_floating(arr.type):
