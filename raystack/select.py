@@ -87,7 +87,11 @@ def candidates_for(t: pa.DataType, stats: dict | None = None) -> list[str]:
                      if c.startswith("list->")]
         else:
             inner = ["plain+zs"]
-        return ["plain", "plain+zs"] + [f"list->{c}" for c in inner]
+        wrapped = [f"list->{c}" for c in inner]
+        # an LZ stage over the packed list chunk often beats both the bare
+        # pack and plain+zs (e.g. bit-packed token ids -> zstd)
+        wrapped += [f"{w}+zs" for w in wrapped[:2] if not w.endswith("+zs")]
+        return ["plain", "plain+zs"] + wrapped
     if forbp.is_supported(t):
         out = ["plain", "for_bitpack", "for_bitpack+zs", "delta_bitpack",
                "delta_bitpack+zs"]

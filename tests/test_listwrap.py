@@ -181,3 +181,48 @@ def test_embeddings_table_pipeline_roundtrip(ray_session, tmp_path):
 
     m = mf.load_manifest(out)
     assert len(m) >= 1  # lineage exists; decode correctness asserted above
+
+
+def test_tokenized_corpus_storage_roundtrip(ray_session, tmp_path):
+    """The tokenized-corpus storage story: BPE-tokenize real documents,
+    encode the list<int32> token column through the partitioned pipeline
+    (auto-selects a list-> codec), decode, and verify the ids AND the
+    detokenized bytes are identical."""
+    from raystack import manifest as mf
+    from raystack import pipeline as pl
+    from raystack.io import read_parquet_clean
+    from raystack.ops.bpe import train_bpe, add_bpe_ids
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    ds = read_parquet_clean(src, columns=["doc_id", "text"])
+    tok = train_bpe(ds, vocab_size=256 + 64)
+    tds = add_bpe_ids(read_parquet_clean(src, columns=["doc_id", "text"]),
+                      tok)
+    out = str(tmp_path / "tok_enc")
+    summary = pl.encode_partitioned(tds, out, url_col="doc_id",
+                                    num_partitions=4)
+    got = pl.decode_pages(pl.read_encoded(out)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = add_bpe_ids(read_parquet_clean(src, columns=["doc_id", "text"]),
+                      tok).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert summary["rows"] == len(exp)
+    assert [list(x) for x in got["bpe_ids"]] == \
+        [list(x) for x in exp["bpe_ids"]]
+    # detokenized bytes rebuild the exact word bytes for a sample of rows
+    from raystack.ops.bpe import _encode_word  # noqa: F401  (API anchor)
+    vocab = [bytes([i]) for i in range(256)]
+    for a, b in tok["merges"]:
+        vocab.append(vocab[a] + vocab[b])
+    import re as _re
+    for i in range(0, len(got), max(1, len(got) // 17)):
+        txt = exp["text"][i]
+        words = [w for w in _re.split(r"\W+", (txt or "").lower(),
+                                      flags=_re.ASCII) if w]
+        assert b"".join(vocab[t] for t in got["bpe_ids"][i]) == \
+            "".join(words).encode("utf-8")
+    # the token column encoded through a structural list codec
+    m = mf.load_manifest(out)
+    used = {row["codecs"]["bpe_ids"] for row in m.values()
+            if "bpe_ids" in row.get("codecs", {})}
+    assert used and all(c.startswith("list->") for c in used), used
