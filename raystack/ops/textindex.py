@@ -24,22 +24,26 @@ _META = "text_index_meta.json"
 
 
 def _doc_tokens(texts, lowercase: bool):
-    """(unique-per-doc token strings, doc ordinal per token) — vectorized:
-    factorize tokens, dedup (doc, token) pairs via one packed-key
-    ``np.unique``."""
+    """(unique-per-doc token strings, doc ordinal, term frequency, doc
+    length) per posting — vectorized: factorize tokens, dedup + count
+    (doc, token) pairs via one packed-key ``np.unique``, doc lengths via
+    ``bincount``."""
     import pandas as pd
 
     from .hashing import tokenize_words
     vals, doc = tokenize_words(texts, lowercase)
     if not len(vals):
-        return np.empty(0, object), np.empty(0, np.int64)
+        z = np.empty(0, np.int64)
+        return np.empty(0, object), z, z, z
     codes, uniq = pd.factorize(vals)
     pair = doc.astype(np.uint64) * np.uint64(len(uniq) + 1) \
         + codes.astype(np.uint64)
-    upair = np.unique(pair)
+    upair, tf = np.unique(pair, return_counts=True)
+    dpos = (upair // np.uint64(len(uniq) + 1)).astype(np.int64)
+    dl = np.bincount(doc)  # tokens per doc ordinal
     return (np.asarray(uniq, object)[(upair % np.uint64(len(uniq) + 1))
                                      .astype(np.int64)],
-            (upair // np.uint64(len(uniq) + 1)).astype(np.int64))
+            dpos, tf.astype(np.int64), dl[dpos])
 
 
 def build_text_index(ds, out_dir: str, text_col: str = "text",
@@ -56,25 +60,41 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     import pandas as pd
 
     def postings(t: pa.Table) -> pa.Table:
-        tok, dpos = _doc_tokens(t[text_col], lowercase)
+        tok, dpos, tf, dl = _doc_tokens(t[text_col], lowercase)
         ids = t[id_col].combine_chunks() if isinstance(
             t[id_col], pa.ChunkedArray) else t[id_col]
         if not len(tok):
+            z = pa.array([], pa.int64())
             return pa.table({"token": pa.array([], pa.string()),
                              id_col: ids.slice(0, 0),
-                             "bucket": pa.array([], pa.int64())})
+                             "tf": z, "dl": z, "bucket": z})
         bucket = (pd.util.hash_array(tok, categorize=False)
                   % np.uint64(num_buckets)).astype(np.int64)
+        # tf/dl denormalized into the postings: BM25 scoring at query time
+        # needs no join against a corpus-wide doc-length table
         return pa.table({"token": pa.array(tok, pa.string()),
                          id_col: ids.take(pa.array(dpos)),
+                         "tf": pa.array(tf), "dl": pa.array(dl),
                          "bucket": pa.array(bucket)})
 
     # bounded batches: the factorize/pack arrays scale with the batch's
     # token count (see chunk_documents' first-touch rationale)
     ds.map_batches(postings, batch_format="pyarrow", batch_size=4096) \
         .write_parquet(out_dir, partition_cols=["bucket"])
+    # corpus stats for BM25: n_docs is a metadata count on the input;
+    # total token count is a column-pruned sum over the index itself
+    # (sum of tf across postings == total tokens, exactly)
+    import glob as _glob
+
+    import ray.data
+    n_docs = int(ds.count())
+    files = sorted(_glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")))
+    total = ray.data.read_parquet(files, columns=["tf"]).sum("tf") \
+        if files else 0
     meta = {"num_buckets": int(num_buckets), "text_col": text_col,
-            "id_col": id_col, "lowercase": bool(lowercase)}
+            "id_col": id_col, "lowercase": bool(lowercase),
+            "n_docs": n_docs,
+            "avgdl": (float(total) / n_docs) if n_docs else 0.0}
     with open(os.path.join(out_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -90,34 +110,17 @@ def query_text_index(index_dir: str, words: list[str], mode: str = "and"):
     import json
     import os
 
-    import pandas as pd
     import ray.data
-
-    import re
 
     with open(os.path.join(index_dir, _META)) as f:
         meta = json.load(f)
-    # normalize query words EXACTLY like the build tokenizes documents
-    # (lowercase + \W+ split) — a verbatim "state-of-the-art" probe
-    # would otherwise hash a token the index can never contain and
-    # silently match nothing; here it expands to its four tokens
-    norm = []
-    for w in words:
-        w = w.lower() if meta["lowercase"] else w
-        norm.extend(tok for tok in re.split(r"\W+", w or "") if tok)
-    words = sorted(set(norm))
+    words = _normalize_query(words, meta)
     if not words:
         raise ValueError("query_text_index needs at least one word")
     if mode not in ("and", "or"):
         raise ValueError("mode must be 'and' or 'or'")
     id_col = meta["id_col"]
-    buckets = sorted({
-        int(pd.util.hash_array(np.asarray([w], object),
-                               categorize=False)[0]
-            % np.uint64(meta["num_buckets"])) for w in words})
-    import glob as _glob
-    files = [f for b in buckets for f in sorted(_glob.glob(
-        os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+    files = _bucket_files(index_dir, words, meta)
     if not files:  # no bucket on disk → no word can match
         return ray.data.from_arrow(pa.table(
             {id_col: pa.array([], pa.int64()),
@@ -133,3 +136,89 @@ def query_text_index(index_dir: str, words: list[str], mode: str = "and"):
     return counts.map_batches(
         lambda t: t.filter(pc.equal(t["n_matched"], need)),
         batch_format="pyarrow")
+
+
+def _normalize_query(words: list[str], meta: dict) -> list[str]:
+    """Normalize query words EXACTLY like the build tokenizes documents
+    (lowercase + \\W+ split) — a verbatim "state-of-the-art" probe would
+    otherwise hash a token the index can never contain and silently match
+    nothing; here it expands to its four tokens."""
+    import re
+    norm = []
+    for w in words:
+        w = w.lower() if meta["lowercase"] else w
+        norm.extend(tok for tok in re.split(r"\W+", w or "") if tok)
+    return sorted(set(norm))
+
+
+def _bucket_files(index_dir: str, words: list[str], meta: dict) -> list[str]:
+    import glob as _glob
+    import os
+
+    import pandas as pd
+    buckets = sorted({
+        int(pd.util.hash_array(np.asarray([w], object),
+                               categorize=False)[0]
+            % np.uint64(meta["num_buckets"])) for w in words})
+    return [f for b in buckets for f in sorted(_glob.glob(
+        os.path.join(index_dir, f"bucket={b}", "*.parquet")))]
+
+
+def bm25_topk(index_dir: str, words: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """BM25-ranked retrieval over a persisted index (Robertson/Spärck
+    Jones; the Lucene-style formulation): read ONLY the query words'
+    buckets, compute exact per-token document frequencies from those
+    postings, score every matching posting map-only
+    (``idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``), sum per document, and
+    return the top-k as a Dataset of ``(id_col, score)`` sorted
+    descending. Distributed end to end — the driver sees the per-token
+    df map (≤ len(words) rows) and the final k rows, nothing else."""
+    import json
+    import math
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+    if "avgdl" not in meta:
+        raise ValueError("index was built before BM25 support; rebuild "
+                         "with build_text_index to store tf/dl stats")
+    words = _normalize_query(words, meta)
+    if not words:
+        raise ValueError("bm25_topk needs at least one word")
+    id_col = meta["id_col"]
+    n_docs, avgdl = meta["n_docs"], max(meta["avgdl"], 1e-9)
+    files = _bucket_files(index_dir, words, meta)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not files:
+        return ray.data.from_arrow(empty)
+    post = ray.data.read_parquet(
+        files, columns=["token", id_col, "tf", "dl"],
+        filter=pc.field("token").isin(words))
+    # exact df per query token: a groupby over <= len(words) groups
+    df_rows = post.groupby("token").count().take_all()
+    if not df_rows:
+        return ray.data.from_arrow(empty)
+    idf = {r["token"]: math.log(1.0 + (n_docs - r["count()"] + 0.5)
+                                / (r["count()"] + 0.5))
+           for r in df_rows}
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col], "score": pa.array(
+                [], pa.float64())})
+        tf = np.asarray(t["tf"], dtype=np.float64)
+        dl = np.asarray(t["dl"], dtype=np.float64)
+        w = np.array([idf[x] for x in t["token"].to_pylist()])
+        s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return pa.table({id_col: t[id_col], "score": pa.array(s)})
+
+    scores = post.map_batches(score, batch_format="pyarrow") \
+        .groupby(id_col).sum("score") \
+        .rename_columns({"sum(score)": "score"})
+    # deterministic tie-break on the id keeps results stable across runs
+    return scores.sort(["score", id_col], descending=[True, False]).limit(k)

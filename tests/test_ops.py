@@ -1354,3 +1354,77 @@ def test_decode_png_roundtrip(ray_session):
     assert got.loc[0, ["width", "height", "channels"]].tolist() == [4, 4, 3]
     assert got.loc[0, "kind"] == "image"
     assert got.loc[0, "mean_level"] == pytest.approx(img.mean() / 255)
+
+
+def test_bm25_topk_vs_duckdb(ray_session, tmp_path):
+    # BM25 over the persisted index must match DuckDB computing the
+    # identical Lucene-style formula on the raw strings (tf, dl, df, idf
+    # and the final ranking), reading only the query words' buckets
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.textindex import bm25_topk, build_text_index
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    idx = str(tmp_path / "bmidx")
+    meta = build_text_index(ray.data.from_arrow(t), idx, num_buckets=16)
+    assert meta["n_docs"] == t.num_rows and meta["avgdl"] > 0
+
+    k1, b, k = 1.2, 0.75, 12
+    words = ["stream", "query", "data"]
+    got = bm25_topk(idx, words, k=k, k1=k1, b=b).to_pandas()
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    wlist = ", ".join(f"'{w}'" for w in words)
+    oracle = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, tok.x AS token
+          FROM docs, UNNEST(list_filter(string_split_regex(lower(text),
+               '\\W+'), x -> x <> '')) AS tok(x)),
+        tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+               FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+                         (SELECT sum(dl) FROM dl)
+                         / (SELECT count(*) FROM docs)::DOUBLE AS avgdl),
+        df AS (SELECT token, count(*)::DOUBLE AS df FROM tf
+               WHERE token IN ({wlist}) GROUP BY 1)
+        SELECT tf.doc_id,
+               sum(ln(1 + ((SELECT n FROM stats) - df.df + 0.5)
+                          / (df.df + 0.5))
+                   * tf.tf * ({k1} + 1)
+                   / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl
+                                      / (SELECT avgdl FROM stats))))
+                   AS score
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+        WHERE tf.token IN ({wlist})
+        GROUP BY 1 ORDER BY score DESC, doc_id LIMIT {k}
+    """).df()
+    assert got["doc_id"].tolist() == oracle["doc_id"].tolist()
+    assert np.allclose(got["score"], oracle["score"], rtol=1e-9)
+
+    # absent word contributes nothing; all-absent query returns empty
+    got2 = bm25_topk(idx, ["stream", "zzzyxx"], k=5).to_pandas()
+    only = bm25_topk(idx, ["stream"], k=5).to_pandas()
+    assert got2["doc_id"].tolist() == only["doc_id"].tolist()
+    assert np.allclose(got2["score"], only["score"], rtol=1e-9)
+    assert bm25_topk(idx, ["zzzyxx"], k=5).count() == 0
+
+
+def test_bm25_requires_rebuilt_index(ray_session, tmp_path):
+    import json
+    import os
+    import ray.data
+    from raystack.ops.textindex import bm25_topk, build_text_index
+    t = pa.table({"doc_id": [1, 2], "text": ["a b", "a c"]})
+    idx = str(tmp_path / "old")
+    build_text_index(ray.data.from_arrow(t), idx, num_buckets=2)
+    # simulate a pre-BM25 index: strip the stats from the meta
+    mp = os.path.join(idx, "text_index_meta.json")
+    meta = json.load(open(mp))
+    meta.pop("avgdl")
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="rebuild"):
+        bm25_topk(idx, ["a"])
