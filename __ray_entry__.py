@@ -295,14 +295,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["doc_id", "text"])
         return dd(ds, "text", "doc_id")
 
-    def exact_dedup_hash(sf):
-        """Scale path: the shuffle moves 8-byte fingerprints, not documents.
-        Oracle-checking this against min-id-per-text also proves the
-        fingerprint is injective on the corpus."""
-        from raystack.ops.dedup import exact_dedup_by_hash
-        ds = _read_pq(os.path.join(sf, "documents.parquet"),
-                                   columns=["doc_id", "text"])
-        return exact_dedup_by_hash(ds, "text", "doc_id")
+    def bm25_docs(sf):
+        """BM25 ranked retrieval over the persisted inverted keyword index
+        (raystack/ops/textindex.py): build once into scratch (postings
+        hive-partitioned by token-hash bucket, tf/dl denormalized), score
+        every document matching any query word reading ONLY those words'
+        buckets, and return (doc_id, score_uq) with the score fixed-point
+        rounded (floor(x*1e6+0.5)) so the float sum's last-ulp ordering
+        freedom can't flip the value hash. The oracle recomputes the
+        identical Lucene-style formula from the raw strings. (The former
+        exact_dedup_hash slot merged into exact_dedup — same doc set,
+        value-checked there; the hash tier stays pytest-covered.)"""
+        import shutil as _sh
+
+        from raystack.ops.textindex import bm25_topk, build_text_index
+        idx = os.path.join(_SCRATCH,
+                           "bm25_idx_" + os.path.basename(sf.rstrip("/")))
+        if not os.path.isfile(os.path.join(idx, "text_index_meta.json")):
+            _sh.rmtree(idx, ignore_errors=True)
+            ds = _read_pq(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "text"])
+            build_text_index(ds, idx, num_buckets=16)
+        res = bm25_topk(idx, ["stream", "query", "data"], k=10**9)
+
+        def fix(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            uq = pc.cast(pc.floor(pc.add(pc.multiply(t["score"], 1e6), 0.5)),
+                         pa.int64())
+            return pa.table({"doc_id": t["doc_id"], "score_uq": uq})
+
+        return res.map_batches(fix, batch_format="pyarrow")
 
     def ann_topk(sf):
         from raystack.ops.similarity import ann_topk as ann
@@ -780,7 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": minhash_dedup,
         "jaccard_pairs": jaccard_pairs,
         "exact_dedup": exact_dedup,
-        "exact_dedup_hash": exact_dedup_hash,
+        "bm25_docs": bm25_docs,
         "fingerprint_dups": fingerprint_dups,
         "simhash_sigs": simhash_sigs,
         "embedding_dups": embedding_dups,
@@ -1150,8 +1172,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg USING (doc_id)"""),
         "exact_dedup": ("SELECT text, min(doc_id) AS doc_id FROM documents "
                         "GROUP BY text"),
-        "exact_dedup_hash": ("SELECT min(doc_id) AS doc_id FROM documents "
-                             "GROUP BY text"),
+        "bm25_docs": ("""
+            WITH toks AS (
+              SELECT doc_id, tok.x AS token
+              FROM documents,
+                   UNNEST(list_filter(string_split_regex(lower(text),
+                          '\\W+'), x -> x <> '')) AS tok(x)),
+            tf AS (SELECT doc_id, token, count(*)::DOUBLE AS tf
+                   FROM toks GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM toks GROUP BY 1),
+            stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                             (SELECT sum(dl) FROM dl)
+                             / (SELECT count(*) FROM documents)::DOUBLE
+                               AS avgdl),
+            df AS (SELECT token, count(*)::DOUBLE AS df FROM tf
+                   WHERE token IN ('data', 'query', 'stream') GROUP BY 1)
+            SELECT tf.doc_id AS doc_id,
+                   CAST(floor(sum(
+                     ln(1 + ((SELECT n FROM stats) - df.df + 0.5)
+                            / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                                       / (SELECT avgdl FROM stats)))
+                   ) * 1e6 + 0.5) AS BIGINT) AS score_uq
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
+            WHERE tf.token IN ('data', 'query', 'stream')
+            GROUP BY tf.doc_id"""),
         "events_windowed": (
             "SELECT event_type, "
             "make_timestamp((epoch_us(ts) // 600000000) * 600000000) "

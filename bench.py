@@ -334,6 +334,36 @@ def run_bench(num_cpus: int) -> dict:
     queries["append_increment"] = round(time.perf_counter() - t0, 3)
     assert s_app["rows"] == n_rows + n_rows // 8, s_app["rows"]
 
+    # WARC ingest: the Common-Crawl front door — multi-member .warc.gz
+    # files (one gzip member per record) stream through read_warc into
+    # the webtext table shape; measures parse+decompress throughput
+    from raystack.sources.warc import read_warc, write_warc
+    n_warc = max(n_rows // 8, 500)
+    warc_dir = os.path.join(CACHE, f"warc_{n_warc}")
+    if not os.path.isdir(warc_dir) or not os.listdir(warc_dir):
+        os.makedirs(warc_dir, exist_ok=True)
+        import datetime as _dt
+        import pyarrow.parquet as _pq
+        per_file = n_warc // 4
+        done = 0
+        for i, p in enumerate(paths):
+            if done >= n_warc:
+                break
+            t = _pq.read_table(p, columns=["url", "warc_ts", "html"])
+            take = min(per_file, t.num_rows, n_warc - done)
+            t = t.slice(0, take)
+            recs = [{"url": t["url"][j].as_py(),
+                     "warc_ts": t["warc_ts"][j].as_py(),
+                     "html": t["html"][j].as_py()}
+                    for j in range(take)]
+            write_warc(os.path.join(warc_dir, f"part{i}.warc.gz"), recs)
+            done += take
+    warc_files = sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz")))
+    t0 = time.perf_counter()
+    n_in = read_warc(warc_files).count()
+    queries["warc_ingest"] = round(time.perf_counter() - t0, 3)
+    assert n_in >= min(n_warc, n_rows), n_in
+
     # embeddings table: structural list codec (list->alprd child) encode
     # + partition-local decode roundtrip over list<float32> vectors
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
