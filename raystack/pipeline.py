@@ -498,8 +498,11 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
             num_partitions = auto_partitions(ds, source_paths)
         if hot_hosts is None and host_map is None:
             # ANALYZE pre-pass → balanced explicit host→partition packing
-            # (pruned: read ONLY the key column from raw files when known)
-            if source_paths:
+            # (pruned: read ONLY the key column from raw files when known;
+            # non-parquet sources — WARC/CSV front doors — count through
+            # the dataset itself instead)
+            if source_paths and all(p.endswith(".parquet")
+                                    for p in source_paths):
                 import ray.data
                 from .io import read_parquet_clean
                 url_ds = read_parquet_clean(source_paths,

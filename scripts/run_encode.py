@@ -59,6 +59,10 @@ def main():
                     help="comma list old:new column renames (drift repair)")
     ap.add_argument("--num-cpus", type=int, default=0,
                     help="only for standalone local runs")
+    ap.add_argument("--extract-text", default="",
+                    help="WARC inputs: extract this open,close tag pair "
+                         "from html into a text column (e.g. "
+                         "'<main>,</main>') before encoding")
     ap.add_argument("--sort-by", default="",
                     help="cluster each partition on this column before "
                          "paging (tight zone pages for range queries; "
@@ -116,17 +120,37 @@ def main():
     from raystack.log import PrintLogger
 
     paths = sorted(glob.glob(os.path.join(args.input, "*.parquet"))
+                   or glob.glob(os.path.join(args.input, "*.warc"))
+                   + glob.glob(os.path.join(args.input, "*.warc.gz"))
                    or glob.glob(os.path.join(args.input, "*.csv"))
                    or [p for p in glob.glob(args.input) if os.path.isfile(p)])
     if not paths:
-        raise SystemExit(f"no parquet/csv files under {args.input}")
+        raise SystemExit(f"no parquet/warc/csv files under {args.input}")
+    is_warc = all(p.endswith((".warc", ".warc.gz")) for p in paths)
     renames = dict(p.split(":") for p in args.rename.split(",") if ":" in p)
     num_partitions = args.partitions or max(
         8, 2 * int(ray.cluster_resources().get("CPU", 4)))
 
     t0 = time.perf_counter()
     zone_cols = [c for c in args.zone_columns.split(",") if c] or None
-    if args.append:
+    if is_warc and not args.append:
+        # Common Crawl front door: warc(.gz) -> webtext table -> encoded
+        # layout, streaming end to end (the Dataset shuffle modes; the
+        # raw-task exchange reads parquet row groups and doesn't apply)
+        from raystack.sources.warc import read_warc
+        ds = read_warc(paths)
+        if args.extract_text:
+            from raystack.ops.text import add_extracted_text
+            open_tag, close_tag = (x.encode() for x in
+                                   args.extract_text.split(",", 1))
+            ds = add_extracted_text(ds, html_col="html", out_col="text",
+                                    open_tag=open_tag, close_tag=close_tag)
+        summary = pl.encode_partitioned(
+            ds, args.output, url_col=args.url_col,
+            num_partitions=num_partitions, resume=args.resume,
+            source_paths=paths, logger=PrintLogger(),
+            zone_columns=zone_cols, sort_by=args.sort_by or None)
+    elif args.append:
         summary = pl.encode_append(paths, args.output,
                                    columns_rename=renames or None,
                                    schema=args.append_schema,
@@ -157,7 +181,8 @@ def main():
                      num_partitions=num_partitions, resume=args.resume,
                      source_paths=paths, logger=PrintLogger(), **kw)
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
-    summary["mode"] = args.mode
+    summary["mode"] = "warc-partitioned" if (is_warc and not args.append) \
+        else args.mode
     summary["input_files"] = len(paths)
     print(json.dumps(summary))
     ray.shutdown()
