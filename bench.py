@@ -334,6 +334,23 @@ def run_bench(num_cpus: int) -> dict:
     queries["append_increment"] = round(time.perf_counter() - t0, 3)
     assert s_app["rows"] == n_rows + n_rows // 8, s_app["rows"]
 
+    # persisted inverted index build + BM25 ranked retrieval over the
+    # documents table (bucket-pruned query, driver sees k rows)
+    from raystack.ops.textindex import bm25_topk, build_text_index
+    doc_path = os.path.join(SF_DIR, "documents.parquet")
+    if os.path.isfile(doc_path):
+        idx_dir = os.path.join(CACHE, "bm25_idx")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_text_index(_read_pq(doc_path, columns=["doc_id", "text"]),
+                         idx_dir, num_buckets=32)
+        queries["text_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        top = bm25_topk(idx_dir, ["stream", "query", "data"], k=10)
+        n_top = top.count()
+        queries["bm25_topk"] = round(time.perf_counter() - t0, 3)
+        assert 0 < n_top <= 10, n_top
+
     # WARC ingest: the Common-Crawl front door — multi-member .warc.gz
     # files (one gzip member per record) stream through read_warc into
     # the webtext table shape; measures parse+decompress throughput
