@@ -351,6 +351,25 @@ def run_bench(num_cpus: int) -> dict:
         queries["bm25_topk"] = round(time.perf_counter() - t0, 3)
         assert 0 < n_top <= 10, n_top
 
+    # product quantization: train on a bounded sample, code the embedding
+    # column (64 float32 -> 8 bytes, 32x), ADC top-k over the codes
+    if os.path.isfile(emb_path_probe := os.path.join(SF_DIR,
+                                                     "embeddings.parquet")):
+        import numpy as _np
+        import pyarrow.parquet as _pq
+        from raystack.ops.pq import pq_encode, pq_topk, train_pq
+        head = _pq.read_table(emb_path_probe).slice(0, 2048)
+        sample = _np.stack(head["embedding"].to_pandas().to_numpy())
+        t0 = time.perf_counter()
+        pq_model = train_pq(sample, m=8, k=256, iters=8)
+        coded = pq_encode(_read_pq(emb_path_probe), pq_model).materialize()
+        queries["pq_encode"] = round(time.perf_counter() - t0, 3)
+        qm = sample[:8].astype(_np.float64)
+        t0 = time.perf_counter()
+        n_pq = pq_topk(coded, qm, _np.arange(8), pq_model, k=10).count()
+        queries["pq_topk"] = round(time.perf_counter() - t0, 3)
+        assert n_pq == 80, n_pq
+
     # WARC ingest: the Common-Crawl front door — multi-member .warc.gz
     # files (one gzip member per record) stream through read_warc into
     # the webtext table shape; measures parse+decompress throughput
