@@ -165,7 +165,8 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
                     id_col: str = "vec_id", n_centroids: int = 16,
                     sample_size: int = 2048, iters: int = 8, seed: int = 13,
-                    centroids: np.ndarray | None = None) -> dict:
+                    centroids: np.ndarray | None = None,
+                    pq_m: int | None = None, pq_k: int = 256) -> dict:
     """Persist an IVF layout: train spherical-k-means centroids on a
     bounded driver-side sample (``ds.limit(sample_size)`` — never the
     corpus), assign every vector to its nearest centroid in one streaming
@@ -179,17 +180,29 @@ def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
     import json
     import os
 
-    if centroids is None:
+    sample = None
+    if centroids is None or pq_m:
         tabs = list(ds.limit(sample_size).select_columns([emb_col])
                     .iter_batches(batch_format="pyarrow",
                                   batch_size=sample_size))
         sample = _as_matrix(pa.concat_tables(tabs)[emb_col])
+    if centroids is None:
         cent = train_centroids(sample, n_centroids, iters=iters, seed=seed)
     else:
         cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    pq_model = None
+    if pq_m:
+        # IVFADC (Jégou et al.): PQ codes stored alongside each bucket
+        # row so queries can scan m bytes/row instead of the vector
+        from .pq import train_pq
+        pq_model = train_pq(sample, m=pq_m, k=pq_k, iters=iters, seed=seed)
 
     bucketed = assign_clusters(ds, cent, id_col=id_col, vec_col=emb_col,
                                keep_cols=[emb_col], out_col="bucket_id")
+    if pq_model is not None:
+        from .pq import pq_encode
+        bucketed = pq_encode(bucketed, pq_model, emb_col=emb_col,
+                             code_col="pq_code")
     # bucket twice: as the hive partition dir (pruned listing) and as a
     # data column (survives explicit per-file reads on the query path)
     bucketed = bucketed.map_batches(
@@ -203,6 +216,8 @@ def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
     bucketed.write_parquet(out_dir, partition_cols=["bucket"])
     meta = {"n_centroids": int(len(cent)), "emb_col": emb_col,
             "id_col": id_col, "centroids": cent.tolist()}
+    if pq_model is not None:
+        meta["pq"] = pq_model
     with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -210,7 +225,7 @@ def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
 
 def query_ivf_index(index_dir: str, queries: np.ndarray,
                     query_ids: np.ndarray, k: int = 10, n_probe: int = 4,
-                    exclude_self: bool = True):
+                    exclude_self: bool = True, use_pq: bool = False):
     """Top-k over a persisted IVF index (:func:`build_ivf_index`): pick
     each query's ``n_probe`` nearest centroids, ``read_parquet`` ONLY the
     union of probed ``bucket=`` directories (every other bucket's bytes
@@ -239,6 +254,15 @@ def query_ivf_index(index_dir: str, queries: np.ndarray,
             {"query_id": pa.array([], pa.int64()),
              "neighbor_id": pa.array([], pa.int64()),
              "rank": pa.array([], pa.int64())}))
+    if use_pq:
+        # IVFADC: scan PQ codes, never the vectors — the probed buckets'
+        # embedding bytes stay in storage (m bytes/row vs dim*4)
+        if "pq" not in meta:
+            raise ValueError("index was built without pq_m; rebuild with "
+                             "build_ivf_index(..., pq_m=...) for ADC "
+                             "queries")
+        return _query_ivf_pq(files, meta, qm, query_ids, probe_sets, k,
+                             exclude_self)
     ds = ray.data.read_parquet(files,
                                columns=[id_col, emb_col, "bucket_id"])
     q_ref = ray.put((qm, np.asarray(query_ids), probe_sets))
@@ -279,6 +303,75 @@ def query_ivf_index(index_dir: str, queries: np.ndarray,
             g = g[g["neighbor_id"] != qid]
         g = g.sort_values(["sim", "neighbor_id"],
                           ascending=[False, True]).head(k)
+        return pd.DataFrame({"query_id": qid,
+                             "neighbor_id": g["neighbor_id"].to_numpy(),
+                             "rank": np.arange(1, len(g) + 1)})
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")
+
+
+def _query_ivf_pq(files: list[str], meta: dict, qm: np.ndarray,
+                  query_ids, probe_sets, k: int, exclude_self: bool):
+    """ADC over probed bucket files: per-query LUTs broadcast once; each
+    row costs m table gathers + a sum. Ranking by ascending approximate
+    squared L2 on the normalized vectors == descending approximate
+    cosine."""
+    import ray
+
+    pq = meta["pq"]
+    id_col = meta["id_col"]
+    m, dsub = pq["m"], pq["dsub"]
+    books = np.asarray(pq["codebooks"], dtype=np.float64)
+    nq = len(qm)
+    lut = np.empty((nq, m, books.shape[1]), dtype=np.float64)
+    for s in range(m):
+        qs = qm[:, s * dsub:(s + 1) * dsub]
+        c = books[s]
+        lut[:, s, :] = ((qs * qs).sum(axis=1)[:, None]
+                        - 2.0 * qs @ c.T + (c * c).sum(axis=1)[None, :])
+    ds = ray.data.read_parquet(files,
+                               columns=[id_col, "pq_code", "bucket_id"])
+    q_ref = ray.put((lut, np.asarray(query_ids), probe_sets))
+    srange = np.arange(m)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        lut, qids, probe_sets = ray.get(q_ref)
+        col = t["pq_code"].combine_chunks() if isinstance(
+            t["pq_code"], pa.ChunkedArray) else t["pq_code"]
+        codes = np.asarray(col.values, dtype=np.int64).reshape(-1, m)
+        ids = np.asarray(t[id_col])
+        bucket = np.asarray(t["bucket_id"]).astype(np.int64)
+        out = {"query_id": [], "neighbor_id": [], "dist": []}
+        for qi in range(lut.shape[0]):
+            mask = np.isin(bucket, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            d = lut[qi][srange[:, None], codes[mask].T].sum(axis=0)
+            sel_ids = ids[mask]
+            kk = min(k + (1 if exclude_self else 0), len(d))
+            idx = np.argpartition(d, kk - 1)[:kk] if kk < len(d) \
+                else np.arange(len(d))
+            out["query_id"].append(np.full(len(idx), qids[qi]))
+            out["neighbor_id"].append(sel_ids[idx])
+            out["dist"].append(d[idx])
+        if not out["query_id"]:
+            return empty
+        return pa.table({k2: np.concatenate(v) for k2, v in out.items()})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["dist", "neighbor_id"],
+                          ascending=[True, True]).head(k)
         return pd.DataFrame({"query_id": qid,
                              "neighbor_id": g["neighbor_id"].to_numpy(),
                              "rank": np.arange(1, len(g) + 1)})

@@ -119,3 +119,37 @@ def test_validation():
         train_pq(rng.standard_normal((10, 8)), m=2, k=512)
     with pytest.raises(ValueError, match="sample"):
         train_pq(np.zeros((0, 8)), m=2)
+
+
+def test_ivfadc_persisted_index(ray_session, tmp_path):
+    """IVF + PQ composition (IVFADC): codes stored per bucket row; the
+    ADC query path reads (id, pq_code, bucket) only. In the lossless-
+    codebook configuration the ADC ranking equals the exact probed
+    query; an index built without pq_m refuses use_pq."""
+    from raystack.ops.similarity import build_ivf_index, query_ivf_index
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((16, 4))
+    mat = base[rng.integers(0, 16, 500)].astype(np.float32)
+    ds = ray.data.from_arrow(_emb_table(mat)).repartition(4)
+    out = str(tmp_path / "ivfadc")
+    meta = build_ivf_index(ds, out, n_centroids=4, sample_size=500,
+                           iters=25, pq_m=2, pq_k=256)
+    assert meta["pq"]["m"] == 2
+    q = mat[:5].astype(np.float64)
+    qids = np.arange(5)
+    exact = query_ivf_index(out, q, qids, k=8, n_probe=4).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    adc = query_ivf_index(out, q, qids, k=8, n_probe=4,
+                          use_pq=True).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert adc["neighbor_id"].tolist() == exact["neighbor_id"].tolist()
+    # partial probe still returns k rows per query
+    part = query_ivf_index(out, q, qids, k=8, n_probe=2,
+                           use_pq=True).to_pandas()
+    assert set(part["query_id"]) == set(qids)
+
+    out2 = str(tmp_path / "ivf_plain")
+    build_ivf_index(ds, out2, n_centroids=4, sample_size=500)
+    with pytest.raises(ValueError, match="pq_m"):
+        query_ivf_index(out2, q, qids, use_pq=True)
