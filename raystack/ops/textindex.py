@@ -46,17 +46,11 @@ def _doc_tokens(texts, lowercase: bool):
             dpos, tf.astype(np.int64), dl[dpos])
 
 
-def build_text_index(ds, out_dir: str, text_col: str = "text",
-                     id_col: str = "doc_id", num_buckets: int = 64,
-                     lowercase: bool = True) -> dict:
-    """One streaming pass: tokenize each batch, dedup tokens per doc,
-    bucket by token hash, write postings hive-partitioned by ``bucket``.
-    No shuffle — ``write_parquet(partition_cols=...)`` splits each output
-    block by partition value, so a bucket directory simply collects one
-    file per contributing block."""
-    import json
-    import os
-
+def _postings_fn(text_col: str, id_col: str, num_buckets: int,
+                 lowercase: bool):
+    """Batch → postings table (token, id, tf, dl, bucket). tf/dl are
+    denormalized into the postings: BM25 scoring at query time needs no
+    join against a corpus-wide doc-length table."""
     import pandas as pd
 
     def postings(t: pa.Table) -> pa.Table:
@@ -70,16 +64,29 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
                              "tf": z, "dl": z, "bucket": z})
         bucket = (pd.util.hash_array(tok, categorize=False)
                   % np.uint64(num_buckets)).astype(np.int64)
-        # tf/dl denormalized into the postings: BM25 scoring at query time
-        # needs no join against a corpus-wide doc-length table
         return pa.table({"token": pa.array(tok, pa.string()),
                          id_col: ids.take(pa.array(dpos)),
                          "tf": pa.array(tf), "dl": pa.array(dl),
                          "bucket": pa.array(bucket)})
 
+    return postings
+
+
+def build_text_index(ds, out_dir: str, text_col: str = "text",
+                     id_col: str = "doc_id", num_buckets: int = 64,
+                     lowercase: bool = True) -> dict:
+    """One streaming pass: tokenize each batch, dedup tokens per doc,
+    bucket by token hash, write postings hive-partitioned by ``bucket``.
+    No shuffle — ``write_parquet(partition_cols=...)`` splits each output
+    block by partition value, so a bucket directory simply collects one
+    file per contributing block."""
+    import json
+    import os
+
     # bounded batches: the factorize/pack arrays scale with the batch's
     # token count (see chunk_documents' first-touch rationale)
-    ds.map_batches(postings, batch_format="pyarrow", batch_size=4096) \
+    ds.map_batches(_postings_fn(text_col, id_col, num_buckets, lowercase),
+                   batch_format="pyarrow", batch_size=4096) \
         .write_parquet(out_dir, partition_cols=["bucket"])
     # corpus stats for BM25: n_docs is a metadata count on the input;
     # total token count is a column-pruned sum over the index itself
@@ -96,6 +103,44 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
             "n_docs": n_docs,
             "avgdl": (float(total) / n_docs) if n_docs else 0.0}
     with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def append_text_index(ds, index_dir: str) -> dict:
+    """Incremental ingest into an existing index (the text sibling of
+    ``pipeline.encode_append``): tokenize the NEW documents with the
+    index's stored config, write their postings into the same ``bucket=``
+    directories (``write_parquet`` appends uniquely-named files; queries
+    glob the directory, so old and new postings serve together), and
+    refresh the BM25 corpus stats exactly — ``n_docs`` adds the new
+    count, total tokens re-sums the ``tf`` column over the whole index
+    (column-pruned, distributed). build(A) then append(B) answers every
+    query identically to build(A ∪ B); the caller must not re-append ids
+    already indexed (postings are per-doc, duplicates would double-count
+    matches)."""
+    import glob as _glob
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, _META)) as f:
+        meta = json.load(f)
+
+    n_new = int(ds.count())
+    ds.map_batches(_postings_fn(meta["text_col"], meta["id_col"],
+                                meta["num_buckets"], meta["lowercase"]),
+                   batch_format="pyarrow", batch_size=4096) \
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    files = sorted(_glob.glob(os.path.join(index_dir, "bucket=*",
+                                           "*.parquet")))
+    total = ray.data.read_parquet(files, columns=["tf"]).sum("tf") \
+        if files else 0
+    meta["n_docs"] = int(meta.get("n_docs", 0)) + n_new
+    meta["avgdl"] = (float(total) / meta["n_docs"]) if meta["n_docs"] \
+        else 0.0
+    with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
 

@@ -1428,3 +1428,37 @@ def test_bm25_requires_rebuilt_index(ray_session, tmp_path):
     json.dump(meta, open(mp, "w"))
     with pytest.raises(ValueError, match="rebuild"):
         bm25_topk(idx, ["a"])
+
+
+def test_text_index_append_equals_full_build(ray_session, tmp_path):
+    # incremental ingest: build(A) + append(B) answers boolean AND BM25
+    # queries identically to build(A + B), with exactly-recomputed stats
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.textindex import (append_text_index, bm25_topk,
+                                        build_text_index,
+                                        query_text_index)
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    a, b = t.slice(0, 300), t.slice(300)
+    inc = str(tmp_path / "inc")
+    build_text_index(ray.data.from_arrow(a), inc, num_buckets=8)
+    meta_inc = append_text_index(ray.data.from_arrow(b), inc)
+    full = str(tmp_path / "full")
+    meta_full = build_text_index(ray.data.from_arrow(t), full,
+                                 num_buckets=8)
+    assert meta_inc["n_docs"] == meta_full["n_docs"] == t.num_rows
+    assert meta_inc["avgdl"] == pytest.approx(meta_full["avgdl"], rel=0)
+
+    for mode in ("and", "or"):
+        gi = query_text_index(inc, ["stream", "query"], mode=mode) \
+            .to_pandas()
+        gf = query_text_index(full, ["stream", "query"], mode=mode) \
+            .to_pandas()
+        assert sorted(gi["doc_id"]) == sorted(gf["doc_id"]), mode
+
+    ri = bm25_topk(inc, ["stream", "query", "data"], k=15).to_pandas()
+    rf = bm25_topk(full, ["stream", "query", "data"], k=15).to_pandas()
+    assert ri["doc_id"].tolist() == rf["doc_id"].tolist()
+    assert np.allclose(ri["score"], rf["score"], rtol=1e-12)
