@@ -765,3 +765,98 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     # call fault in hundreds of MB of fresh pages (measured ~6 s/worker
     # on first touch), while modest batches reuse the same arena
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+def flag_blocklist(ds, patterns, text_col: str = "text",
+                   out_col: str = "blocked", word_match: bool = True,
+                   regex_limit: int = 64):
+    """Blocklist matching (C4/Gopher-style word filters): flag documents
+    containing any blocklisted term. Two tiers, both map-only:
+
+    - ``len(patterns) <= regex_limit``: ONE compiled RE2 alternation per
+      batch (``match_substring_regex``, case-insensitive), word-bounded
+      when ``word_match``.
+    - larger lists: tokenize each batch (the shared ``tokenize_words``
+      kernel) and membership-test tokens against the broadcast pattern
+      set (``ray.put`` once — a word blocklist is MBs at worst, the
+      legitimate broadcast-small-side case). ``word_match`` only;
+      substring semantics need the regex tier.
+
+    DuckDB mirrors: ``regexp_matches(lower(text), '\\b(?:a|b)\\b')`` /
+    ``list_has_any(string_split_regex(lower(text), '\\W+'), [...])``.
+    """
+    import re as _re
+
+    import ray
+
+    pats = [p.lower() for p in patterns if p]
+    if not pats:
+        raise ValueError("flag_blocklist needs at least one pattern")
+    if len(pats) <= regex_limit:
+        alt = "|".join(_re.escape(p) for p in pats)
+        rx = rf"\b(?:{alt})\b" if word_match else rf"(?:{alt})"
+
+        def fn(t: pa.Table) -> pa.Table:
+            s = pc.utf8_lower(pc.cast(pc.fill_null(t[text_col], ""),
+                                      pa.string()))
+            return t.append_column(out_col,
+                                   pc.match_substring_regex(s, rx))
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    if not word_match:
+        raise ValueError("substring matching beyond regex_limit patterns "
+                         "is not supported; raise regex_limit or use "
+                         "word_match=True")
+    blocked_ref = ray.put(frozenset(pats))
+
+    def fn_set(t: pa.Table) -> pa.Table:
+        from .hashing import tokenize_words
+        blocked = ray.get(blocked_ref)
+        vals, doc = tokenize_words(t[text_col], lowercase=True)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        if len(vals):
+            mask = np.fromiter((v in blocked for v in vals), bool,
+                               count=len(vals))
+            np.logical_or.at(hit, doc[mask], True)
+        return t.append_column(out_col, pa.array(hit))
+
+    return ds.map_batches(fn_set, batch_format="pyarrow")
+
+
+#: tracking query parameters stripped by canonicalize_url
+TRACKING_PARAMS = r"(?:utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid|ref)"
+
+
+def canonicalize_url(ds, url_col: str = "url", out_col: str = "url_canon"):
+    """URL canonicalization for url-level dedup: lowercase scheme+host,
+    drop the fragment, strip tracking query parameters
+    (:data:`TRACKING_PARAMS`), drop default ports (:80 http / :443
+    https), and trim a dangling ``?``/``&``. All RE2 kernels over the
+    whole column — no Python rows; non-URL values pass through
+    unchanged. The same regex chain runs in DuckDB ``regexp_replace``
+    for the oracle test."""
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(t[url_col], ""), pa.string())
+        ex = pc.extract_regex(
+            s, r"^(?P<sh>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<rest>.*)$")
+        sh = pc.struct_field(ex, "sh")
+        rest = pc.struct_field(ex, "rest")
+        is_url = pc.is_valid(sh)
+        sh = pc.utf8_lower(pc.fill_null(sh, ""))
+        sh = pc.replace_substring_regex(sh, r"^(http://[^/?#:]*):80$",
+                                        r"\1")
+        sh = pc.replace_substring_regex(sh, r"^(https://[^/?#:]*):443$",
+                                        r"\1")
+        rest = pc.fill_null(rest, "")
+        rest = pc.replace_substring_regex(rest, r"#.*$", "")
+        # a RUN of adjacent tracking params matches in one pass (adjacent
+        # matches share their [?&] boundary char, so a single-param
+        # pattern would skip every other one)
+        tp = TRACKING_PARAMS + r"=[^&#]*"
+        rest = pc.replace_substring_regex(
+            rest, r"([?&])" + tp + r"(?:&" + tp + r")*&?", r"\1")
+        rest = pc.replace_substring_regex(rest, r"[?&]$", "")
+        canon = pc.binary_join_element_wise(sh, rest, "")
+        out = pc.if_else(is_url, canon, t[url_col])
+        return t.append_column(out_col, out)
+    return ds.map_batches(fn, batch_format="pyarrow")

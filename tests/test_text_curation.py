@@ -399,3 +399,100 @@ def test_add_extracted_text_invariant_and_oracle(ray_session, tmp_path):
         .to_pandas().sort_values("url")
     assert out["text_extracted"].tolist() == \
         [None, None, None, "ok", None, "X"]
+
+
+def test_flag_blocklist_both_tiers_vs_duckdb(ray_session):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.ops.text import flag_blocklist
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(t)
+    words = ["stream", "query", "zzzyxx"]
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    exp = con.execute(
+        "SELECT doc_id, list_has_any(list_filter(string_split_regex("
+        "lower(text), '\\W+'), x -> x <> ''), "
+        "['stream', 'query', 'zzzyxx']) AS blocked "
+        "FROM docs ORDER BY doc_id").df()
+
+    # regex-alternation tier
+    got = flag_blocklist(ds, words).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["blocked"].tolist() == exp["blocked"].tolist()
+    # token-set tier (force it with a tiny regex_limit)
+    got2 = flag_blocklist(ds, words, regex_limit=1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got2["blocked"].tolist() == exp["blocked"].tolist()
+    # substring semantics only exist in the regex tier
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="substring"):
+        flag_blocklist(ds, words, regex_limit=1, word_match=False)
+    with _pytest.raises(ValueError, match="pattern"):
+        flag_blocklist(ds, [])
+
+
+def test_canonicalize_url_cases(ray_session):
+    import ray.data
+    from raystack.ops.text import canonicalize_url
+
+    cases = {
+        "HTTPS://Example.COM/Path?utm_source=x&q=1#frag":
+            "https://example.com/Path?q=1",
+        "https://example.com:443/a?utm_a=1&utm_b=2&x=3":
+            "https://example.com/a?x=3",
+        "http://Host.com:80/p?x=1&fbclid=abc":
+            "http://host.com/p?x=1",
+        "https://a.com/p?utm_only=1": "https://a.com/p",
+        "https://a.com/p?gclid=1&ref=z": "https://a.com/p",
+        "https://a.com:8443/p": "https://a.com:8443/p",  # non-default port
+        "not a url": "not a url",
+        "https://a.com/p?x=1&utm_m=2&y=3&utm_n=4":
+            "https://a.com/p?x=1&y=3",
+    }
+    t = pa.table({"url": list(cases)})
+    got = canonicalize_url(ray.data.from_arrow(t)).to_pandas()
+    for raw, want in cases.items():
+        assert got.loc[got.url == raw, "url_canon"].iloc[0] == want, raw
+
+
+def test_canonicalize_url_vs_duckdb(ray_session):
+    # the same RE2 chain in DuckDB regexp_replace over real-ish urls
+    import duckdb
+    import ray.data
+    from raystack.ops.text import TRACKING_PARAMS, canonicalize_url
+
+    rng = np.random.default_rng(6)
+    urls = []
+    for i in range(500):
+        host = f"Site{i % 13}.Example.com"
+        extra = ["", "?utm_source=a", "?x=1&utm_medium=b&y=2",
+                 "#sec", "?fbclid=zz&q=3", "?a=1&a=2",
+                 "?utm_a=1&utm_b=2"][i % 7]
+        urls.append(f"https://{host}/p/{rng.integers(100)}{extra}")
+    t = pa.table({"url": urls})
+    got = canonicalize_url(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("u", t.to_pandas())
+    tp = TRACKING_PARAMS + "=[^&#]*"
+    exp = con.execute(f"""
+        SELECT url,
+          regexp_replace(regexp_replace(regexp_replace(
+            lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+            || regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+            '#.*$', ''),
+            '([?&]){tp}(&{tp})*&?', '\\1', 'g'),
+            '[?&]$', '') AS url_canon
+        FROM u ORDER BY url""").df()
+    # (the default-port strip is pinned by the case table above; these
+    # generated urls keep the host port-free so the mirror stays one
+    # regex chain)
+    for i in range(len(got)):
+        g, e = got["url_canon"][i], exp["url_canon"][i]
+        assert g == e, (got['url'][i], g, e)
