@@ -810,13 +810,19 @@ def flag_blocklist(ds, patterns, text_col: str = "text",
     blocked_ref = ray.put(frozenset(pats))
 
     def fn_set(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         from .hashing import tokenize_words
         blocked = ray.get(blocked_ref)
         vals, doc = tokenize_words(t[text_col], lowercase=True)
         hit = np.zeros(t.num_rows, dtype=bool)
         if len(vals):
-            mask = np.fromiter((v in blocked for v in vals), bool,
-                               count=len(vals))
+            # membership on unique tokens only (Zipf: uniques << tokens),
+            # then broadcast through the factorize codes
+            codes, uniq = pd.factorize(vals)
+            umask = np.fromiter((u in blocked for u in uniq), bool,
+                                count=len(uniq))
+            mask = umask[codes]
             np.logical_or.at(hit, doc[mask], True)
         return t.append_column(out_col, pa.array(hit))
 

@@ -258,7 +258,14 @@ def bm25_topk(index_dir: str, words: list[str], k: int = 10,
                 [], pa.float64())})
         tf = np.asarray(t["tf"], dtype=np.float64)
         dl = np.asarray(t["dl"], dtype=np.float64)
-        w = np.array([idf[x] for x in t["token"].to_pylist()])
+        # idf lookup through the dictionary indices: the python dict is
+        # touched once per UNIQUE token (<= len(words)), not per row
+        denc = pc.dictionary_encode(t["token"].combine_chunks()
+                                    if isinstance(t["token"],
+                                                  pa.ChunkedArray)
+                                    else t["token"])
+        uw = np.array([idf[x] for x in denc.dictionary.to_pylist()])
+        w = uw[np.asarray(denc.indices)]
         s = w * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         return pa.table({id_col: t[id_col], "score": pa.array(s)})
 
