@@ -465,6 +465,9 @@ def decode_image_any(payload) -> np.ndarray | None:
     if head[:4] == b"GIF8":
         from raystack.ops.gif import decode_gif
         return decode_gif(payload)
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        from raystack.ops.tiff import decode_tiff
+        return decode_tiff(payload)
     return None
 
 
