@@ -449,7 +449,7 @@ def decode_wav(payload: bytes):
 
 def decode_image_any(payload) -> np.ndarray | None:
     """Sniff the payload's magic bytes and run the matching REAL image
-    decoder (PNM/BMP/PNG/JPEG/GIF); ``None`` when the payload is not a
+    decoder (PNM/BMP/PNG/JPEG/GIF/TIFF); ``None`` when the payload is not a
     recognized still-image format. Malformed bodies raise (callers
     decide whether to flag or skip)."""
     head = bytes(payload[:12])
@@ -473,7 +473,7 @@ def decode_image_any(payload) -> np.ndarray | None:
 
 class MediaDecoder:
     """Actor-pool decode stage: sniff each payload's magic bytes and run
-    the REAL decoder where one exists (PPM/PGM, BMP, PNG, JPEG, GIF,
+    the REAL decoder where one exists (PPM/PGM, BMP, PNG, JPEG, GIF, TIFF,
     PCM WAV), else mark the
     row undecoded (library-bound formats are the documented stub tier).
     The per-payload loop is intentional — each payload is one multi-KB
