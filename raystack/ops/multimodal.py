@@ -513,13 +513,22 @@ class MediaDecoder:
                         (255.0 if img.dtype == np.uint8 else 65535.0)
                     kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
-                    samples, rate = decode_wav(p)
+                    from raystack.ops.audioprobe import decode_wav_any
+                    samples, rate = decode_wav_any(p)  # PCM + G.711 u/A-law
                     sample_rate[i] = rate
                     channels[i] = samples.shape[1]
                     duration_s[i] = samples.shape[0] / rate if rate else 0.0
                     mean_level[i] = float(np.sqrt((samples ** 2).mean())) \
                         if samples.size else 0.0
                     kind[i], decoded[i] = "audio", True
+                else:
+                    from raystack.ops.audioprobe import probe_audio
+                    meta_a = probe_audio(p)  # mp3/flac/ogg: metadata tier
+                    if meta_a is not None:
+                        sample_rate[i] = meta_a["sample_rate"]
+                        channels[i] = meta_a["channels"]
+                        duration_s[i] = meta_a["duration_s"]
+                        kind[i], decoded[i] = "audio", True
             except (ValueError, EOFError, IndexError, wave.Error,
                     struct.error, zlib.error):
                 pass  # sniffed magic but malformed body → stays undecoded
