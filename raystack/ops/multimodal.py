@@ -447,6 +447,40 @@ def decode_wav(payload: bytes):
     return s.reshape(-1, nch), rate
 
 
+def probe_webp(payload: bytes) -> dict:
+    """WebP dimensions probe (public container spec): RIFF/WEBP with a
+    VP8 (lossy: frame tag + 14-bit dims), VP8L (lossless: 14-bit packed
+    dims) or VP8X (extended: 24-bit canvas) first chunk. Metadata only —
+    pixel decode needs a VP8 codec and stays honestly out of scope."""
+    b = payload
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    fourcc = bytes(b[12:16])
+    if fourcc == b"VP8 ":
+        # key frame: 3-byte frame tag, sync 9D 01 2A, then 2x16-bit dims
+        if b[23:26] != b"\x9d\x01\x2a":
+            raise ValueError("VP8 sync code not found (not a key frame?)")
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return {"format": "vp8", "width": w, "height": h, "alpha": False}
+    if fourcc == b"VP8L":
+        if b[20] != 0x2F:
+            raise ValueError("VP8L signature byte missing")
+        bits = int.from_bytes(b[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        alpha = bool((bits >> 28) & 1)
+        return {"format": "vp8l", "width": w, "height": h, "alpha": alpha}
+    if fourcc == b"VP8X":
+        flags = b[20]
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return {"format": "vp8x", "width": w, "height": h,
+                "alpha": bool(flags & 0x10),
+                "animated": bool(flags & 0x02)}
+    raise ValueError(f"unknown WebP chunk {fourcc!r}")
+
+
 def decode_image_any(payload) -> np.ndarray | None:
     """Sniff the payload's magic bytes and run the matching REAL image
     decoder (PNM/BMP/PNG/JPEG/GIF/TIFF); ``None`` when the payload is not a
@@ -511,6 +545,11 @@ class MediaDecoder:
                     height[i], width[i], channels[i] = img.shape
                     mean_level[i] = float(img.mean()) / \
                         (255.0 if img.dtype == np.uint8 else 65535.0)
+                    kind[i], decoded[i] = "image", True
+                elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+                    wp = probe_webp(p)  # dims without VP8 pixel decode
+                    width[i], height[i] = wp["width"], wp["height"]
+                    channels[i] = 4 if wp.get("alpha") else 3
                     kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
                     from raystack.ops.audioprobe import decode_wav_any

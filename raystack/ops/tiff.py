@@ -181,11 +181,6 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
 
     header = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
     n_strips = len(strips)
-    entries = []
-
-    def entry(tag, typ, count, value):
-        entries.append((tag, typ, count, value))
-
     # layout: header(8) | IFD | [offsets arrays] | bits array | strip data
     tag_list = [(_TAG_WIDTH, 3, 1), (_TAG_HEIGHT, 3, 1),
                 (_TAG_BITS, 3, spp), (_TAG_COMPRESSION, 3, 1),
@@ -244,3 +239,4 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
     ifd += struct.pack(e + "I", 0)  # no next IFD
     assert len(ifd) == ifd_size
     return header + bytes(ifd) + bytes(extra) + b"".join(strips)
+

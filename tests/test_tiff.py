@@ -63,3 +63,31 @@ def test_media_decoder_sniffs_tiff(ray_session):
         .sort_values("media_id").reset_index(drop=True)
     assert got["decoded"].tolist() == [True, False]
     assert got.loc[0, ["width", "height", "channels"]].tolist() == [17, 11, 3]
+
+
+def _webp_vp8l(w, h, alpha=False) -> bytes:
+    import struct
+    bits = (w - 1) | ((h - 1) << 14) | ((1 if alpha else 0) << 28)
+    chunk = bytes([0x2F]) + struct.pack("<I", bits)
+    body = b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def test_webp_probe_and_media_decoder(ray_session):
+    import ray
+    from raystack.ops.multimodal import (MEDIA_SCHEMA, decode_media,
+                                         probe_webp)
+    p = probe_webp(_webp_vp8l(200, 100, alpha=True))
+    assert (p["width"], p["height"], p["alpha"]) == (200, 100, True)
+    with pytest.raises(ValueError, match="not a WebP"):
+        probe_webp(b"RIFFxxxxWAVE")
+
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([_webp_vp8l(64, 32)], pa.large_binary()),
+        "mime": pa.array(["image/webp"]),
+        "meta": pa.array(["{}"]),
+    }, schema=MEDIA_SCHEMA)
+    got = decode_media(ray.data.from_arrow(t), concurrency=1).to_pandas()
+    assert got.loc[0, "decoded"] and got.loc[0, "kind"] == "image"
+    assert got.loc[0, ["width", "height"]].tolist() == [64, 32]
