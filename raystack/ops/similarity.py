@@ -411,3 +411,62 @@ def assign_clusters(ds, centroids: np.ndarray, id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 64,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   sample_size: int = 2048, seed: int = 13,
+                   centroids: np.ndarray | None = None,
+                   max_cluster: int = 8192):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    paper): cluster the embedding space, then inside each cluster drop
+    every vector whose cosine similarity to an already-kept vector
+    exceeds ``threshold``. Returns the KEPT rows as (id, cluster).
+
+    Shape at scale: centroids train on a bounded driver-side sample;
+    assignment is map-only; the one shuffle is the ``groupby(cluster)``
+    — and pairwise work is quadratic only WITHIN a cluster, which is the
+    paper's core trick. Determinism: within a cluster the keep order is
+    ascending id (first-seen wins), so results don't depend on
+    partitioning. Clusters larger than ``max_cluster`` are subdivided by
+    an id-hash salt before the pairwise pass (bounded memory; near-dups
+    split across sub-buckets can both survive — the documented recall
+    trade, disable with ``max_cluster=0``). With ``n_clusters=1`` the
+    result equals the brute-force greedy over the whole dataset (the
+    oracle-checkable configuration)."""
+    import pandas as pd
+
+    if centroids is None:
+        tabs = list(ds.limit(sample_size).select_columns([emb_col])
+                    .iter_batches(batch_format="pyarrow",
+                                  batch_size=sample_size))
+        sample = _as_matrix(pa.concat_tables(tabs)[emb_col])
+        centroids = train_centroids(sample, n_clusters, seed=seed)
+    assigned = assign_clusters(ds, centroids, id_col=id_col,
+                               vec_col=emb_col, keep_cols=[emb_col],
+                               out_col="cluster")
+    thr = float(threshold)
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        out_ids = []
+        clusters = []
+        for lo in range(0, len(g), max_cluster or len(g) or 1):
+            sub = g.iloc[lo: lo + (max_cluster or len(g))]
+            m = np.stack(sub[emb_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-12)
+            kept_idx: list[int] = []
+            kept_mat = np.zeros((0, m.shape[1]))
+            for i in range(len(sub)):
+                if len(kept_idx) and \
+                        (kept_mat @ m[i]).max(initial=-1.0) > thr:
+                    continue
+                kept_idx.append(i)
+                kept_mat = np.vstack([kept_mat, m[i:i + 1]])
+            out_ids.extend(sub[id_col].to_numpy()[kept_idx])
+            clusters.extend(sub["cluster"].to_numpy()[kept_idx])
+        return pd.DataFrame({id_col: out_ids, "cluster": clusters})
+
+    return assigned.groupby("cluster").map_groups(dedup_group,
+                                                  batch_format="pandas")

@@ -153,3 +153,48 @@ def test_ivfadc_persisted_index(ray_session, tmp_path):
     build_ivf_index(ds, out2, n_centroids=4, sample_size=500)
     with pytest.raises(ValueError, match="pq_m"):
         query_ivf_index(out2, q, qids, use_pq=True)
+
+
+def test_semantic_dedup_removes_planted_near_dups(ray_session):
+    """SemDeDup composition: planted near-duplicates collapse to their
+    lowest-id representative; distinct vectors all survive. With
+    n_clusters=1 the result equals the brute-force greedy (the
+    oracle-checkable configuration)."""
+    from raystack.ops.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 12))  # 40 distinct directions
+    rows = []
+    exp_kept = []
+    next_id = 0
+    for b in range(40):
+        n_copies = 1 + (b % 3)  # 1-3 near-copies per direction
+        for c in range(n_copies):
+            v = base[b] + rng.standard_normal(12) * 1e-4
+            rows.append((next_id, v))
+            if c == 0:
+                exp_kept.append(next_id)  # lowest id of the group wins
+            next_id += 1
+    mat = np.stack([v for _, v in rows]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    # brute-force configuration: one cluster == global greedy
+    kept = semantic_dedup(ds, threshold=0.99, n_clusters=1,
+                          sample_size=len(rows)).to_pandas()
+    assert sorted(kept["vec_id"]) == sorted(exp_kept)
+
+    # clustered configuration: same answer when clusters separate well
+    kept2 = semantic_dedup(ds, threshold=0.99, n_clusters=8,
+                           sample_size=len(rows)).to_pandas()
+    assert sorted(kept2["vec_id"]) == sorted(exp_kept)
+
+    # sub-bucket cap: tiny max_cluster still returns a superset
+    # (near-dups split across sub-buckets may both survive — documented)
+    kept3 = semantic_dedup(ds, threshold=0.99, n_clusters=1,
+                           sample_size=len(rows),
+                           max_cluster=7).to_pandas()
+    assert set(exp_kept).issubset(set(kept3["vec_id"]))
