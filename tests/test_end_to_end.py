@@ -1,0 +1,132 @@
+"""The whole story in one test: a Common-Crawl-shaped WARC archive runs
+the full curation + tokenization + columnar-encode chain, with an
+invariant checked at every stage. Each operator has its own oracle tests
+elsewhere; this pins that the stages actually COMPOSE — schemas line up,
+Datasets stream stage to stage, and the final encoded layout decodes
+bit-identically."""
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from raystack.sources.warc import write_warc
+
+
+def _corpus(n=240):
+    """Synthetic crawl: English-ish + noise docs, exact dups, a
+    benchmark-contaminated doc, and a blocklisted one."""
+    rng = np.random.default_rng(11)
+    words = ("the data stream query engine reads and writes many tables "
+             "with schema drift across partitions while workers keep "
+             "running the pipeline over documents").split()
+    docs = []
+    for i in range(n):
+        k = 30 + int(rng.integers(0, 40))
+        body = " ".join(rng.choice(words, k))
+        if i % 17 == 0 and i > 0:
+            body = docs[i - 1]["text"]  # exact duplicate of previous
+        if i == 50:
+            body += " the quick brown fox jumps over the lazy dog today"
+        if i == 60:
+            body += " casino jackpot"
+        docs.append({
+            "url": f"https://site{i % 7}.example.com/doc/{i}"
+                   f"?utm_source=feed",
+            "warc_ts": dt.datetime(2024, 3, 1, 12, i % 60),
+            "text": body,
+        })
+    return docs
+
+
+def test_crawl_to_training_data(ray_session, tmp_path):
+    from raystack import pipeline as pl
+    from raystack.ops.bpe import add_bpe_ids, train_bpe
+    from raystack.ops.dedup import exact_dedup
+    from raystack.ops.packing import sequence_pack_plan
+    from raystack.ops.text import (add_extracted_text, add_quality_score,
+                                   add_token_count, canonicalize_url,
+                                   flag_blocklist, flag_contamination)
+    from raystack.sources.warc import read_warc
+
+    docs = _corpus()
+    recs = [{"url": d["url"], "warc_ts": d["warc_ts"],
+             "html": f"<html><body>{d['text']}</body></html>".encode()}
+            for d in docs]
+    p1 = str(tmp_path / "crawl1.warc.gz")
+    p2 = str(tmp_path / "crawl2.warc")
+    write_warc(p1, recs[:150])
+    write_warc(p2, recs[150:])
+
+    # 1. ingest: WARC -> webtext table, extracted text byte-identical
+    ds = read_warc([p1, p2])
+    ds = add_extracted_text(ds, html_col="html", out_col="text",
+                            open_tag=b"<body>", close_tag=b"</body>")
+    assert ds.count() == len(docs)
+
+    # 2. url canonicalization strips the tracking params
+    ds = canonicalize_url(ds)
+    one = ds.take(1)[0]
+    assert "utm_" not in one["url_canon"] and "?" not in one["url_canon"]
+
+    # 3. quality + blocklist + contamination flags (all map-only)
+    ds = add_token_count(ds)
+    ds = add_quality_score(ds)
+    ds = flag_blocklist(ds, ["casino", "jackpot"], out_col="blocked")
+    bench = pa.table({"text": ["the quick brown fox jumps over the lazy "
+                               "dog today is a benchmark prompt"]})
+    ds = flag_contamination(ds, bench, n=8)
+    df = ds.to_pandas()
+    assert df["blocked"].sum() == 1
+    assert df["contaminated"].sum() >= 1
+    keep = df[~df.blocked & ~df.contaminated]
+
+    # 4. doc ids + exact dedup (the planted dups collapse)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(keep), dtype=np.int64)),
+        "text": pa.array(keep["text"].tolist(), pa.string()),
+        "url": pa.array(keep["url_canon"].tolist(), pa.string()),
+        "warc_ts": pa.array(keep["warc_ts"].tolist(),
+                            pa.timestamp("us")),
+    })
+    deduped = exact_dedup(ray.data.from_arrow(tbl), "text", "doc_id") \
+        .to_pandas()
+    n_dups = len(keep) - keep["text"].nunique()
+    assert n_dups > 0 and len(deduped) == len(keep) - n_dups
+
+    kept_ids = set(deduped["doc_id"])
+    clean = tbl.filter(pa.compute.is_in(
+        tbl["doc_id"], value_set=pa.array(sorted(kept_ids))))
+    clean_ds = ray.data.from_arrow(clean)
+
+    # 5. BPE train + tokenize + pack plan over the curated corpus
+    tok = train_bpe(clean_ds, vocab_size=256 + 48)
+    tds = add_bpe_ids(ray.data.from_arrow(clean), tok)
+    plan = sequence_pack_plan(tds, seq_len=128, id_col="doc_id",
+                              tokens_col="bpe_ids_n").to_pandas()
+    stream = (tds.to_pandas()["bpe_ids_n"] + 1).sum()  # +1 sep per doc
+    assert plan["seq_id"].nunique() == int(np.ceil(stream / 128))
+
+    # 6. columnar encode of the tokenized corpus + bit-identical decode
+    out = str(tmp_path / "layout")
+    summary = pl.encode_partitioned(tds, out, url_col="url",
+                                    num_partitions=4)
+    assert summary["rows"] == clean.num_rows
+    got = pl.decode_pages(pl.read_encoded(out)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = tds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["text"].tolist() == exp["text"].tolist()
+    assert [list(x) for x in got["bpe_ids"]] == \
+        [list(x) for x in exp["bpe_ids"]]
+    # detokenized bytes equal the concatenated word bytes (north-star-
+    # style byte identity at the end of the whole chain)
+    vocab = [bytes([i]) for i in range(256)]
+    for a, b in tok["merges"]:
+        vocab.append(vocab[a] + vocab[b])
+    import re
+    row = got.iloc[len(got) // 2]
+    words = [w for w in re.split(r"\W+", row["text"].lower()) if w]
+    assert b"".join(vocab[t] for t in row["bpe_ids"]) == \
+        "".join(words).encode()
