@@ -156,3 +156,78 @@ def mix_corpora(sources: dict, proportions: dict, total_rows: int = None,
         u = u.union(p)
     return u.sort("__mix_key").map_batches(
         lambda t: t.drop_columns(["__mix_key"]), batch_format="pyarrow")
+
+
+def corpus_report(ds, text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str | None = None) -> dict:
+    """Datasheet for a document corpus ("Datasheets for Datasets", Gebru
+    et al. 2018 — the practice, implemented over Ray Data): one dict of
+    corpus-level facts, every number computed distributed with a bounded
+    driver result.
+
+    - counts: docs, null/empty texts, total bytes and whitespace tokens
+      (one pre-aggregated map pass → tiny partials);
+    - length distribution: mergeable approximate quantiles (rank error
+      ≤2%, k rows to the driver);
+    - language mix: n-gram langid actor pool → groupby count (≤ a few
+      language rows);
+    - exact duplication rate: 8-byte fingerprint shuffle, counts only.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .ops.colstats import approx_quantiles
+    from .ops.text import add_language_id, add_token_count
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = t[text_col]
+        valid = pc.is_valid(s)
+        filled = pc.fill_null(pc.cast(s, pa.large_string()), "")
+        nbytes = pc.binary_length(pc.cast(filled, pa.large_binary()))
+        empty = pc.and_(valid, pc.equal(nbytes, 0))
+        return pa.table({
+            "docs": pa.array([t.num_rows], pa.int64()),
+            "nulls": pa.array([t.num_rows -
+                               pc.sum(pc.cast(valid, pa.int64())).as_py()],
+                              pa.int64()),
+            "empties": pa.array([pc.sum(pc.cast(empty, pa.int64()))
+                                 .as_py() or 0], pa.int64()),
+            "bytes": pa.array([pc.sum(nbytes).as_py() or 0], pa.int64()),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .sum(["docs", "nulls", "empties", "bytes"])
+    n_docs = int(agg["sum(docs)"])
+
+    counted = add_token_count(ds, text_col=text_col)
+    n_tokens = int(counted.sum("n_tokens") or 0)
+    qs = approx_quantiles(counted, "n_tokens",
+                          quantiles=(0.1, 0.5, 0.9, 0.99))
+    length_q = {f"p{int(r['quantile'] * 100)}": float(r["value"])
+                for _, r in qs.iterrows()}
+
+    if lang_col is None:
+        lang_ds = add_language_id(ds.select_columns([text_col]),
+                                  text_col=text_col)
+        lang_col_eff = "lang_pred"
+    else:
+        lang_ds, lang_col_eff = ds, lang_col
+    lang_rows = lang_ds.groupby(lang_col_eff).count().take_all()
+    langs = {str(r[lang_col_eff]): int(r["count()"]) for r in lang_rows}
+
+    from .ops.dedup import exact_dedup_by_hash
+    n_distinct = exact_dedup_by_hash(
+        ds.select_columns([id_col, text_col]), text_col, id_col).count()
+
+    return {
+        "n_docs": n_docs,
+        "null_texts": int(agg["sum(nulls)"]),
+        "empty_texts": int(agg["sum(empties)"]),
+        "total_bytes": int(agg["sum(bytes)"]),
+        "total_tokens": n_tokens,
+        "mean_tokens": (n_tokens / n_docs) if n_docs else 0.0,
+        "token_quantiles": length_q,
+        "languages": langs,
+        "n_distinct_texts": int(n_distinct),
+        "exact_dup_rate": (1.0 - n_distinct / n_docs) if n_docs else 0.0,
+    }

@@ -496,3 +496,38 @@ def test_canonicalize_url_vs_duckdb(ray_session):
     for i in range(len(got)):
         g, e = got["url_canon"][i], exp["url_canon"][i]
         assert g == e, (got['url'][i], g, e)
+
+
+def test_corpus_report_vs_duckdb(ray_session):
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+    from raystack.curate import corpus_report
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    rep = corpus_report(ray.data.from_arrow(t), lang_col="lang")
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    exp = con.execute("""
+        SELECT count(*) AS n,
+               count(*) - count(text) AS nulls,
+               sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS empties,
+               sum(strlen(text)) AS bytes,
+               count(DISTINCT text) AS distinct_texts
+        FROM docs""").df().iloc[0]
+    assert rep["n_docs"] == exp["n"]
+    assert rep["null_texts"] == exp["nulls"]
+    assert rep["empty_texts"] == (exp["empties"] or 0)
+    assert rep["total_bytes"] == exp["bytes"]
+    assert rep["n_distinct_texts"] == exp["distinct_texts"]
+    assert 0 <= rep["exact_dup_rate"] < 1
+    lang_exp = dict(con.execute(
+        "SELECT lang, count(*) FROM docs GROUP BY lang").fetchall())
+    assert rep["languages"] == {str(k): v for k, v in lang_exp.items()}
+    tok_exp = con.execute(
+        "SELECT sum(len(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> ''))) FROM docs WHERE text IS NOT NULL").fetchone()[0]
+    assert rep["total_tokens"] == tok_exp
+    assert set(rep["token_quantiles"]) == {"p10", "p50", "p90", "p99"}
