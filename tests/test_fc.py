@@ -99,3 +99,19 @@ def test_fc_string_property(vals):
 def test_fc_binary_property(vals):
     arr = pa.array(vals, type=pa.binary())
     _rt("fc", arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), min_size=20,
+                max_size=90))
+def test_fc_tiny_blocks_property(vals):
+    # force multi-block encode AND decode so every carry path runs under
+    # arbitrary inputs (sorted input maximizes cross-block prefix reuse)
+    old_max, old_min = fc_mod._MAX_BLOCK_ROWS, fc_mod._MIN_BLOCK_ROWS
+    fc_mod._MAX_BLOCK_ROWS = fc_mod._MIN_BLOCK_ROWS = 7
+    try:
+        arr = pa.array(sorted(vals, key=lambda v: (v is None, v)),
+                       type=pa.string())
+        _rt("fc", arr)
+    finally:
+        fc_mod._MAX_BLOCK_ROWS, fc_mod._MIN_BLOCK_ROWS = old_max, old_min

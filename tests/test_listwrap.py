@@ -226,3 +226,16 @@ def test_tokenized_corpus_storage_roundtrip(ray_session, tmp_path):
     used = {row["codecs"]["bpe_ids"] for row in m.values()
             if "bpe_ids" in row.get("codecs", {})}
     assert used and all(c.startswith("list->") for c in used), used
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.floats(allow_nan=True, width=32), min_size=4, max_size=4)),
+    max_size=50))
+def test_fixed_size_list_property(vals):
+    arr = pa.array(vals, type=pa.list_(pa.float32(), 4))
+    for name in ["list->plain", "list->alprd", "list->alp",
+                 "list->bytesplit"]:
+        blob = get_codec(name).encode(arr).to_bytes()
+        assert _lists_identical(decode_blob(blob), arr), name
