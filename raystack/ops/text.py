@@ -223,57 +223,68 @@ def add_extracted_text(ds, html_col: str = "html",
     per-row decode where only the offending rows go null (web crawls
     mix encodings — wrong bytes must never surface as silently-mangled
     text)."""
-    from .hashing import flatten_column
-    off = len(open_tag)
-
     def fn(t: pa.Table) -> pa.Table:
-        col = t[html_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        n = len(col)
-        a = np.asarray(pc.fill_null(pc.find_substring(col, open_tag), -1),
-                       dtype=np.int64)
-        b = np.asarray(pc.fill_null(pc.find_substring(col, close_tag), -1),
-                       dtype=np.int64)
-        data, starts, lengths = flatten_column(col)
-        # find_substring gives the FIRST close anywhere; the contract is
-        # the first close AFTER the open (gen.extract_text's
-        # html.index(close, i)). Rows where a stray close precedes the
-        # open rescan just their tail — rare, so the hot path stays
-        # one kernel per tag
-        rescan = np.flatnonzero((a >= 0) & (b >= 0) & (b < a + off))
-        for i in rescan:
-            lo = starts[i] + a[i] + off
-            tail = data[lo: starts[i] + lengths[i]].tobytes()
-            j = tail.find(close_tag)
-            b[i] = a[i] + off + j if j >= 0 else -1
-        valid = (a >= 0) & (b >= a + off)
-        s = starts + a + off
-        out_lens = np.where(valid, starts + b - s, 0).astype(np.int64)
-        total = int(out_lens.sum())
-        row_rep = np.repeat(np.arange(n), out_lens)
-        first = np.concatenate([[0], np.cumsum(out_lens)[:-1]]) \
-            if n else np.zeros(0, np.int64)
-        pos = np.arange(total) - first[row_rep] if total else \
-            np.zeros(0, np.int64)
-        buf = data[s[row_rep] + pos] if total else np.zeros(0, np.uint8)
-        offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
-        validity = pa.array(valid).buffers()[1] if not valid.all() else None
-        bin_arr = pa.Array.from_buffers(
-            pa.large_binary(), n,
-            [validity, pa.py_buffer(offsets.tobytes()),
-             pa.py_buffer(buf.tobytes())],
-            null_count=int((~valid).sum()))
-        try:
-            out = bin_arr.cast(pa.large_string())
-        except pa.ArrowInvalid:
-            # rare mixed-encoding page: null ONLY the undecodable rows
-            vals = [None if v is None else _try_utf8(v)
-                    for v in bin_arr.to_pylist()]
-            out = pa.array(vals, pa.large_string())
-        return t.append_column(out_col, out)
+        return extract_text_batch(t, html_col=html_col, out_col=out_col,
+                                  open_tag=open_tag, close_tag=close_tag)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def extract_text_batch(t: pa.Table, html_col: str = "html",
+                       out_col: str = "text_extracted",
+                       open_tag: bytes = b"<main>",
+                       close_tag: bytes = b"</main>") -> pa.Table:
+    """The batch kernel behind :func:`add_extracted_text` — exposed so
+    non-Dataset callers (the WARC map tasks in the raw-task exchange)
+    run the byte-identical extraction."""
+    from .hashing import flatten_column
+    off = len(open_tag)
+    col = t[html_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    a = np.asarray(pc.fill_null(pc.find_substring(col, open_tag), -1),
+                   dtype=np.int64)
+    b = np.asarray(pc.fill_null(pc.find_substring(col, close_tag), -1),
+                   dtype=np.int64)
+    data, starts, lengths = flatten_column(col)
+    # find_substring gives the FIRST close anywhere; the contract is
+    # the first close AFTER the open (gen.extract_text's
+    # html.index(close, i)). Rows where a stray close precedes the
+    # open rescan just their tail — rare, so the hot path stays
+    # one kernel per tag
+    rescan = np.flatnonzero((a >= 0) & (b >= 0) & (b < a + off))
+    for i in rescan:
+        lo = starts[i] + a[i] + off
+        tail = data[lo: starts[i] + lengths[i]].tobytes()
+        j = tail.find(close_tag)
+        b[i] = a[i] + off + j if j >= 0 else -1
+    valid = (a >= 0) & (b >= a + off)
+    s = starts + a + off
+    out_lens = np.where(valid, starts + b - s, 0).astype(np.int64)
+    total = int(out_lens.sum())
+    row_rep = np.repeat(np.arange(n), out_lens)
+    first = np.concatenate([[0], np.cumsum(out_lens)[:-1]]) \
+        if n else np.zeros(0, np.int64)
+    pos = np.arange(total) - first[row_rep] if total else \
+        np.zeros(0, np.int64)
+    buf = data[s[row_rep] + pos] if total else np.zeros(0, np.uint8)
+    offsets = np.concatenate([[0], np.cumsum(out_lens)]).astype(np.int64)
+    validity = pa.array(valid).buffers()[1] if not valid.all() else None
+    bin_arr = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [validity, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(buf.tobytes())],
+        null_count=int((~valid).sum()))
+    try:
+        out = bin_arr.cast(pa.large_string())
+    except pa.ArrowInvalid:
+        # rare mixed-encoding page: null ONLY the undecodable rows
+        vals = [None if v is None else _try_utf8(v)
+                for v in bin_arr.to_pylist()]
+        out = pa.array(vals, pa.large_string())
+    return t.append_column(out_col, out)
+
 
 
 def _try_utf8(b: bytes):

@@ -753,11 +753,18 @@ def _pack_dense(keyed: pa.Table, num_partitions: int,
     return out
 
 
-def _read_map_file(p: str, plan, dialect=None) -> pa.Table:
+def _read_map_file(p: str, plan, dialect=None, extract=None) -> pa.Table:
     """One file → pruned Arrow table for the task-exchange map side.
     Parquet reads only the needed columns; CSV reads with the sniffed
     dialect + the plan's unified per-column types (same options as
-    ``sources.csv.read_aligned_csv``) so per-file inference can't drift."""
+    ``sources.csv.read_aligned_csv``) so per-file inference can't drift;
+    WARC parses the whole archive (``extract`` optionally appends the
+    extracted text column map-side, same kernel as the Dataset path)."""
+    if p.endswith((".warc", ".warc.gz")):
+        from .sources.warc import read_warc_file_table
+        t = read_warc_file_table(p, extract)
+        keep = [c for c in t.column_names if c in set(plan.target_columns)]
+        return t.select(keep)
     rename = plan.rename_by_file[p]
     avail = set(plan.file_schemas[p].names)
     target = set(plan.target_columns)
@@ -785,7 +792,8 @@ def _read_map_file(p: str, plan, dialect=None) -> pa.Table:
 def _map_pack_files(file_group: list[str], plan, num_partitions: int,
                     url_col: str, hot_hosts: dict | None, host_map: dict | None,
                     skip: frozenset, dialect=None,
-                    precode_map: dict[str, str] | None = None) -> list[bytes]:
+                    precode_map: dict[str, str] | None = None,
+                    extract=None) -> list[bytes]:
     """Map side of the task exchange: read (column-pruned) → align → key →
     per-partition zstd segments. Runs as one Ray task per file group; the
     scheduler sees ``num_partitions`` separate return objects so each
@@ -793,7 +801,7 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
     from .align import make_align_fn
     packed: list[list[bytes]] = []
     for p in file_group:
-        t = _read_map_file(p, plan, dialect)
+        t = _read_map_file(p, plan, dialect, extract)
         if plan.add_filename:
             t = t.append_column("path", pa.array([p] * t.num_rows,
                                                  pa.string()))
@@ -826,10 +834,11 @@ def _map_pack_files(file_group: list[str], plan, num_partitions: int,
 
 def _map_pack_single(file_group, plan, num_partitions, url_col,
                      hot_hosts, host_map, skip, dialect=None,
-                     precode_map: dict[str, str] | None = None) -> bytes:
+                     precode_map: dict[str, str] | None = None,
+                     extract=None) -> bytes:
     return _map_pack_files(file_group, plan, num_partitions, url_col,
                            hot_hosts, host_map, skip, dialect,
-                           precode_map)[0]
+                           precode_map, extract)[0]
 
 
 def _parse_one_slot(blob: bytes, light: list, heavy: dict) -> None:
@@ -1112,7 +1121,9 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              precode: bool = True,
                              collect_stats: bool = False,
                              zone_columns: list[str] | None = None,
-                             sort_by: str | None = None) -> dict:
+                             sort_by: str | None = None,
+                             warc_extract_text: tuple[bytes, bytes] | None
+                             = None) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of
     the Dataset ``groupby`` shuffle. Same output layout + manifest as
     :func:`encode_partitioned`; same keying (:func:`compute_part_keys`).
@@ -1142,8 +1153,21 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     from .plan import build_plan
     log = get_logger(logger)
     is_csv = any(p.endswith((".csv", ".txt", ".tsv")) for p in source_paths)
+    is_warc = bool(source_paths) and all(
+        p.endswith((".warc", ".warc.gz")) for p in source_paths)
     if plan is None:
-        if is_csv:
+        if is_warc:
+            # Common Crawl straight into the task exchange: the schema is
+            # fixed by the format, so the plan needs no footer sniff
+            from .plan import plan_from_schemas
+            from .sources.warc import warc_schema
+            ws = warc_schema(extract=warc_extract_text is not None)
+            plan = plan_from_schemas(sorted(source_paths),
+                                     {p: ws for p in source_paths},
+                                     columns_select=columns_select,
+                                     columns_rename=columns_rename,
+                                     add_filename=add_filename)
+        elif is_csv:
             from .sources.csv import build_csv_plan
             plan, dialect = build_csv_plan(
                 source_paths, columns_select=columns_select,
@@ -1152,12 +1176,19 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
             plan = build_plan(source_paths, columns_select=columns_select,
                               columns_rename=columns_rename,
                               add_filename=add_filename)
+    if is_warc:
+        # precode samples parquet row groups; WARC's heavy columns still
+        # get their dictionaries built co-located in the reduce
+        precode = False
     if num_partitions is None:
         num_partitions = auto_partitions(source_paths=source_paths)
     if host_map is None and hot_hosts is None:
         if host_counts is None:
             import ray.data
-            if dialect is not None:
+            if is_warc:
+                from .sources.warc import read_warc
+                url_ds = read_warc(source_paths).select_columns([url_col])
+            elif dialect is not None:
                 from .sources.csv import read_aligned_csv
                 url_ds = read_aligned_csv(source_paths, plan=plan,
                                           dialect=dialect)
@@ -1224,7 +1255,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     skip = frozenset(done)
     map_refs = [map_fn.remote(g, plan, num_partitions, url_col,
                               hot_hosts, host_map, skip, dialect,
-                              precode_map)
+                              precode_map, warc_extract_text)
                 for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]

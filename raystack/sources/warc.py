@@ -192,6 +192,39 @@ def _to_table(rows: list[dict]) -> pa.Table:
     }, schema=_SCHEMA)
 
 
+def read_warc_file_table(path: str,
+                         extract: tuple[bytes, bytes] | None = None
+                         ) -> pa.Table:
+    """One WARC file → one Arrow table (the map-task reader for the
+    raw-task exchange; :func:`read_warc` is the streaming Dataset
+    variant). ``extract=(open_tag, close_tag)`` appends the extracted
+    ``text`` column via the same vectorized kernel the Dataset path uses
+    (byte-identical by construction). Whole-file materialization is the
+    task-exchange contract — map groups are size-bounded upstream the
+    same way parquet row groups are."""
+    import io as _io
+
+    with open(path, "rb") as f:
+        raw = gzip.GzipFile(fileobj=f) if path.endswith(".gz") else f
+        stream = _io.BufferedReader(raw, buffer_size=1 << 20)
+        rows = list(iter_warc_records(stream))
+    t = _to_table(rows)
+    if extract is not None:
+        from ..ops.text import extract_text_batch
+        t = extract_text_batch(t, html_col="html", out_col="text",
+                               open_tag=extract[0], close_tag=extract[1])
+    return t
+
+
+def warc_schema(extract: bool = False) -> pa.Schema:
+    """The fixed table schema of WARC ingest (plan-time twin of
+    :func:`read_warc_file_table`)."""
+    s = _SCHEMA
+    if extract:
+        s = s.append(pa.field("text", pa.large_string()))
+    return s
+
+
 # ---------------------------------------------------------------------------
 # writer (tests + export sink)
 # ---------------------------------------------------------------------------

@@ -135,21 +135,34 @@ def main():
     zone_cols = [c for c in args.zone_columns.split(",") if c] or None
     if is_warc and not args.append:
         # Common Crawl front door: warc(.gz) -> webtext table -> encoded
-        # layout, streaming end to end (the Dataset shuffle modes; the
-        # raw-task exchange reads parquet row groups and doesn't apply)
-        from raystack.sources.warc import read_warc
-        ds = read_warc(paths)
+        # layout. --mode tasks runs the raw-task exchange directly on the
+        # archives (map-side parse + optional text extraction); the
+        # Dataset modes stream through read_warc.
+        extract = None
         if args.extract_text:
-            from raystack.ops.text import add_extracted_text
-            open_tag, close_tag = (x.encode() for x in
-                                   args.extract_text.split(",", 1))
-            ds = add_extracted_text(ds, html_col="html", out_col="text",
-                                    open_tag=open_tag, close_tag=close_tag)
-        summary = pl.encode_partitioned(
-            ds, args.output, url_col=args.url_col,
-            num_partitions=num_partitions, resume=args.resume,
-            source_paths=paths, logger=PrintLogger(),
-            zone_columns=zone_cols, sort_by=args.sort_by or None)
+            o, c = args.extract_text.split(",", 1)
+            extract = (o.encode(), c.encode())
+        if args.mode == "tasks":
+            summary = pl.encode_partitioned_tasks(
+                paths, args.output, url_col=args.url_col,
+                num_partitions=num_partitions, resume=args.resume,
+                logger=PrintLogger(), collect_stats=True,
+                zone_columns=zone_cols, sort_by=args.sort_by or None,
+                warc_extract_text=extract)
+        else:
+            from raystack.sources.warc import read_warc
+            ds = read_warc(paths)
+            if extract is not None:
+                from raystack.ops.text import add_extracted_text
+                ds = add_extracted_text(ds, html_col="html",
+                                        out_col="text",
+                                        open_tag=extract[0],
+                                        close_tag=extract[1])
+            summary = pl.encode_partitioned(
+                ds, args.output, url_col=args.url_col,
+                num_partitions=num_partitions, resume=args.resume,
+                source_paths=paths, logger=PrintLogger(),
+                zone_columns=zone_cols, sort_by=args.sort_by or None)
     elif args.append:
         summary = pl.encode_append(paths, args.output,
                                    columns_rename=renames or None,
@@ -181,8 +194,8 @@ def main():
                      num_partitions=num_partitions, resume=args.resume,
                      source_paths=paths, logger=PrintLogger(), **kw)
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
-    summary["mode"] = "warc-partitioned" if (is_warc and not args.append) \
-        else args.mode
+    summary["mode"] = (f"warc-{args.mode}" if (is_warc and not args.append)
+                       else args.mode)
     summary["input_files"] = len(paths)
     print(json.dumps(summary))
     ray.shutdown()

@@ -128,3 +128,44 @@ def test_warc_to_columnar_end_to_end(ray_session, tmp_path):
     for txt, d in zip(got["text"], exp):
         body = d["html"].split(b"<body>")[1].split(b"</body>")[0]
         assert txt.encode("utf-8") == body
+
+
+def test_warc_tasks_exchange_matches_dataset_path(ray_session, tmp_path):
+    """WARC straight into the raw-task exchange (the headline path):
+    decode-identical to the Dataset groupby path on the same archives,
+    including map-side text extraction (byte-identical kernel)."""
+    from raystack import pipeline as pl
+    from raystack.ops.text import add_extracted_text
+
+    docs = _docs(120)
+    p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc")
+    w.write_warc(p1, docs[:70])
+    w.write_warc(p2, docs[70:])
+
+    out_t = str(tmp_path / "enc_tasks")
+    s_t = pl.encode_partitioned_tasks(
+        [p1, p2], out_t, num_partitions=4,
+        warc_extract_text=(b"<body>", b"</body>"))
+    assert s_t["rows"] == len(docs)
+
+    out_d = str(tmp_path / "enc_ds")
+    ds = add_extracted_text(w.read_warc([p1, p2]), html_col="html",
+                            out_col="text", open_tag=b"<body>",
+                            close_tag=b"</body>")
+    pl.encode_partitioned(ds, out_d, num_partitions=4)
+
+    got_t = pl.decode_dir(out_t).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    got_d = pl.decode_pages(pl.read_encoded(out_d)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    for col in ["url", "warc_ts", "html", "text", "http_status",
+                "content_type"]:
+        assert got_t[col].tolist() == got_d[col].tolist(), col
+    # provenance rides the tasks path (add_filename default)
+    assert set(got_t["filename"]) == {"a.warc.gz", "b.warc"}
+    # point lookups route over the warc layout like any other
+    target = docs[13]["url"]
+    hit = pl.lookup_rows(out_t, [target], columns=["text"]).to_pandas()
+    assert len(hit) == 1
+    assert hit["text"][0].encode() == docs[13]["html"].split(
+        b"<body>")[1].split(b"</body>")[0]
