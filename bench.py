@@ -399,6 +399,16 @@ def run_bench(num_cpus: int) -> dict:
     n_in = read_warc(warc_files).count()
     queries["warc_ingest"] = round(time.perf_counter() - t0, 3)
     assert n_in >= min(n_warc, n_rows), n_in
+    # crawl -> columnar in one hop: the raw-task exchange parses the
+    # archives map-side (+ text extraction) and encodes
+    warc_out = os.path.join(CACHE, "warc_enc")
+    shutil.rmtree(warc_out, ignore_errors=True)
+    t0 = time.perf_counter()
+    s_w = pl.encode_partitioned_tasks(
+        warc_files, warc_out, num_partitions=8,
+        warc_extract_text=(b"<main>", b"</main>"))
+    queries["warc_encode"] = round(time.perf_counter() - t0, 3)
+    assert s_w["rows"] == n_in, (s_w["rows"], n_in)
 
     # embeddings table: structural list codec (list->alprd child) encode
     # + partition-local decode roundtrip over list<float32> vectors
