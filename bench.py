@@ -375,14 +375,16 @@ def run_bench(num_cpus: int) -> dict:
     # the webtext table shape; measures parse+decompress throughput
     from raystack.sources.warc import read_warc, write_warc
     n_warc = max(n_rows // 8, 500)
-    warc_dir = os.path.join(CACHE, f"warc_{n_warc}")
+    # one archive per source file chunk — enough archives that the
+    # task-exchange map wave parallelizes (real CC jobs have thousands)
+    n_arch = min(16, max(4, len(paths)))
+    warc_dir = os.path.join(CACHE, f"warc_{n_warc}_{n_arch}")
     if not os.path.isdir(warc_dir) or not os.listdir(warc_dir):
         os.makedirs(warc_dir, exist_ok=True)
-        import datetime as _dt
         import pyarrow.parquet as _pq
-        per_file = n_warc // 4
+        per_file = -(-n_warc // n_arch)  # ceil: the archives must cover n_warc
         done = 0
-        for i, p in enumerate(paths):
+        for i, p in enumerate(paths[:n_arch]):
             if done >= n_warc:
                 break
             t = _pq.read_table(p, columns=["url", "warc_ts", "html"])
