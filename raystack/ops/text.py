@@ -877,3 +877,31 @@ def canonicalize_url(ds, url_col: str = "url", out_col: str = "url_canon"):
         out = pc.if_else(is_url, canon, t[url_col])
         return t.append_column(out_col, out)
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_unicode_normalized(ds, text_col: str = "text",
+                           out_col: str = "text_nfc", form: str = "NFC"):
+    """Unicode normalization (curation staple before dedup/tokenizing —
+    'café' composed vs decomposed must fingerprint identically).
+    Decomposing forms (NFD/NFKD) run the Arrow ``utf8_normalize`` kernel;
+    the COMPOSING forms route through stdlib ``unicodedata`` because this
+    pyarrow build's kernel never recomposes — ``utf8_normalize(...,
+    form="NFC")`` returns NFD bytes (verified against unicodedata and
+    DuckDB ``nfc_normalize``; the per-row loop's work is one C call per
+    document). DuckDB mirror for NFC: ``nfc_normalize(text)``."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    if form in ("NFD", "NFKD"):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                out_col, pc.utf8_normalize(t[text_col], form=form))
+    else:
+        import unicodedata
+
+        def fn(t: pa.Table) -> pa.Table:
+            norm = unicodedata.normalize
+            vals = [None if v is None else norm(form, v)
+                    for v in t[text_col].to_pylist()]
+            return t.append_column(out_col, pa.array(vals, pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")

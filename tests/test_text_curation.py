@@ -531,3 +531,38 @@ def test_corpus_report_vs_duckdb(ray_session):
         "x -> x <> ''))) FROM docs WHERE text IS NOT NULL").fetchone()[0]
     assert rep["total_tokens"] == tok_exp
     assert set(rep["token_quantiles"]) == {"p10", "p50", "p90", "p99"}
+
+
+def test_unicode_normalization_vs_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import unicodedata
+    import ray.data
+    from raystack.ops.text import add_unicode_normalized
+
+    comp = unicodedata.normalize("NFC", "caf\u00e9")
+    decomp = unicodedata.normalize("NFD", "caf\u00e9")
+    texts = [comp, decomp, "\ufb01ne \u2460\u0032\u0033",
+             "\u00c5 vs A\u030a", None, "", "plain ascii"]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = add_unicode_normalized(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute("SELECT nfc_normalize(text) AS n FROM t "
+                       "ORDER BY doc_id").df()["n"]
+    assert got["text_nfc"].where(pd.notna(got["text_nfc"]), None).tolist() \
+        == want.where(pd.notna(want), None).tolist()
+    # composed == decomposed after NFC (bytes, not just display)
+    assert got["text_nfc"][0] == got["text_nfc"][1] == comp
+    nfkc = add_unicode_normalized(ray.data.from_arrow(t), form="NFKC") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert nfkc["text_nfc"][2] == "fine 123"
+    # decomposing form runs the Arrow kernel; match unicodedata exactly
+    nfd = add_unicode_normalized(ray.data.from_arrow(t), form="NFD") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for g, src in zip(nfd["text_nfc"], texts):
+        assert g == (None if src is None else
+                     unicodedata.normalize("NFD", src))
+    with pytest.raises(ValueError, match="form"):
+        add_unicode_normalized(ray.data.from_arrow(t), form="XYZ")
