@@ -390,3 +390,30 @@ def test_sorted_encode_groupby_path(ray_session, tmp_path):
         assert (lo[1:] > hi[:-1]).all(), zf
     got = pl.decode_dir(out).to_pandas().sort_values("v")
     assert got["v"].tolist() == list(range(1000))
+
+
+def test_string_zone_maps_url_range(ray_session, tmp_path):
+    # zone sidecars are type-generic (pc.min_max): a url-range count over
+    # a url-clustered layout must equal the decode+filter reference and
+    # actually match rows
+    import os
+    from raystack import pipeline as pl
+    from raystack.align import read_aligned
+    from raystack.gen import write_webtext
+    from raystack.zones import build_zone_maps, count_where
+
+    d = str(tmp_path / "src")
+    paths = write_webtext(d, n_rows=3000, n_files=2, drift=False)
+    out = str(tmp_path / "enc")
+    ds = read_aligned(paths, columns_rename={"body": "text"})
+    pl.encode_partitioned(ds, out, num_partitions=4, sort_by="url")
+    build_zone_maps(out, ["url"])
+
+    full = pl.decode_pages(pl.read_encoded(out)).to_pandas()
+    lo, hi = "https://www.site02", "https://www.site05"
+    n = count_where(out, {"url": (lo, hi)})
+    exp = int(((full.url >= lo) & (full.url <= hi)).sum())
+    assert n == exp and n > 0, (n, exp)
+    # open-ended bound too
+    n2 = count_where(out, {"url": (lo, None)})
+    assert n2 == int((full.url >= lo).sum()) and n2 > n
