@@ -1215,10 +1215,16 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
             "per-shard) or use encode_partitioned (push-based sort "
             "shuffle merges intermediates)")
     done = _resume_prepare(out_dir, resume)
-    mf.save_config(out_dir, {"url_col": url_col,
-                             "num_partitions": num_partitions,
-                             "hot_hosts": hot_hosts,
-                             "host_map": host_map})
+    cfg = {"url_col": url_col, "num_partitions": num_partitions,
+           "hot_hosts": hot_hosts, "host_map": host_map}
+    if is_warc:
+        # appends must parse/extract exactly like the initial encode —
+        # the extraction tags persist with the layout (latin-1: tags are
+        # byte strings, JSON wants text)
+        cfg["warc_extract"] = ([t.decode("latin-1")
+                                for t in warc_extract_text]
+                               if warc_extract_text else None)
+    mf.save_config(out_dir, cfg)
     _srcs = set(source_paths)
     use_paths = [p for p in plan.paths if p in _srcs]
     # map granularity: cap at map_bytes but never group so coarsely that
@@ -1375,8 +1381,26 @@ def encode_append(source_paths: list[str], out_dir: str, *,
 
     source_paths = sorted(source_paths)
     is_csv = any(p.endswith((".csv", ".txt", ".tsv")) for p in source_paths)
+    is_warc = bool(source_paths) and all(
+        p.endswith((".warc", ".warc.gz")) for p in source_paths)
     dialect = None
-    if is_csv:
+    warc_extract = None
+    if is_warc:
+        # parse/extract exactly like the layout's initial encode: the
+        # extraction tags come from the persisted config, never the caller
+        ex = cfg.get("warc_extract")
+        warc_extract = tuple(t.encode("latin-1") for t in ex) if ex \
+            else None
+        from .plan import plan_from_schemas
+        from .sources.warc import warc_schema
+        ws = warc_schema(extract=warc_extract is not None)
+        plan = plan_from_schemas(source_paths,
+                                 {p: ws for p in source_paths},
+                                 columns_select=columns_select,
+                                 columns_rename=columns_rename,
+                                 add_filename=add_filename)
+        precode = False  # precode samples parquet row groups
+    elif is_csv:
         from .sources.csv import build_csv_plan
         plan, dialect = build_csv_plan(
             source_paths, columns_select=columns_select,
@@ -1475,7 +1499,8 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                             num_cpus=1)(_map_pack_files)
     enc_fn = ray.remote(num_cpus=1)(_encode_part_task)
     map_refs = [map_fn.remote(g, plan, num_partitions, url_col, hot_hosts,
-                              host_map, frozenset(), dialect, precode_map)
+                              host_map, frozenset(), dialect, precode_map,
+                              warc_extract)
                 for g in groups]
     if num_partitions == 1:
         map_refs = [[r] for r in map_refs]
@@ -1545,7 +1570,9 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
                    map_bytes: int = TARGET_MAP_BYTES,
                    precode: bool = True,
                    zone_columns: list[str] | None = None,
-                   logger=None) -> dict:
+                   logger=None,
+                   warc_extract_text: tuple[bytes, bytes] | None
+                   = None) -> dict:
     """Arbitrarily-large encode: the auto-sharding orchestrator over
     :func:`encode_partitioned_tasks`. That path tracks one driver object
     ref per (map task × partition); this wrapper bounds the in-flight ref
@@ -1585,8 +1612,20 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
 
     source_paths = sorted(source_paths)
     is_csv = any(p.endswith((".csv", ".txt", ".tsv")) for p in source_paths)
+    is_warc = bool(source_paths) and all(
+        p.endswith((".warc", ".warc.gz")) for p in source_paths)
     dialect = None
-    if is_csv:
+    if is_warc:
+        from .plan import plan_from_schemas
+        from .sources.warc import warc_schema
+        ws = warc_schema(extract=warc_extract_text is not None)
+        plan = plan_from_schemas(source_paths,
+                                 {p: ws for p in source_paths},
+                                 columns_select=columns_select,
+                                 columns_rename=columns_rename,
+                                 add_filename=add_filename)
+        precode = False
+    elif is_csv:
         from .sources.csv import build_csv_plan
         plan, dialect = build_csv_plan(
             source_paths, columns_select=columns_select,
@@ -1602,7 +1641,10 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
     if host_map is None and hot_hosts is None:
         if host_counts is None:
             import ray.data
-            if dialect is not None:
+            if is_warc:
+                from .sources.warc import read_warc
+                url_ds = read_warc(source_paths).select_columns([url_col])
+            elif dialect is not None:
                 from .sources.csv import read_aligned_csv
                 url_ds = read_aligned_csv(source_paths, plan=plan,
                                           dialect=dialect)
@@ -1649,7 +1691,8 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
                 hot_hosts=hot_hosts, host_map=host_map,
                 plan=plan, dialect=dialect, logger=logger,
                 map_bytes=map_bytes, precode=precode,
-                zone_columns=zone_columns)
+                zone_columns=zone_columns,
+                warc_extract_text=warc_extract_text)
         else:
             summary = encode_append(
                 files, out_dir, columns_select=columns_select,

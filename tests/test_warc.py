@@ -169,3 +169,46 @@ def test_warc_tasks_exchange_matches_dataset_path(ray_session, tmp_path):
     assert len(hit) == 1
     assert hit["text"][0].encode() == docs[13]["html"].split(
         b"<body>")[1].split(b"</body>")[0]
+
+
+def test_warc_append_and_sharded(ray_session, tmp_path):
+    """Incremental CC ingest: day-2 WARC append reuses the layout's
+    persisted routing AND extraction config; encode_sharded over many
+    archives (forced multi-shard) decodes identically to one single-job
+    encode."""
+    from raystack import pipeline as pl
+
+    docs = _docs(160)
+    archives = []
+    for i in range(8):
+        p = str(tmp_path / f"c{i}.warc.gz")
+        w.write_warc(p, docs[i * 20:(i + 1) * 20])
+        archives.append(p)
+
+    # day 1 + append == fresh encode of everything
+    day1 = str(tmp_path / "day1")
+    pl.encode_partitioned_tasks(archives[:6], day1, num_partitions=4,
+                                warc_extract_text=(b"<body>", b"</body>"))
+    s2 = pl.encode_append(archives[6:], day1)
+    assert s2["rows"] == len(docs)
+    fresh = str(tmp_path / "fresh")
+    pl.encode_partitioned_tasks(archives, fresh, num_partitions=4,
+                                warc_extract_text=(b"<body>", b"</body>"))
+    a = pl.decode_dir(day1).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    b = pl.decode_dir(fresh).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    for col in ["url", "html", "text", "warc_ts"]:
+        assert a[col].tolist() == b[col].tolist(), col
+
+    # sharded (forced >=2 shards) == the single job
+    shard_out = str(tmp_path / "sharded")
+    s3 = pl.encode_sharded(archives, shard_out, num_partitions=4,
+                           max_refs=8,  # 4 partitions -> 2 map tasks/shard
+                           map_bytes=1,  # one group per archive
+                           warc_extract_text=(b"<body>", b"</body>"))
+    assert s3["shards"] >= 2 and s3["rows"] == len(docs)
+    c = pl.decode_dir(shard_out).to_pandas().sort_values("url") \
+        .reset_index(drop=True)
+    for col in ["url", "html", "text", "warc_ts"]:
+        assert c[col].tolist() == b[col].tolist(), col
