@@ -574,7 +574,7 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     # stream pages straight to partitioned storage (never materialized)
     pages.write_parquet(os.path.join(out_dir, "pages"),
                         partition_cols=["part_key"])
-    summary = _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="encode")
     if collect_stats:
         summary["stats"] = pages.stats()
     log.send_log(f"encode_partitioned done: {summary['rows']} rows, "
@@ -592,6 +592,9 @@ def _resume_prepare(out_dir: str, resume: bool) -> set[int]:
     if not resume:
         shutil.rmtree(pages_dir, ignore_errors=True)
         shutil.rmtree(os.path.join(out_dir, "_manifest"), ignore_errors=True)
+        # a fresh encode starts a new lineage: retired files of the old
+        # layout are unreachable (their snapshot log was just wiped)
+        shutil.rmtree(os.path.join(out_dir, "_history"), ignore_errors=True)
         return set()
     done = mf.completed_part_keys(out_dir)
     if os.path.isdir(pages_dir):
@@ -1285,7 +1288,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                                         3)}
     else:
         ray.get(enc_refs)
-    summary = _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="encode")
     if stats is not None:
         summary["stats"] = stats
     log.send_log(f"encode_partitioned_tasks done: {summary['rows']} rows, "
@@ -1518,7 +1521,7 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                               backfill=backfill or None)
                 for pk in range(num_partitions)]
     ray.get(enc_refs)
-    summary = _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="append")
     log.send_log(f"encode_append done: {summary['rows']} rows total, "
                  f"{summary['encoded_bytes']}/{summary['raw_bytes']} bytes")
     return summary
@@ -1718,13 +1721,17 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
 _DRIVER_MANIFEST_MAX_FILES = 512
 
 
-def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
+def _finalize_manifest(out_dir: str, enc_cols: list[str],
+                       snapshot_op: str | None = None) -> dict:
     """Lineage/manifest from a metadata-only read-back of what actually
     landed (pruned — no ``data`` column), reduced to one row per partition;
     only #partitions rows ever reach the driver. Small outputs (≤512 page
     files) read the metadata directly with pyarrow on the driver — the Ray
     fan-out costs more than the read at that size; big outputs keep the
-    distributed aggregation."""
+    distributed aggregation. ``snapshot_op`` additionally commits the
+    resulting live file set to the snapshot log (:mod:`raystack.snapshots`)
+    labeled with the mutating operation's name — every layout-mutating
+    entry point passes it, making the layout time-travelable."""
     import glob as _glob
     import json
 
@@ -1789,6 +1796,9 @@ def _finalize_manifest(out_dir: str, enc_cols: list[str]) -> dict:
             "encode_ms": int(getattr(r, "encode_ms", 0)),
         }
     mf.update_manifest(out_dir, rows)
+    if snapshot_op is not None:
+        from .snapshots import commit_snapshot
+        commit_snapshot(out_dir, snapshot_op)
     return mf.manifest_summary(out_dir)
 
 
@@ -1912,7 +1922,7 @@ def encode_streaming(ds, out_dir: str, columns: list[str] | None = None,
         pages = pages.sort("part_key")  # compressed-volume exchange only
     pages.write_parquet(os.path.join(out_dir, "pages"),
                         partition_cols=["part_key"])
-    summary = _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="encode")
     from .log import get_logger
     get_logger(logger).send_log(
         f"encode_streaming done: {summary['rows']} rows, "
@@ -1961,7 +1971,8 @@ PAGES_ROW_GROUP = int(os.environ.get("RAYSTACK_PAGES_ROW_GROUP", "8"))
 
 def _decode_partition_dir(dir_path: str,
                           columns: list[str] | None = None,
-                          page_whitelist=None) -> pa.Table:
+                          page_whitelist=None,
+                          paths: list[str] | None = None) -> pa.Table:
     """Decode every page group inside one ``part_key=`` directory locally:
     read the partition's page files (pruned to the wanted columns), sort by
     page_idx in-memory, slice each page group, decode. Pure function run
@@ -1969,7 +1980,10 @@ def _decode_partition_dir(dir_path: str,
     encoder targeted (128-512 MB). ``page_whitelist`` (zone-map pruning,
     :mod:`raystack.zones`) restricts decode to the listed page_idx values
     — only valid when every decoded column shares the same page row
-    boundaries (the zone builder records that as ``uniform``)."""
+    boundaries (the zone builder records that as ``uniform``).
+    ``paths`` (time travel, :mod:`raystack.snapshots`) reads the listed
+    page files — which may live in ``_history/`` — instead of globbing
+    the directory."""
     import pyarrow.dataset as pads
     # push the filters into the scan: with bounded row groups
     # (PAGES_ROW_GROUP) parquet statistics let the reader skip the
@@ -1981,7 +1995,8 @@ def _decode_partition_dir(dir_path: str,
         pw = pc.field("page_idx").isin(
             [int(p) for p in page_whitelist])
         expr = pw if expr is None else (expr & pw)
-    t = pads.dataset(dir_path).to_table(
+    src = pads.dataset(paths) if paths is not None else pads.dataset(dir_path)
+    t = src.to_table(
         columns=["page_idx", "column", "data"], filter=expr)
     if t.num_rows == 0:
         return pa.table({})
@@ -2018,30 +2033,49 @@ def _decode_partition_dir(dir_path: str,
     return pa.table(arrays, names=out_names)
 
 
-def decode_dir(out_dir: str, columns: list[str] | None = None):
+def decode_dir(out_dir: str, columns: list[str] | None = None,
+               snapshot: int | None = None):
     """Partition-local decode of an encoded layout on disk: one task per
     ``part_key=`` directory, each decoding its own page groups — NO
     all-to-all (a page group never spans part_key directories, by
     construction of both encode paths). This replaces the global
     groupby(part_key, page_idx) shuffle :func:`decode_pages` needs for
     in-memory pages datasets; at 100 TB the decode plan is a pure task
-    fan-out with parallelism = num_partitions."""
+    fan-out with parallelism = num_partitions.
+
+    ``snapshot`` time-travels: the decode reads exactly the page files
+    the snapshot log (:mod:`raystack.snapshots`) recorded as live at
+    that snapshot id, resolving files later rewrites retired into
+    ``_history/``. The plan shape is identical — the snapshot only
+    changes WHICH files each partition task opens."""
     import ray.data
     pages_root = os.path.join(out_dir, "pages")
-    dirs = sorted(d for d in os.listdir(pages_root)
-                  if d.startswith("part_key="))
-    if not dirs:
-        raise FileNotFoundError(f"no part_key= dirs under {pages_root}")
+    if snapshot is not None:
+        from .snapshots import resolve_snapshot_paths
+        per_dir = resolve_snapshot_paths(out_dir, snapshot)
+        items = [{"dir": d, "paths": paths}
+                 for d, paths in sorted(per_dir.items())]
+        if not items:
+            raise FileNotFoundError(
+                f"snapshot {snapshot} of {out_dir} lists no partitions")
+    else:
+        dirs = sorted(d for d in os.listdir(pages_root)
+                      if d.startswith("part_key="))
+        if not dirs:
+            raise FileNotFoundError(f"no part_key= dirs under {pages_root}")
+        items = [{"dir": d} for d in dirs]
 
     def decode_one(batch: dict) -> pa.Table:
-        parts = [_decode_partition_dir(os.path.join(pages_root, str(d)),
-                                       columns)
-                 for d in batch["dir"]]
+        path_lists = batch.get("paths")
+        parts = [_decode_partition_dir(
+            os.path.join(pages_root, str(d)), columns,
+            paths=list(path_lists[i]) if path_lists is not None else None)
+            for i, d in enumerate(batch["dir"])]
         parts = [p for p in parts if p.num_rows]
         return pa.concat_tables(parts, promote_options="default") \
             if parts else pa.table({})
 
-    return ray.data.from_items([{"dir": d} for d in dirs]) \
+    return ray.data.from_items(items) \
         .map_batches(decode_one, batch_size=1, batch_format="numpy")
 
 
@@ -2346,6 +2380,11 @@ def layout_stats(out_dir: str) -> dict:
         "max_files_per_partition": max(files_per_part.values(), default=0),
         "zone_sidecars": int(zoned),
     })
+    from .snapshots import list_snapshots
+    snaps = list_snapshots(out_dir)
+    summary["snapshots"] = [{"id": s["id"], "op": s["op"], "rows": s["rows"]}
+                            for s in snaps]
+    summary["current_snapshot"] = snaps[-1]["id"] if snaps else None
     return summary
 
 
@@ -2395,11 +2434,14 @@ def alter_layout(out_dir: str, drop: list[str] | None = None,
     pages_root = os.path.join(out_dir, "pages")
     dirs = sorted(d for d in os.listdir(pages_root)
                   if d.startswith("part_key="))
+    from .snapshots import retirement_gen
+    gen = retirement_gen(out_dir)
 
     @ray.remote(num_cpus=1)
     def one(d: str) -> int:
         import pyarrow.parquet as _pq
 
+        from .snapshots import retire_file
         from .zones import ZONES_DIRNAME
         part_dir = os.path.join(pages_root, d)
         zdir = os.path.join(out_dir, ZONES_DIRNAME, d)
@@ -2419,9 +2461,18 @@ def alter_layout(out_dir: str, drop: list[str] | None = None,
                                type=pa.string())
                 t = t.set_column(t.schema.get_field_index("column"),
                                  "column", new)
-            tmp = path + ".tmp"
+            # generation-suffixed new name + retirement of the original:
+            # the pre-alter snapshot stays decodable (time travel). Order
+            # = write tmp (dot-prefixed, invisible) → retire old →
+            # install new: a crash between the last two leaves that
+            # file's pages MISSING from the live view — decode fails
+            # loudly (and the bytes are safe in history) — rather than
+            # duplicated, which would corrupt silently
+            new_name = f"{f[:-len('.parquet')]}.a{gen}.parquet"
+            tmp = os.path.join(part_dir, f".{new_name}.tmp")
             _pq.write_table(t, tmp, row_group_size=PAGES_ROW_GROUP)
-            os.replace(tmp, path)
+            retire_file(out_dir, gen, d, f)
+            os.replace(tmp, os.path.join(part_dir, new_name))
         # zone sidecars: dropped columns' files go away; renamed move.
         # meta.json's column list is rewritten to match
         if os.path.isdir(zdir):
@@ -2462,7 +2513,8 @@ def alter_layout(out_dir: str, drop: list[str] | None = None,
     final_cols = sorted((existing - set(drop) - set(rename))
                         | set(rename.values()))
     enc_like = [c for c in final_cols if c not in ("filepath", "filename")]
-    return _finalize_manifest(out_dir, enc_like or final_cols)
+    return _finalize_manifest(out_dir, enc_like or final_cols,
+                              snapshot_op="alter")
 
 
 def compact_partitions(out_dir: str, min_files: int = 2,
@@ -2496,32 +2548,37 @@ def compact_partitions(out_dir: str, min_files: int = 2,
         return {"compacted": 0}
     key_col = (mf.load_config(out_dir) or {}).get("url_col")
 
+    from .snapshots import retirement_gen
+    gen = retirement_gen(out_dir)
+
     def one(d: str) -> int:
         import hashlib as _hashlib
         import json as _json
 
         import pyarrow.parquet as _pq
 
+        from .snapshots import retire_file
         from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
                             zone_sidecar_from_table)
         part_dir = os.path.join(pages_root, d)
         pk = int(d.split("=", 1)[1])
         journal = os.path.join(part_dir, ".compact-journal.json")
-        base = os.path.join(part_dir, "part-0.parquet")
+        base_name = f"part-c{gen}.parquet"
+        base = os.path.join(part_dir, base_name)
         if os.path.exists(journal):
             # a previous compact crashed mid-commit. The journal records
-            # the digest the NEW base file would have: if part-0 matches,
-            # the install happened → finish the cleanup; if not, nothing
-            # was installed → just drop the journal (the dot-prefixed tmp
-            # is invisible to dataset discovery either way)
+            # the digest and name of the NEW base file: if it matches,
+            # the install happened → finish retiring the replaced files
+            # (into the crashed run's generation); if not, nothing was
+            # installed → just drop the journal (the dot-prefixed tmp is
+            # invisible to dataset discovery either way)
             with open(journal) as fh:
                 j = _json.load(fh)
-            if os.path.exists(base) and _hashlib.sha1(
-                    open(base, "rb").read()).hexdigest() == j["digest"]:
-                for f in j["remove"]:
-                    p = os.path.join(part_dir, f)
-                    if os.path.exists(p):
-                        os.remove(p)
+            jbase = os.path.join(part_dir, j.get("base", "part-0.parquet"))
+            if os.path.exists(jbase) and _hashlib.sha1(
+                    open(jbase, "rb").read()).hexdigest() == j["digest"]:
+                for f in j.get("retire", j.get("remove", [])):
+                    retire_file(out_dir, j.get("gen", gen), d, f)
             os.remove(journal)
         full = _decode_partition_dir(part_dir)
         cols = list(full.schema.names)
@@ -2538,26 +2595,27 @@ def compact_partitions(out_dir: str, min_files: int = 2,
         pages = _encode_table(full, pk, cols, page_rows,
                               input_files=files_meta)
         invalidate_zone_sidecar(out_dir, pk)
-        old = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
-        tmp = os.path.join(part_dir, ".part-0.parquet.tmp")
+        old = [f for f in os.listdir(part_dir)
+               if f.endswith(".parquet") and f != base_name]
+        tmp = os.path.join(part_dir, f".{base_name}.tmp")
         _pq.write_table(pages.drop_columns(["part_key"]), tmp,
                         row_group_size=PAGES_ROW_GROUP)
-        # crash-safe commit: journal(digest of new base + files to drop)
-        # → install base → remove extras → drop journal. The partition's
-        # rows are reachable at every instant; a crash between install
-        # and cleanup leaves duplicates that the journal replay above
-        # removes on the next compact run
+        # crash-safe commit: journal(digest + name of new base, files to
+        # retire) → install base → retire replaced files into
+        # _history/<gen>/ (time travel keeps them readable; vacuum
+        # reclaims) → drop journal. The partition's rows are reachable
+        # at every instant; a crash between install and retirement
+        # leaves duplicates that the journal replay above retires on the
+        # next compact run
         digest = _hashlib.sha1(open(tmp, "rb").read()).hexdigest()
         jtmp = journal + ".tmp"
         with open(jtmp, "w") as fh:
-            _json.dump({"digest": digest,
-                        "remove": [f for f in old
-                                   if f != "part-0.parquet"]}, fh)
+            _json.dump({"digest": digest, "base": base_name,
+                        "gen": gen, "retire": old}, fh)
         os.replace(jtmp, journal)
         os.replace(tmp, base)
         for f in old:
-            if f != "part-0.parquet":
-                os.remove(os.path.join(part_dir, f))
+            retire_file(out_dir, gen, d, f)
         os.remove(journal)
         zcols = [c for c in (zone_columns or []) if c in full.schema.names]
         bloom = ([key_col] if key_col and key_col in full.schema.names
@@ -2575,7 +2633,7 @@ def compact_partitions(out_dir: str, min_files: int = 2,
         columns=["column"])
     enc_cols = sorted(c for c in pc.unique(t0["column"]).to_pylist()
                       if c not in ("filepath", "filename"))
-    summary = _finalize_manifest(out_dir, enc_cols)
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="compact")
     summary["compacted"] = len(todo)
     summary["compacted_rows"] = int(sum(rows))
     log.send_log(f"compact_partitions: rewrote {len(todo)} partition(s)")

@@ -962,15 +962,21 @@ def test_compact_preserves_lineage_and_replays_crash(ray_session, web,
 
     # simulate a crash AFTER install but BEFORE cleanup: duplicate the
     # base file under an append-style name and leave a matching journal
+    # (legacy format — "remove" + no "base"/"gen" keys — exercising the
+    # pre-snapshot-log compatibility path; compact writes part-c<gen>
+    # bases now, so point the legacy journal's implied part-0 base at it)
     import hashlib
     import shutil as _sh
     pdir = os.path.join(out, "pages", "part_key=0")
-    base = os.path.join(pdir, "part-0.parquet")
+    base_name = next(f for f in os.listdir(pdir) if f.startswith("part-c"))
+    base = os.path.join(pdir, base_name)
     _sh.copy(base, os.path.join(pdir, "part-deadbeef.parquet"))
+    _sh.copy(base, os.path.join(pdir, "part-0.parquet"))
     with open(os.path.join(pdir, ".compact-journal.json"), "w") as f:
         json.dump({"digest": hashlib.sha1(open(base, "rb").read())
-                   .hexdigest(), "remove": ["part-deadbeef.parquet"]}, f)
-    # the journal replay removes the leftover even below min_files
+                   .hexdigest(),
+                   "remove": ["part-deadbeef.parquet", base_name]}, f)
+    # the journal replay retires the leftover even below min_files
     pl.compact_partitions(out, min_files=99)
     assert not os.path.exists(os.path.join(pdir, "part-deadbeef.parquet"))
     assert not os.path.exists(os.path.join(pdir, ".compact-journal.json"))
