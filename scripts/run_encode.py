@@ -71,11 +71,48 @@ def main():
                     help="comma list of columns to zone-map at encode "
                          "time (per-page min/max sidecars for pruned "
                          "range queries; tasks/partitioned modes)")
+    ap.add_argument("--snapshots", action="store_true",
+                    help="print --output's snapshot log (one entry per "
+                         "layout-mutating op — metadata only, no Ray) "
+                         "and exit")
+    ap.add_argument("--rollback", type=int, metavar="SNAPSHOT", default=0,
+                    help="restore --output to this snapshot id (files, "
+                         "config, manifest; recorded as a new snapshot) "
+                         "and exit")
+    ap.add_argument("--vacuum", type=int, metavar="KEEP_LAST", default=0,
+                    help="reclaim --output's history, keeping the last "
+                         "KEEP_LAST snapshots readable, and exit")
     args = ap.parse_args()
 
     if args.stats:  # metadata-only: no Ray session, no page reads
         from raystack import pipeline as pl
         print(json.dumps(pl.layout_stats(args.output)))
+        return
+    if args.snapshots:
+        from raystack import snapshots as sn
+        print(json.dumps([{k: s[k] for k in
+                           ("id", "parent", "op", "rows", "encoded_bytes")}
+                          for s in sn.list_snapshots(args.output)]))
+        return
+    if args.vacuum:
+        from raystack import snapshots as sn
+        print(json.dumps(sn.vacuum(args.output, keep_last=args.vacuum)))
+        return
+    if args.rollback:
+        import ray  # manifest re-finalize may fan out on big layouts
+        if not ray.is_initialized():
+            kw = {"address": os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+            if kw["address"] == "local" and args.num_cpus:
+                kw["num_cpus"] = args.num_cpus
+            ray.init(**kw)
+        from raystack import snapshots as sn
+        from raystack.log import PrintLogger
+        summary = sn.rollback(args.output, args.rollback,
+                              logger=PrintLogger())
+        print(json.dumps(summary))
+        ray.shutdown()
         return
     if args.verify or args.compact:
         import ray
