@@ -28,6 +28,36 @@ def splitmix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def _unxorshift(h: np.ndarray, s: int) -> np.ndarray:
+    """Invert ``y = x ^ (x >> s)``: iterate ``x = y ^ (x >> s)`` until the
+    recovered high bits have propagated the full word."""
+    x = h.copy()
+    for _ in range(1, -(-64 // s)):
+        x = h ^ (x >> _U64(s))
+    return x
+
+
+#: modular inverses (mod 2**64) of splitmix64's odd multipliers —
+#: computed, not transcribed: pow(c, -1, 2**64)
+_INV1 = _U64(pow(0xBF58476D1CE4E5B9, -1, 2**64))
+_INV2 = _U64(pow(0x94D049BB133111EB, -1, 2**64))
+
+
+def unsplitmix64(h: np.ndarray) -> np.ndarray:
+    """Exact inverse of :func:`splitmix64` (the finalizer is a bijection:
+    xorshifts invert by re-application, odd multipliers by their modular
+    inverse). Lets a shuffle RANK ``splitmix64(id ^ seed)`` be mapped
+    back to the id with no join: ``id = unsplitmix64(rank) ^ seed``."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h = _unxorshift(h, 31)
+        h *= _INV2
+        h = _unxorshift(h, 27)
+        h *= _INV1
+        h = _unxorshift(h, 30)
+    return h
+
+
 def flatten_column(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(flat uint8 data, row_starts int64, row_lengths int64); nulls → empty."""
     import pyarrow.compute as pc
