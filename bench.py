@@ -245,6 +245,29 @@ def run_bench(num_cpus: int) -> dict:
     sequence_pack_plan(docs, 2048).count()
     queries["sequence_pack"] = round(time.perf_counter() - t0, 3)
 
+    # training-batch reader: seeded-epoch pack plan + hive-persisted
+    # plan/tokens + one pruned window fetch (the trainer's step fetch).
+    # BPE tokenization runs OUTSIDE the timer — it is the input, not the
+    # loader's cost.
+    from raystack.ops.bpe import add_bpe_ids, train_bpe
+    from raystack.ops.loader import (epoch_pack_plan, fetch_sequences,
+                                     persist_epoch_tokens, persist_plan)
+    tokenizer = train_bpe(docs, vocab_size=512)
+    toks = add_bpe_ids(docs, tokenizer).map_batches(
+        lambda t: t.select(["doc_id", "bpe_ids", "bpe_ids_n"]),
+        batch_format="pyarrow").materialize()
+    ldir = os.path.join(out_root, "loader")
+    shutil.rmtree(ldir, ignore_errors=True)
+    t0 = time.perf_counter()
+    eplan = epoch_pack_plan(toks, 256, seed=7, count_col="bpe_ids_n")
+    persist_plan(eplan, os.path.join(ldir, "plan"), 256)
+    persist_epoch_tokens(toks, os.path.join(ldir, "toks"), seed=7,
+                         n_buckets=64)
+    w = fetch_sequences(os.path.join(ldir, "toks"),
+                        os.path.join(ldir, "plan"), 64, 320, sep_id=256)
+    assert w.num_rows == 256
+    queries["epoch_window"] = round(time.perf_counter() - t0, 3)
+
     from raystack.ops.dedup import minhash_lsh_dedup
     t_mh = float("inf")
     for _ in range(2):  # noisy-box guard: this query is many small

@@ -206,7 +206,7 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
                                           (seq_hi - 1) // spb + 1))
         if not paths:
             return pa.table({"seq_id": pa.array([], pa.int64()),
-                             "tokens": pa.array([], pa.list_(pa.int32()))})
+                             "tokens": pa.array([], pa.large_list(pa.int32()))})
         plan_ds = ray.data.read_parquet(paths)
     else:
         plan_ds = plan
@@ -226,7 +226,7 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
             f"({MAX_FETCH_SPANS}) — fetch a smaller window (iter_epoch)")
     if not len(spans):
         return pa.table({"seq_id": pa.array([], pa.int64()),
-                         "tokens": pa.array([], pa.list_(pa.int32()))})
+                         "tokens": pa.array([], pa.large_list(pa.int32()))})
     order = np.argsort(spans["doc_id"].to_numpy(), kind="stable")
     sp = {c: spans[c].to_numpy()[order]
           for c in ("doc_id", "seq_id", "seq_off", "doc_off", "n_toks")}
@@ -256,7 +256,7 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
         if not len(rows):
             return pa.table({"seq_id": pa.array([], pa.int64()),
                              "seq_off": pa.array([], pa.int64()),
-                             "tokens": pa.array([], pa.list_(pa.int32()))})
+                             "tokens": pa.array([], pa.large_list(pa.int32()))})
         col = t[tokens_col].combine_chunks()
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
