@@ -334,11 +334,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = head["vec_id"].to_numpy()
         return ann(emb, qm, qids, k=10)
 
-    def events_windowed(sf):
-        from raystack.ops.window import tumbling_window_agg
-        ds = _read_pq(os.path.join(sf, "events.parquet"),
-                                   columns=["event_type", "ts"])
-        return tumbling_window_agg(ds, "ts", "event_type", window_sec=600)
+    def snapshot_read(sf):
+        """Time travel at the gate: day-1 encode (even doc_ids) → day-2
+        append (odd) → compact — which RETIRES every pre-compact page
+        file into ``_history/`` — then ``decode_dir(snapshot=1)``. The
+        decode must resolve snapshot 1's files through the history area
+        (they are no longer live), and the result is the day-1 table
+        exactly; the oracle recomputes day-1 membership from the source
+        parquet. (Replaced ``events_windowed`` in the 50-slot list:
+        tumbling windows stay DuckDB-oracled in pytest and
+        ``events_hopping`` keeps the window family at the gate —
+        hopping ≡ tumbling at hop=window is equivalence-tested.)"""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from raystack import pipeline as pl
+        base = os.path.join(_SCRATCH, f"snapread_{os.path.basename(sf)}")
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+        t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                          columns=["doc_id", "text", "source", "n_chars"])
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        day1 = os.path.join(base, "day1.parquet")
+        day2 = os.path.join(base, "day2.parquet")
+        pq.write_table(t.filter(even), day1)
+        pq.write_table(t.filter(pc.invert(even)), day2)
+        enc = os.path.join(base, "enc")
+        pl.encode_partitioned_tasks([day1], enc, url_col="source",
+                                    num_partitions=4, add_filename=False)
+        pl.encode_append([day2], enc, add_filename=False)
+        pl.compact_partitions(enc)
+        return pl.decode_dir(enc, snapshot=1)
 
     def events_hopping(sf):
         """Hopping (sliding) windows: 600 s windows every 200 s — each
@@ -823,7 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_dims": multimodal_dims,
         "repetition_stats": repetition_stats,
         "events_stats": events_stats,
-        "events_windowed": events_windowed,
+        "snapshot_read": snapshot_read,
         "events_hopping": events_hopping,
         "sessionized_events": sessionized_events,
         "events_asof": events_asof,
@@ -1199,11 +1225,9 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN dl USING (doc_id) JOIN df USING (token)
             WHERE tf.token IN ('data', 'query', 'stream')
             GROUP BY tf.doc_id"""),
-        "events_windowed": (
-            "SELECT event_type, "
-            "make_timestamp((epoch_us(ts) // 600000000) * 600000000) "
-            "AS window_start, count(*) AS n_events, min(ts) AS min_ts, "
-            "max(ts) AS max_ts FROM events GROUP BY 1, 2"),
+        "snapshot_read": (
+            "SELECT doc_id, text, source, n_chars FROM documents "
+            "WHERE doc_id % 2 = 0"),
         "events_hopping": ("""
             SELECT event_type,
                    make_timestamp((epoch_us(ts) // 200000000 - i)
