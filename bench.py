@@ -436,16 +436,19 @@ def run_bench(num_cpus: int) -> dict:
     assert s_w["rows"] == n_in, (s_w["rows"], n_in)
 
     # embeddings table: structural list codec (list->alprd child) encode
-    # + partition-local decode roundtrip over list<float32> vectors
+    # + partition-local decode roundtrip over list<float32> vectors,
+    # through the production task-exchange path (driver-side ANALYZE on
+    # inputs this small; decode is the partition-local fan-out)
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
     if os.path.isfile(emb_path):
         emb_out = os.path.join(CACHE, "emb_enc")
         shutil.rmtree(emb_out, ignore_errors=True)
-        ds_e = _read_pq(emb_path)
         t0 = time.perf_counter()
-        s_e = pl.encode_partitioned(ds_e, emb_out, url_col="vec_id",
-                                    num_partitions=8)
-        n_e = pl.decode_pages(pl.read_encoded(emb_out)).count()
+        s_e = pl.encode_partitioned_tasks([emb_path], emb_out,
+                                          url_col="vec_id",
+                                          num_partitions=8,
+                                          add_filename=False)
+        n_e = pl.decode_dir(emb_out).count()
         queries["embeddings_roundtrip"] = round(time.perf_counter() - t0, 3)
         assert n_e == s_e["rows"], (n_e, s_e["rows"])
 

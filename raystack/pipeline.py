@@ -191,6 +191,45 @@ def detect_hot_hosts(ds, url_col: str = "url", num_partitions: int = 32,
     return hot
 
 
+#: on-disk parquet bytes below which the ANALYZE host-count pass runs on
+#: the driver: a Ray scan+groupby job carries ~1-2 s of fixed plan/
+#: schedule cost, which dwarfs a column-pruned pyarrow read at this size
+_DRIVER_ANALYZE_MAX_BYTES = 128 << 20
+
+
+def _host_counts_driver(paths: list[str], url_col: str,
+                        top_k: int = 4096) -> dict[str, int]:
+    """Driver-side ANALYZE for small parquet inputs — same result as
+    :func:`collect_host_counts`, no Ray job. Only the key column's bytes
+    are read (column pruning), so the cost is a fraction of the input
+    bound."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+    c: Counter = Counter()
+    for p in paths:
+        t = _pq.read_table(p, columns=[url_col])
+        vc = _host_of(t[url_col]).value_counts()
+        for h, n in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            c[str(h)] += int(n)
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return dict(ranked)
+
+
+def _analyze_small(paths: list[str]) -> bool:
+    """True when every path is parquet and the total size fits the
+    driver-ANALYZE bound."""
+    if not paths or not all(p.endswith((".parquet", ".pq"))
+                            for p in paths):
+        return False
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return False
+    return total <= _DRIVER_ANALYZE_MAX_BYTES
+
+
 def plan_host_partitions(host_counts: dict[str, int], num_partitions: int,
                          top_k: int = 4096) -> dict[str, list[int]]:
     """Balanced host→partition assignment from ANALYZE-style exact counts:
@@ -1187,19 +1226,27 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
         num_partitions = auto_partitions(source_paths=source_paths)
     if host_map is None and hot_hosts is None:
         if host_counts is None:
-            import ray.data
-            if is_warc:
-                from .sources.warc import read_warc
-                url_ds = read_warc(source_paths).select_columns([url_col])
-            elif dialect is not None:
-                from .sources.csv import read_aligned_csv
-                url_ds = read_aligned_csv(source_paths, plan=plan,
-                                          dialect=dialect)
+            if _analyze_small(source_paths) and dialect is None \
+                    and not is_warc:
+                # small parquet inputs: ANALYZE on the driver — the Ray
+                # scan+groupby job's fixed cost dwarfs a column-pruned
+                # pyarrow read at this size
+                host_counts = _host_counts_driver(source_paths, url_col)
             else:
-                from .io import read_parquet_clean
-                url_ds = read_parquet_clean(source_paths,
-                                            columns=[url_col])
-            host_counts = collect_host_counts(url_ds, url_col)
+                import ray.data
+                if is_warc:
+                    from .sources.warc import read_warc
+                    url_ds = read_warc(source_paths) \
+                        .select_columns([url_col])
+                elif dialect is not None:
+                    from .sources.csv import read_aligned_csv
+                    url_ds = read_aligned_csv(source_paths, plan=plan,
+                                              dialect=dialect)
+                else:
+                    from .io import read_parquet_clean
+                    url_ds = read_parquet_clean(source_paths,
+                                                columns=[url_col])
+                host_counts = collect_host_counts(url_ds, url_col)
         host_map = plan_host_partitions(host_counts, num_partitions)
 
     columns = list(plan.target_columns)
@@ -1643,19 +1690,27 @@ def encode_sharded(source_paths: list[str], out_dir: str, *,
     # change which partition a url lands in
     if host_map is None and hot_hosts is None:
         if host_counts is None:
-            import ray.data
-            if is_warc:
-                from .sources.warc import read_warc
-                url_ds = read_warc(source_paths).select_columns([url_col])
-            elif dialect is not None:
-                from .sources.csv import read_aligned_csv
-                url_ds = read_aligned_csv(source_paths, plan=plan,
-                                          dialect=dialect)
+            if _analyze_small(source_paths) and dialect is None \
+                    and not is_warc:
+                # small parquet inputs: ANALYZE on the driver — the Ray
+                # scan+groupby job's fixed cost dwarfs a column-pruned
+                # pyarrow read at this size
+                host_counts = _host_counts_driver(source_paths, url_col)
             else:
-                from .io import read_parquet_clean
-                url_ds = read_parquet_clean(source_paths,
-                                            columns=[url_col])
-            host_counts = collect_host_counts(url_ds, url_col)
+                import ray.data
+                if is_warc:
+                    from .sources.warc import read_warc
+                    url_ds = read_warc(source_paths) \
+                        .select_columns([url_col])
+                elif dialect is not None:
+                    from .sources.csv import read_aligned_csv
+                    url_ds = read_aligned_csv(source_paths, plan=plan,
+                                              dialect=dialect)
+                else:
+                    from .io import read_parquet_clean
+                    url_ds = read_parquet_clean(source_paths,
+                                                columns=[url_col])
+                host_counts = collect_host_counts(url_ds, url_col)
         host_map = plan_host_partitions(host_counts, num_partitions)
 
     groups = _group_files(source_paths, map_bytes)

@@ -262,6 +262,26 @@ def test_auto_partitions_sizing(ray_session, web, tmp_path):
     assert mf.load_config(out)["num_partitions"] == 8
 
 
+def test_driver_analyze_matches_distributed(ray_session, web):
+    """Small parquet inputs ANALYZE on the driver (no Ray job); the
+    counts must equal the distributed pass exactly — same dict, so the
+    derived host_map (and therefore the routing) is identical."""
+    from raystack.io import read_parquet_clean
+    assert pl._analyze_small(list(web))
+    fast = pl._host_counts_driver(list(web), "url")
+    slow = pl.collect_host_counts(
+        read_parquet_clean(list(web), columns=["url"]), "url")
+    assert fast == slow
+    # non-parquet or oversized inputs stay on the distributed path
+    assert not pl._analyze_small(["a.csv"])
+    old = pl._DRIVER_ANALYZE_MAX_BYTES
+    try:
+        pl._DRIVER_ANALYZE_MAX_BYTES = 10
+        assert not pl._analyze_small(list(web))
+    finally:
+        pl._DRIVER_ANALYZE_MAX_BYTES = old
+
+
 def test_fused_keyer_pack_matches_plain_path(ray_session, web, tmp_path):
     # the fused read→align→key→pack pipeline (shuffle compression) must
     # produce the same decoded table and manifest as the unfused path
