@@ -180,10 +180,13 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
                     id_col: str = "doc_id", tokens_col: str = "bpe_ids",
                     sep_id: int = 0, sep_tokens: int = 1) -> pa.Table:
     """Materialize training sequences ``seq_lo <= seq_id < seq_hi`` of an
-    epoch: table ``(seq_id, tokens: list<int32>)`` sorted by seq_id.
-    Every sequence is exactly ``seq_len`` tokens (the final sequence of
-    the epoch may be shorter); document boundaries carry ``sep_tokens``
-    copies of ``sep_id``. ``tokens``/``plan`` are Datasets or the
+    epoch: table ``(seq_id, tokens: list<int32>, doc_starts:
+    list<int32>)`` sorted by seq_id. Every sequence is exactly
+    ``seq_len`` tokens (the final sequence of the epoch may be shorter);
+    document boundaries carry ``sep_tokens`` copies of ``sep_id``.
+    ``doc_starts`` lists the in-sequence offsets where a NEW document
+    begins (attention-reset positions for block-diagonal masking; a doc
+    continuing from the previous sequence is not a boundary). ``tokens``/``plan`` are Datasets or the
     directories :func:`persist_epoch_tokens` / :func:`persist_plan`
     wrote — persisted inputs are pruned to the overlapping buckets.
 
@@ -205,8 +208,10 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
         paths = _bucket_paths(plan, range(seq_lo // spb,
                                           (seq_hi - 1) // spb + 1))
         if not paths:
-            return pa.table({"seq_id": pa.array([], pa.int64()),
-                             "tokens": pa.array([], pa.large_list(pa.int32()))})
+            return pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.large_list(pa.int32())),
+                "doc_starts": pa.array([], pa.large_list(pa.int32()))})
         plan_ds = ray.data.read_parquet(paths)
     else:
         plan_ds = plan
@@ -225,8 +230,10 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
             f"fetch_sequences: {len(spans)} spans exceed MAX_FETCH_SPANS "
             f"({MAX_FETCH_SPANS}) — fetch a smaller window (iter_epoch)")
     if not len(spans):
-        return pa.table({"seq_id": pa.array([], pa.int64()),
-                         "tokens": pa.array([], pa.large_list(pa.int32()))})
+        return pa.table({
+                "seq_id": pa.array([], pa.int64()),
+                "tokens": pa.array([], pa.large_list(pa.int32())),
+                "doc_starts": pa.array([], pa.large_list(pa.int32()))})
     order = np.argsort(spans["doc_id"].to_numpy(), kind="stable")
     sp = {c: spans[c].to_numpy()[order]
           for c in ("doc_id", "seq_id", "seq_off", "doc_off", "n_toks")}
@@ -256,13 +263,14 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
         if not len(rows):
             return pa.table({"seq_id": pa.array([], pa.int64()),
                              "seq_off": pa.array([], pa.int64()),
+                             "is_start": pa.array([], pa.bool_()),
                              "tokens": pa.array([], pa.large_list(pa.int32()))})
         col = t[tokens_col].combine_chunks()
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         offs = np.asarray(col.offsets)
         flat = np.asarray(col.values).astype(np.int32, copy=False)
-        out_sid, out_soff, out_tok = [], [], []
+        out_sid, out_soff, out_tok, out_st = [], [], [], []
         for r in rows:
             start, length = int(offs[r]), int(offs[r + 1] - offs[r])
             for k in range(int(a[r]), int(b[r])):
@@ -279,7 +287,8 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
                 piece[:take] = flat[start + doff:start + doff + take]
                 out_sid.append(int(s["seq_id"][k]))
                 out_soff.append(int(s["seq_off"][k]))
-                out_tok.append(piece)
+                out_st.append(doff == 0)  # doc STARTS here (not a
+                out_tok.append(piece)     # continuation from prev seq)
         lens = np.array([len(p) for p in out_tok], np.int64)
         offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
         values = np.concatenate(out_tok) if out_tok \
@@ -288,6 +297,7 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
                                             pa.array(values, pa.int32()))
         return pa.table({"seq_id": pa.array(out_sid, pa.int64()),
                          "seq_off": pa.array(out_soff, pa.int64()),
+                         "is_start": pa.array(out_st, pa.bool_()),
                          "tokens": lst})
 
     def assemble(g: pa.Table) -> pa.Table:
@@ -303,11 +313,19 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
                 f"seq {g['seq_id'][0]}: spans do not tile the sequence "
                 "(missing document?)")
         seq = np.concatenate(pieces).astype(np.int32, copy=False)
+        # attention-reset positions: offsets where a NEW doc begins
+        # (doc_off==0 spans; a doc continuing from the previous sequence
+        # starts at seq_off=0 but is NOT a boundary)
+        is_start = np.asarray(g["is_start"])[order]
+        bounds = starts[is_start].astype(np.int32)
         return pa.table({
             "seq_id": pa.array([g["seq_id"][0].as_py()], pa.int64()),
             "tokens": pa.LargeListArray.from_arrays(
                 pa.array([0, len(seq)], pa.int64()),
                 pa.array(seq, pa.int32())),
+            "doc_starts": pa.LargeListArray.from_arrays(
+                pa.array([0, len(bounds)], pa.int64()),
+                pa.array(bounds, pa.int32())),
         })
 
     out = tokens_ds.map_batches(slice_spans, batch_format="pyarrow") \

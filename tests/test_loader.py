@@ -67,6 +67,22 @@ def test_unsplitmix64_is_exact_inverse():
     assert (splitmix64(unsplitmix64(x)) == x).all()
 
 
+def _reference_doc_starts(docs, seq_len=SEQ_LEN, seed=SEED, sep_tokens=1):
+    """Per-sequence in-sequence offsets where a NEW doc begins."""
+    ids = np.array(sorted(docs), np.int64)
+    ranks = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    order = ids[np.argsort(ranks)]
+    starts, pos = [], 0
+    for d in order:
+        starts.append(pos)
+        pos += len(docs[d]) + sep_tokens
+    n_seq = -(-pos // seq_len)
+    out = [[] for _ in range(n_seq)]
+    for p in starts:
+        out[p // seq_len].append(p % seq_len)
+    return out
+
+
 def test_full_epoch_matches_reference(ray_session):
     docs = _corpus()
     ds = _tokens_ds(docs)
@@ -77,6 +93,9 @@ def test_full_epoch_matches_reference(ray_session):
     assert got.num_rows == len(want)
     assert got["seq_id"].to_pylist() == list(range(len(want)))
     assert got["tokens"].to_pylist() == want
+    # attention-reset positions: exactly where new docs begin, never a
+    # continuation from the previous sequence
+    assert got["doc_starts"].to_pylist() == _reference_doc_starts(docs)
 
 
 def test_resume_mid_stream_is_identical(ray_session):
