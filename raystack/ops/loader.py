@@ -338,19 +338,46 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
 
 def iter_epoch(tokens, plan, *, window: int = 1024, start_seq: int = 0,
                end_seq: int | None = None, seq_len: int | None = None,
-               **kw):
+               prefetch: bool = False, **kw):
     """Generator of ``(first_seq_id, table)`` windows over an epoch —
     the trainer's feed loop. Resumable: pass the step counter's sequence
     offset as ``start_seq`` and the stream continues exactly where a
     continuous run would be. ``end_seq=None`` iterates until a window
-    comes back empty (epoch end)."""
+    comes back empty (epoch end). ``prefetch=True`` double-buffers: the
+    next window's fetch runs in a background thread while the trainer
+    consumes the current one (each fetch is an independent pure
+    function, so overlap cannot change the bytes)."""
     lo = int(start_seq)
-    while end_seq is None or lo < end_seq:
-        hi = lo + window if end_seq is None else min(lo + window, end_seq)
-        t = fetch_sequences(tokens, plan, lo, hi, seq_len=seq_len, **kw)
-        if t.num_rows == 0:
-            return
-        yield lo, t
-        if t.num_rows < hi - lo:  # short final window: epoch exhausted
-            return
-        lo = hi
+
+    def bound(x: int) -> int:
+        return x + window if end_seq is None else min(x + window, end_seq)
+
+    if not prefetch:
+        while end_seq is None or lo < end_seq:
+            hi = bound(lo)
+            t = fetch_sequences(tokens, plan, lo, hi, seq_len=seq_len, **kw)
+            if t.num_rows == 0:
+                return
+            yield lo, t
+            if t.num_rows < hi - lo:  # short final window: epoch done
+                return
+            lo = hi
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(fetch_sequences, tokens, plan, lo, bound(lo),
+                        seq_len=seq_len, **kw)
+        while end_seq is None or lo < end_seq:
+            hi = bound(lo)
+            t = fut.result()
+            full = t.num_rows == hi - lo
+            if full and (end_seq is None or hi < end_seq):
+                fut = ex.submit(fetch_sequences, tokens, plan, hi,
+                                bound(hi), seq_len=seq_len, **kw)
+            if t.num_rows == 0:
+                return
+            yield lo, t
+            if not full:
+                return
+            lo = hi

@@ -314,6 +314,28 @@ def rollback(out_dir: str, snapshot_id: int, logger=None) -> dict:
     return summary
 
 
+def diff_snapshots(out_dir: str, a: int, b: int) -> dict:
+    """What changed between snapshots ``a`` and ``b``: per-partition
+    file adds/removes plus the row/byte deltas the log recorded.
+    Metadata only — listings and log entries, no page reads."""
+    la, lb = snapshot_listing(out_dir, a), snapshot_listing(out_dir, b)
+    ea, eb = snapshot_entry(out_dir, a), snapshot_entry(out_dir, b)
+    parts = {}
+    for d in sorted(set(la) | set(lb)):
+        added = sorted(set(lb.get(d, [])) - set(la.get(d, [])))
+        removed = sorted(set(la.get(d, [])) - set(lb.get(d, [])))
+        if added or removed:
+            parts[d] = {"added": added, "removed": removed}
+    return {
+        "from": a, "to": b,
+        "ops": [s["op"] for s in list_snapshots(out_dir)
+                if a < s["id"] <= b],
+        "rows_delta": eb["rows"] - ea["rows"],
+        "encoded_bytes_delta": eb["encoded_bytes"] - ea["encoded_bytes"],
+        "partitions_changed": parts,
+    }
+
+
 def vacuum(out_dir: str, keep_last: int = 2) -> dict:
     """Reclaim history: keep the last ``keep_last`` snapshots readable,
     delete every history generation older snapshots depended on, and

@@ -82,6 +82,10 @@ def main():
     ap.add_argument("--vacuum", type=int, metavar="KEEP_LAST", default=0,
                     help="reclaim --output's history, keeping the last "
                          "KEEP_LAST snapshots readable, and exit")
+    ap.add_argument("--diff", default="", metavar="A:B",
+                    help="print what changed between snapshots A and B "
+                         "(per-partition file adds/removes, row/byte "
+                         "deltas — metadata only, no Ray) and exit")
     args = ap.parse_args()
 
     if args.stats:  # metadata-only: no Ray session, no page reads
@@ -97,6 +101,11 @@ def main():
     if args.vacuum:
         from raystack import snapshots as sn
         print(json.dumps(sn.vacuum(args.output, keep_last=args.vacuum)))
+        return
+    if args.diff:
+        from raystack import snapshots as sn
+        a, b = (int(x) for x in args.diff.split(":", 1))
+        print(json.dumps(sn.diff_snapshots(args.output, a, b)))
         return
     if args.rollback:
         import ray  # manifest re-finalize may fan out on big layouts

@@ -188,6 +188,32 @@ def test_iter_epoch_resumes_and_terminates(ray_session):
     assert resumed == want[10:]
 
 
+def test_missing_document_is_loud(ray_session):
+    """A doc that is in the plan but absent from the token source leaves
+    a hole in its sequences — the assembler's tiling check must fail
+    loudly, never emit a silently-shifted sequence."""
+    docs = _corpus(n_docs=20)
+    ds = _tokens_ds(docs)
+    plan = epoch_pack_plan(ds, SEQ_LEN, SEED)
+    victim = sorted(docs)[3]
+    holey = ds.filter(lambda r: r["doc_id"] != victim)
+    with pytest.raises(Exception, match="tile"):
+        fetch_sequences(holey, plan, 0, 200, seq_len=SEQ_LEN, sep_id=SEP)
+
+
+def test_prefetch_iteration_identical(ray_session):
+    docs = _corpus(n_docs=30)
+    ds = _tokens_ds(docs)
+    plan = epoch_pack_plan(ds, SEQ_LEN, SEED)
+    plain = [(lo, t["tokens"].to_pylist())
+             for lo, t in iter_epoch(ds, plan, window=4, seq_len=SEQ_LEN,
+                                     sep_id=SEP)]
+    pre = [(lo, t["tokens"].to_pylist())
+           for lo, t in iter_epoch(ds, plan, window=4, seq_len=SEQ_LEN,
+                                   sep_id=SEP, prefetch=True)]
+    assert pre == plain and len(plain) > 2
+
+
 def test_count_column_mismatch_is_loud(ray_session):
     docs = _corpus(n_docs=10)
     ds = _tokens_ds(docs)

@@ -117,6 +117,22 @@ def test_rollback_restores_config(ray_session, tmp_path):
     assert "source" in _decoded(out).columns
 
 
+def test_diff_snapshots(lifecycle):
+    out, expected = lifecycle
+    d = sn.diff_snapshots(out, 1, 2)
+    assert d["ops"] == ["append"]
+    assert d["rows_delta"] == len(expected[2]) - len(expected[1])
+    # an append only ADDS files
+    for p in d["partitions_changed"].values():
+        assert p["added"] and not p["removed"]
+    # compact replaces: every changed partition both adds and removes
+    d2 = sn.diff_snapshots(out, 2, 3)
+    assert d2["ops"] == ["compact"]
+    assert d2["rows_delta"] == 0
+    for p in d2["partitions_changed"].values():
+        assert p["added"] and p["removed"]
+
+
 def test_vacuum_reclaims_history(lifecycle):
     out, expected = lifecycle
     res = sn.vacuum(out, keep_last=2)
