@@ -489,6 +489,16 @@ def main():
         scale_rows = int(os.environ.get("SCALE_ROWS",
                                         str(8 * _bench_rows())))
 
+        def steal_jiffies():
+            # hypervisor steal: cycles the HOST took from this VM. A
+            # spin-loop A/B showed wall inflation on this box tracks
+            # steal spikes 1:1 — recording it per timed run turns
+            # "external interference suspected" into per-pair evidence
+            try:
+                return int(open("/proc/stat").readline().split()[8])
+            except Exception:
+                return 0
+
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_HEADLINE_ONLY="1", BENCH_ROWS=str(scale_rows),
@@ -505,16 +515,19 @@ def main():
             cmd = [sys.executable, os.path.abspath(__file__)]
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+            s0 = steal_jiffies()
             out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                                  cwd=os.path.dirname(os.path.abspath(__file__)),
                                  check=True).stdout
-            return json.loads(out.strip().splitlines()[-1])["value"]
+            val = json.loads(out.strip().splitlines()[-1])["value"]
+            return val, steal_jiffies() - s0
 
         pairs = []
         for _ in range(n_pairs):
-            t_lo, t_hi = run(lo), run(hi)
+            (t_lo, st_lo), (t_hi, st_hi) = run(lo), run(hi)
             pairs.append({"sec_lo": t_lo, "sec_hi": t_hi,
-                          "efficiency": round((t_lo / t_hi) / (hi / lo), 3)})
+                          "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
+                          "steal_lo": st_lo, "steal_hi": st_hi})
         effs = sorted(p["efficiency"] for p in pairs)
         median = effs[len(effs) // 2] if len(effs) % 2 else round(
             (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
