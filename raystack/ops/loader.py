@@ -47,7 +47,7 @@ import pyarrow as pa
 from .hashing import splitmix64, unsplitmix64
 
 __all__ = ["epoch_pack_plan", "persist_plan", "persist_epoch_tokens",
-           "fetch_sequences", "iter_epoch"]
+           "fetch_sequences", "iter_epoch", "materialize_epoch"]
 
 _FLIP = np.uint64(1 << 63)
 
@@ -334,6 +334,49 @@ def fetch_sequences(tokens, plan, seq_lo: int, seq_hi: int, *,
     tbl = pa.concat_tables([ray.get(r) for r in out],
                            promote_options="default")
     return tbl.sort_by("seq_id")
+
+
+def materialize_epoch(tokens, plan, out_dir: str, *,
+                      shard_sequences: int = 8192,
+                      start_seq: int = 0, seq_len: int | None = None,
+                      **kw) -> dict:
+    """Pre-materialize an epoch as numbered parquet shards (one file per
+    ``shard_sequences`` training sequences) for trainers that stream
+    files instead of fetching windows. RESUMABLE OUTPUT: each shard
+    lands atomically (tmp + rename) and an existing shard is skipped,
+    so a crashed run re-invoked with the same arguments finishes
+    exactly the missing shards — and determinism makes the skip safe
+    (the shard a re-run would write is byte-identical to the one on
+    disk). Returns ``{shards, sequences, skipped}``."""
+    import pyarrow.parquet as _pq
+    os.makedirs(out_dir, exist_ok=True)
+    lo, written, skipped, n_seq = int(start_seq), 0, 0, 0
+    while True:
+        shard = os.path.join(out_dir, f"shard-{lo:010d}.parquet")
+        if os.path.exists(shard):
+            # metadata-only skip: a finished shard costs a footer read,
+            # never a re-fetch; a short shard marks the epoch end
+            nrows = _pq.ParquetFile(shard).metadata.num_rows
+            skipped += 1
+            n_seq += nrows
+            if nrows < shard_sequences:
+                break
+            lo += shard_sequences
+            continue
+        t = fetch_sequences(tokens, plan, lo, lo + shard_sequences,
+                            seq_len=seq_len, **kw)
+        if t.num_rows == 0:
+            break
+        tmp = os.path.join(out_dir, f".shard-{lo:010d}.parquet.tmp")
+        _pq.write_table(t, tmp)
+        os.replace(tmp, shard)
+        written += 1
+        n_seq += t.num_rows
+        if t.num_rows < shard_sequences:
+            break
+        lo += shard_sequences
+    return {"shards": written + skipped, "sequences": n_seq,
+            "skipped": skipped}
 
 
 def iter_epoch(tokens, plan, *, window: int = 1024, start_seq: int = 0,

@@ -214,6 +214,37 @@ def test_prefetch_iteration_identical(ray_session):
     assert pre == plain and len(plain) > 2
 
 
+def test_materialize_epoch_shards_and_resumes(ray_session, tmp_path):
+    import pyarrow.parquet as pq_mod
+
+    from raystack.ops.loader import materialize_epoch
+    docs = _corpus(n_docs=50)
+    ds = _tokens_ds(docs)
+    plan = epoch_pack_plan(ds, SEQ_LEN, SEED)
+    want = _reference_seqs(docs)
+    out = str(tmp_path / "shards")
+    r1 = materialize_epoch(ds, plan, out, shard_sequences=6,
+                           seq_len=SEQ_LEN, sep_id=SEP)
+    assert r1["sequences"] == len(want) and r1["skipped"] == 0
+    shards = sorted(os.listdir(out))
+    got = [row for f in shards
+           for row in pq_mod.read_table(os.path.join(out, f))
+           ["tokens"].to_pylist()]
+    assert got == want
+    # crash-resume: delete one mid-epoch shard; the re-run rewrites ONLY
+    # it (every other shard skips on a footer read) and the epoch is
+    # whole again
+    victim = shards[1]
+    os.remove(os.path.join(out, victim))
+    r2 = materialize_epoch(ds, plan, out, shard_sequences=6,
+                           seq_len=SEQ_LEN, sep_id=SEP)
+    assert r2["skipped"] == len(shards) - 1 and r2["shards"] == len(shards)
+    got2 = [row for f in sorted(os.listdir(out))
+            for row in pq_mod.read_table(os.path.join(out, f))
+            ["tokens"].to_pylist()]
+    assert got2 == want
+
+
 def test_count_column_mismatch_is_loud(ray_session):
     docs = _corpus(n_docs=10)
     ds = _tokens_ds(docs)
