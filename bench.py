@@ -528,15 +528,29 @@ def main():
             pairs.append({"sec_lo": t_lo, "sec_hi": t_hi,
                           "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
                           "steal_lo": st_lo, "steal_hi": st_hi})
+        def med(vals):
+            vals = sorted(vals)
+            if not vals:
+                return None
+            mid = len(vals) // 2
+            return vals[mid] if len(vals) % 2 else round(
+                (vals[mid - 1] + vals[mid]) / 2, 3)
+
         effs = sorted(p["efficiency"] for p in pairs)
-        median = effs[len(effs) // 2] if len(effs) % 2 else round(
-            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+        median = med(effs)
+        # steal-clean subset: pairs where the hypervisor took <2 s of CPU
+        # across both runs. NOT a replacement for the raw median — every
+        # pair is reported above — but the number that reflects the
+        # ENGINE when the recorded interference is negligible
+        clean = [p["efficiency"] for p in pairs
+                 if p["steal_lo"] + p["steal_hi"] < 200]
         print(json.dumps({
             "metric": f"throughput scaling efficiency {lo}->{hi} CPUs "
                       "(interleaved same-input pairs, median of "
                       f"{n_pairs})",
             "value": median, "unit": "efficiency",
             "median": median, "best": max(effs),
+            "clean_median": med(clean), "clean_pairs": len(clean),
             "pairs": pairs, "lo_cpus": lo, "hi_cpus": hi,
             "rows": scale_rows, "sf": SF_DIR,
         }))
