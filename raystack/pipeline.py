@@ -2572,6 +2572,101 @@ def alter_layout(out_dir: str, drop: list[str] | None = None,
                               snapshot_op="alter")
 
 
+def derive_column(out_dir: str, fn, out_col: str, *,
+                  input_columns: list[str],
+                  page_rows: int = DEFAULT_PAGE_ROWS,
+                  logger=None) -> dict:
+    """Attach a COMPUTED column to an existing layout without re-encoding
+    anything else — the training-data backfill verb (quality scores,
+    langid, perplexity: derive once, filter forever). One Ray task per
+    partition decodes ONLY ``input_columns``, applies ``fn``
+    (``pa.Table -> pa.Array``/``ChunkedArray`` of the same length),
+    encodes just the new column's pages into one new page file
+    (``part-d<gen>-<out_col>.parquet``, its own page numbering — decode
+    assembles columns independently, exactly as with precoded heavy
+    columns), and leaves every existing byte untouched. At 100 TB the
+    cost is decode(inputs) + encode(one column); the payload columns
+    never move. Touched partitions' zone sidecars are invalidated (the
+    new column breaks the uniform-page-boundary claim, same as appends);
+    the manifest is re-finalized and a ``derive:<col>`` snapshot makes
+    the step time-travelable/rollbackable. Fails loudly when ``out_col``
+    already exists, an input column is missing, or ``fn`` returns the
+    wrong number of rows."""
+    import ray
+
+    from .log import get_logger
+    from .snapshots import retirement_gen
+    log = get_logger(logger)
+    existing = _layout_column_types(out_dir)
+    if not existing:
+        raise FileNotFoundError(f"no encoded layout under {out_dir}")
+    # existence is judged against the COMMITTED state (manifest codecs),
+    # not the files: a crashed derive leaves partial part-d*-<col> files
+    # in some partitions with no finalize — the re-run must heal them,
+    # not be refused by them
+    manifest = mf.load_manifest(out_dir)
+    committed = {c for row in manifest.values()
+                 for c in row.get("codecs", {})} or set(existing)
+    if out_col in committed:
+        raise ValueError(f"derive_column: {out_col!r} already exists — "
+                         "alter_layout(drop=...) it first, or pick "
+                         "another name")
+    missing = [c for c in input_columns if c not in existing]
+    if missing:
+        raise ValueError(f"derive_column: input column(s) {missing} not "
+                         f"in layout {sorted(existing)}")
+    pages_root = os.path.join(out_dir, "pages")
+    dirs = sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key="))
+    gen = retirement_gen(out_dir)  # unique generation for the file name
+
+    @ray.remote(num_cpus=1)
+    def one(d: str) -> int:
+        import pyarrow.parquet as _pq
+
+        import re as _re
+
+        from .zones import invalidate_zone_sidecar
+        part_dir = os.path.join(pages_root, d)
+        pk = int(d.split("=", 1)[1])
+        # heal a crashed attempt: stale derive files of THIS column are
+        # orphans (their run never finalized — a successful one would
+        # have been refused above), so a re-run replaces them cleanly
+        stale = _re.compile(rf"^part-d\d+-{_re.escape(out_col)}\.parquet$")
+        for f in os.listdir(part_dir):
+            if stale.match(f):
+                os.remove(os.path.join(part_dir, f))
+        inputs = _decode_partition_dir(part_dir, list(input_columns))
+        if inputs.num_rows == 0:
+            return 0
+        arr = fn(inputs)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, pa.Array):
+            arr = pa.array(arr)
+        if len(arr) != inputs.num_rows:
+            raise ValueError(
+                f"derive_column: fn returned {len(arr)} rows for "
+                f"partition {pk} with {inputs.num_rows} rows")
+        pages = _encode_table(pa.table({out_col: arr}), pk, [out_col],
+                              page_rows)
+        invalidate_zone_sidecar(out_dir, pk)
+        name = f"part-d{gen}-{out_col}.parquet"
+        tmp = os.path.join(part_dir, f".{name}.tmp")
+        _pq.write_table(pages.drop_columns(["part_key"]), tmp,
+                        row_group_size=PAGES_ROW_GROUP)
+        os.replace(tmp, os.path.join(part_dir, name))
+        return inputs.num_rows
+
+    rows = ray.get([one.remote(d) for d in dirs])
+    log.send_log(f"derive_column: {out_col!r} attached over "
+                 f"{sum(1 for r in rows if r)} partition(s), "
+                 f"{sum(rows)} rows")
+    enc_cols = sorted(set(existing) - {"filepath", "filename"}) + [out_col]
+    return _finalize_manifest(out_dir, sorted(enc_cols),
+                              snapshot_op=f"derive:{out_col}")
+
+
 def compact_partitions(out_dir: str, min_files: int = 2,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        zone_columns: list[str] | None = None,

@@ -957,6 +957,83 @@ def test_encode_append_tag_uses_full_paths(ray_session, tmp_path):
     assert s2["rows"] == t.num_rows
 
 
+def test_derive_column_attaches_without_reencode(ray_session, tmp_path):
+    """The backfill verb: a computed column lands as one new page file
+    per partition, every pre-existing byte untouched; decode/lookup see
+    it, time travel shows the layout without it, compaction folds it in."""
+    import pyarrow.compute as pc_mod
+
+    from raystack import snapshots as sn
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    day1 = str(tmp_path / "day1.parquet")
+    pq.write_table(t, day1)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    pages_root = os.path.join(out, "pages")
+    before = {
+        os.path.join(d, f): os.path.getsize(
+            os.path.join(pages_root, d, f))
+        for d in os.listdir(pages_root)
+        for f in os.listdir(os.path.join(pages_root, d))
+        if f.endswith(".parquet")}
+
+    pl.derive_column(out, lambda tb: pc_mod.utf8_length(tb["text"]),
+                     "text_chars", input_columns=["text"])
+
+    # every pre-existing file is byte-for-byte untouched; exactly one
+    # new file per partition
+    after = {
+        os.path.join(d, f): os.path.getsize(
+            os.path.join(pages_root, d, f))
+        for d in os.listdir(pages_root)
+        for f in os.listdir(os.path.join(pages_root, d))
+        if f.endswith(".parquet")}
+    assert all(after[k] == v for k, v in before.items())
+    new_files = sorted(set(after) - set(before))
+    assert len(new_files) == 4 and all("text_chars" in f
+                                       for f in new_files)
+
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["text_chars"].tolist() == \
+        [len(s) for s in want["text"]]
+    assert got["text"].tolist() == want["text"].tolist()
+
+    # point lookups return the derived column too
+    some = want["source"].iloc[:2].tolist()
+    found = pl.lookup_rows(out, some, columns=["source", "text_chars"])
+    assert "text_chars" in found.to_pandas().columns
+
+    # snapshot: the derive is a recorded, reversible step
+    snaps = sn.list_snapshots(out)
+    assert snaps[-1]["op"] == "derive:text_chars"
+    pre = pl.decode_dir(out, snapshot=snaps[-2]["id"]).to_pandas()
+    assert "text_chars" not in pre.columns
+
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        pl.derive_column(out, lambda tb: tb["text"], "text_chars",
+                         input_columns=["text"])
+    with pytest.raises(ValueError, match="not in layout"):
+        pl.derive_column(out, lambda tb: tb["nope"], "x",
+                         input_columns=["nope"])
+    with pytest.raises(Exception, match="rows"):
+        pl.derive_column(
+            out, lambda tb: pc_mod.utf8_length(tb["text"]).slice(1),
+            "bad", input_columns=["text"])
+
+    # compaction folds the derived column into the single base file
+    pl.compact_partitions(out, min_files=2)
+    got2 = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got2["text_chars"].tolist() == got["text_chars"].tolist()
+    stats = pl.layout_stats(out)
+    assert stats["max_files_per_partition"] == 1
+
+
 def test_compact_preserves_lineage_and_replays_crash(ray_session, web,
                                                      tmp_path):
     import json
