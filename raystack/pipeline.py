@@ -2667,6 +2667,102 @@ def derive_column(out_dir: str, fn, out_col: str, *,
                               snapshot_op=f"derive:{out_col}")
 
 
+def _replay_partition_journal(out_dir: str, part_dir: str,
+                              fallback_gen: int) -> None:
+    """Finish or discard a crashed partition-rewrite commit (the journal
+    protocol of :func:`_commit_partition_rewrite`). The journal records the
+    digest and name of the NEW base file: if it matches, the install
+    happened → finish retiring the replaced files (into the crashed run's
+    generation); if not, nothing was installed → just drop the journal
+    (the dot-prefixed tmp is invisible to dataset discovery either way)."""
+    import hashlib as _hashlib
+    import json as _json
+
+    from .snapshots import retire_file
+    journal = os.path.join(part_dir, ".compact-journal.json")
+    if not os.path.exists(journal):
+        return
+    with open(journal) as fh:
+        j = _json.load(fh)
+    jbase = os.path.join(part_dir, j.get("base", "part-0.parquet"))
+    if os.path.exists(jbase) and _hashlib.sha1(
+            open(jbase, "rb").read()).hexdigest() == j["digest"]:
+        d = os.path.basename(part_dir)
+        for f in j.get("retire", j.get("remove", [])):
+            retire_file(out_dir, j.get("gen", fallback_gen), d, f)
+    os.remove(journal)
+
+
+def _partition_lineage(part_dir: str) -> str:
+    """Union of every page file's ``input_files`` lineage — rewrites must
+    carry it forward or resume/audit loses the partition's provenance."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    lineage: set[str] = set()
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            t_if = _pq.read_table(os.path.join(part_dir, f),
+                                  columns=["input_files"])
+            for v in set(t_if["input_files"].to_pylist()):
+                if v:
+                    lineage.update(_json.loads(v))
+    return _json.dumps(sorted(lineage)) if lineage else ""
+
+
+def _commit_partition_rewrite(out_dir: str, part_dir: str, pk: int,
+                              full: pa.Table, gen: int, page_rows: int,
+                              key_col: str | None,
+                              zone_columns: list[str] | None,
+                              input_files: str = "") -> None:
+    """Crash-safe replace of a partition's page files with a fresh encode
+    of ``full`` (pages renumbered from 0, codecs re-picked): journal(digest
+    + name of new base, files to retire) → install base → retire replaced
+    files into ``_history/<gen>/`` (time travel keeps them readable; vacuum
+    reclaims) → drop journal → rebuild zone sidecars. The partition's rows
+    are reachable at every instant; a crash between install and retirement
+    leaves duplicates that :func:`_replay_partition_journal` retires on the
+    next maintenance run. Shared by compact_partitions and delete_rows."""
+    import hashlib as _hashlib
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from .snapshots import retire_file
+    from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
+                        zone_sidecar_from_table)
+    d = os.path.basename(part_dir)
+    journal = os.path.join(part_dir, ".compact-journal.json")
+    base_name = f"part-c{gen}.parquet"
+    base = os.path.join(part_dir, base_name)
+    cols = list(full.schema.names)
+    pages = _encode_table(full, pk, cols, page_rows,
+                          input_files=input_files)
+    invalidate_zone_sidecar(out_dir, pk)
+    old = [f for f in os.listdir(part_dir)
+           if f.endswith(".parquet") and f != base_name]
+    tmp = os.path.join(part_dir, f".{base_name}.tmp")
+    _pq.write_table(pages.drop_columns(["part_key"]), tmp,
+                    row_group_size=PAGES_ROW_GROUP)
+    digest = _hashlib.sha1(open(tmp, "rb").read()).hexdigest()
+    jtmp = journal + ".tmp"
+    with open(jtmp, "w") as fh:
+        _json.dump({"digest": digest, "base": base_name,
+                    "gen": gen, "retire": old}, fh)
+    os.replace(jtmp, journal)
+    os.replace(tmp, base)
+    for f in old:
+        retire_file(out_dir, gen, d, f)
+    os.remove(journal)
+    zcols = [c for c in (zone_columns or []) if c in full.schema.names]
+    bloom = ([key_col] if key_col and key_col in full.schema.names
+             else None)  # rewrite renumbers pages from 0 → valid
+    if (zcols or bloom) and full.num_rows:
+        zone_sidecar_from_table(
+            os.path.join(out_dir, ZONES_DIRNAME, d),
+            full, zcols, page_rows, uniform=True, bloom_columns=bloom)
+
+
 def compact_partitions(out_dir: str, min_files: int = 2,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        zone_columns: list[str] | None = None,
@@ -2702,78 +2798,14 @@ def compact_partitions(out_dir: str, min_files: int = 2,
     gen = retirement_gen(out_dir)
 
     def one(d: str) -> int:
-        import hashlib as _hashlib
-        import json as _json
-
-        import pyarrow.parquet as _pq
-
-        from .snapshots import retire_file
-        from .zones import (ZONES_DIRNAME, invalidate_zone_sidecar,
-                            zone_sidecar_from_table)
         part_dir = os.path.join(pages_root, d)
         pk = int(d.split("=", 1)[1])
-        journal = os.path.join(part_dir, ".compact-journal.json")
-        base_name = f"part-c{gen}.parquet"
-        base = os.path.join(part_dir, base_name)
-        if os.path.exists(journal):
-            # a previous compact crashed mid-commit. The journal records
-            # the digest and name of the NEW base file: if it matches,
-            # the install happened → finish retiring the replaced files
-            # (into the crashed run's generation); if not, nothing was
-            # installed → just drop the journal (the dot-prefixed tmp is
-            # invisible to dataset discovery either way)
-            with open(journal) as fh:
-                j = _json.load(fh)
-            jbase = os.path.join(part_dir, j.get("base", "part-0.parquet"))
-            if os.path.exists(jbase) and _hashlib.sha1(
-                    open(jbase, "rb").read()).hexdigest() == j["digest"]:
-                for f in j.get("retire", j.get("remove", [])):
-                    retire_file(out_dir, j.get("gen", gen), d, f)
-            os.remove(journal)
+        _replay_partition_journal(out_dir, part_dir, gen)
         full = _decode_partition_dir(part_dir)
-        cols = list(full.schema.names)
         # lineage survives compaction: union the old pages' input_files
-        lineage: set[str] = set()
-        for f in os.listdir(part_dir):
-            if f.endswith(".parquet"):
-                t_if = _pq.read_table(os.path.join(part_dir, f),
-                                      columns=["input_files"])
-                for v in set(t_if["input_files"].to_pylist()):
-                    if v:
-                        lineage.update(_json.loads(v))
-        files_meta = _json.dumps(sorted(lineage)) if lineage else ""
-        pages = _encode_table(full, pk, cols, page_rows,
-                              input_files=files_meta)
-        invalidate_zone_sidecar(out_dir, pk)
-        old = [f for f in os.listdir(part_dir)
-               if f.endswith(".parquet") and f != base_name]
-        tmp = os.path.join(part_dir, f".{base_name}.tmp")
-        _pq.write_table(pages.drop_columns(["part_key"]), tmp,
-                        row_group_size=PAGES_ROW_GROUP)
-        # crash-safe commit: journal(digest + name of new base, files to
-        # retire) → install base → retire replaced files into
-        # _history/<gen>/ (time travel keeps them readable; vacuum
-        # reclaims) → drop journal. The partition's rows are reachable
-        # at every instant; a crash between install and retirement
-        # leaves duplicates that the journal replay above retires on the
-        # next compact run
-        digest = _hashlib.sha1(open(tmp, "rb").read()).hexdigest()
-        jtmp = journal + ".tmp"
-        with open(jtmp, "w") as fh:
-            _json.dump({"digest": digest, "base": base_name,
-                        "gen": gen, "retire": old}, fh)
-        os.replace(jtmp, journal)
-        os.replace(tmp, base)
-        for f in old:
-            retire_file(out_dir, gen, d, f)
-        os.remove(journal)
-        zcols = [c for c in (zone_columns or []) if c in full.schema.names]
-        bloom = ([key_col] if key_col and key_col in full.schema.names
-                 else None)  # compaction renumbers pages from 0 → valid
-        if zcols or bloom:
-            zone_sidecar_from_table(
-                os.path.join(out_dir, ZONES_DIRNAME, d),
-                full, zcols, page_rows, uniform=True, bloom_columns=bloom)
+        _commit_partition_rewrite(out_dir, part_dir, pk, full, gen,
+                                  page_rows, key_col, zone_columns,
+                                  input_files=_partition_lineage(part_dir))
         return full.num_rows
 
     task = ray.remote(num_cpus=1)(one)
@@ -2787,4 +2819,121 @@ def compact_partitions(out_dir: str, min_files: int = 2,
     summary["compacted"] = len(todo)
     summary["compacted_rows"] = int(sum(rows))
     log.send_log(f"compact_partitions: rewrote {len(todo)} partition(s)")
+    return summary
+
+
+def delete_rows(out_dir: str, *, keys: list[str] | None = None,
+                predicate=None, predicate_columns: list[str] | None = None,
+                page_rows: int = DEFAULT_PAGE_ROWS,
+                zone_columns: list[str] | None = None,
+                logger=None) -> dict:
+    """Remove rows from an encoded layout in place — the retention /
+    right-to-be-forgotten verb (takedown lists, flagged-document purges,
+    curation verdicts applied to already-encoded corpora). Two modes,
+    exactly one of which must be given:
+
+    - ``keys=[...]``: delete every row whose partition-key column (the
+      layout's ``url_col``) is in the list. Keys route through the SAME
+      persisted partition-key math the encoder used, so only the
+      partitions that can contain a key are even opened — at 100 TB a
+      thousand-key takedown touches hash(|keys|) partitions, not the
+      corpus.
+    - ``predicate=fn, predicate_columns=[...]``: ``fn`` maps a
+      ``pa.Table`` of just ``predicate_columns`` to a boolean mask (True
+      = delete). Every partition is scanned, but the scan decodes ONLY
+      the predicate's columns; a partition with no matches is left
+      byte-for-byte untouched, and only matching partitions pay the full
+      decode + re-encode.
+
+    Rewrites use the compact commit protocol (journal → install → retire
+    into ``_history/<gen>/``), so a crashed delete heals on the next
+    maintenance run, lineage survives, and the step is snapshot-logged
+    (``delete``) — time travel still reads the pre-delete rows, and
+    ``vacuum`` makes the purge physical. A partition whose every row is
+    deleted keeps a zero-row page per column (schema preserved)."""
+    import ray
+
+    from .log import get_logger
+    log = get_logger(logger)
+    if (keys is None) == (predicate is None):
+        raise ValueError("delete_rows: pass exactly one of keys= / "
+                         "predicate=")
+    if predicate is not None and not predicate_columns:
+        raise ValueError("delete_rows: predicate= requires "
+                         "predicate_columns=[...]")
+    pages_root = os.path.join(out_dir, "pages")
+    if not os.path.isdir(pages_root):
+        raise FileNotFoundError(f"no encoded layout under {out_dir}")
+    cfg = mf.load_config(out_dir) or {}
+    key_col = cfg.get("url_col")
+
+    from .snapshots import retirement_gen
+    gen = retirement_gen(out_dir)
+
+    all_dirs = sorted(d for d in os.listdir(pages_root)
+                      if d.startswith("part_key="))
+    if keys is not None:
+        if not key_col:
+            raise ValueError("delete_rows: keys= needs the layout's "
+                             "partitioning config (url_col) — use "
+                             "predicate= on this layout")
+        key_arr = pa.array([str(k) for k in keys], type=pa.string())
+        routed = set(np.unique(compute_part_keys(
+            key_arr, cfg["num_partitions"],
+            cfg.get("hot_hosts") or {}, cfg.get("host_map"))).tolist())
+        dirs = [d for d in all_dirs
+                if int(d.split("=", 1)[1]) in routed]
+        check_cols = [key_col]
+
+        def make_mask(t: pa.Table) -> pa.ChunkedArray:
+            return pc.is_in(t[key_col], value_set=key_arr)
+    else:
+        dirs = all_dirs
+        check_cols = list(predicate_columns)
+
+        def make_mask(t: pa.Table):
+            m = predicate(t.select(check_cols))
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            if not isinstance(m, pa.Array):
+                m = pa.array(m, type=pa.bool_())
+            if len(m) != t.num_rows:
+                raise ValueError(
+                    f"delete_rows: predicate returned {len(m)} rows "
+                    f"for a partition with {t.num_rows} rows")
+            return m
+
+    def one(d: str) -> int:
+        part_dir = os.path.join(pages_root, d)
+        pk = int(d.split("=", 1)[1])
+        _replay_partition_journal(out_dir, part_dir, gen)
+        # cheap pre-check: decode only the mask's inputs — a partition
+        # with nothing to delete is left byte-for-byte untouched
+        probe = _decode_partition_dir(part_dir, check_cols)
+        ndel = int(pc.sum(pc.fill_null(make_mask(probe), False)
+                          ).as_py() or 0)
+        if ndel == 0:
+            return 0
+        full = _decode_partition_dir(part_dir)
+        keep = full.filter(pc.invert(
+            pc.fill_null(make_mask(full), False)))
+        _commit_partition_rewrite(out_dir, part_dir, pk, keep, gen,
+                                  page_rows, key_col, zone_columns,
+                                  input_files=_partition_lineage(part_dir))
+        return ndel
+
+    task = ray.remote(num_cpus=1)(one)
+    deleted = ray.get([task.remote(d) for d in dirs]) if dirs else []
+    n_deleted = int(sum(deleted))
+    n_rewritten = sum(1 for n in deleted if n)
+    manifest = mf.load_manifest(out_dir)
+    enc_cols = sorted({c for row in manifest.values()
+                       for c in row.get("codecs", {})}
+                      - {"filepath", "filename"})
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="delete")
+    summary["deleted_rows"] = n_deleted
+    summary["rewritten_partitions"] = n_rewritten
+    log.send_log(f"delete_rows: removed {n_deleted} row(s) across "
+                 f"{n_rewritten} partition(s) "
+                 f"({len(dirs)} scanned of {len(all_dirs)})")
     return summary

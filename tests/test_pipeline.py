@@ -1034,6 +1034,97 @@ def test_derive_column_attaches_without_reencode(ray_session, tmp_path):
     assert stats["max_files_per_partition"] == 1
 
 
+def test_delete_rows_keys_predicate_and_wipe(ray_session, tmp_path):
+    """The retention verb: key deletes touch only routed partitions
+    (others byte-identical), predicate deletes only decode their input
+    columns on non-matching partitions, time travel still reads the
+    pre-delete rows, and a full wipe leaves a readable empty layout."""
+    import pyarrow.compute as pc_mod
+
+    from raystack import snapshots as sn
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    day1 = str(tmp_path / "day1.parquet")
+    pq.write_table(t, day1)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    pages_root = os.path.join(out, "pages")
+
+    def sizes():
+        return {
+            os.path.join(d, f): os.path.getsize(
+                os.path.join(pages_root, d, f))
+            for d in os.listdir(pages_root)
+            for f in os.listdir(os.path.join(pages_root, d))
+            if f.endswith(".parquet")}
+
+    victim = sorted(set(t["source"].to_pylist()))[0]
+    n_victim = pc_mod.sum(
+        pc_mod.equal(t["source"], victim)).as_py()
+    before = sizes()
+    s = pl.delete_rows(out, keys=[victim])
+    assert s["deleted_rows"] == n_victim > 0
+    assert s["rewritten_partitions"] == 1
+    after = sizes()
+    untouched = [k for k in before if k in after
+                 and after[k] == before[k]]
+    # 3 of 4 partitions never rewrote (one key routes to one partition)
+    assert len({k.split("/")[0] for k in untouched}) == 3
+
+    got = pl.decode_dir(out).to_pandas()
+    assert victim not in set(got["source"])
+    assert len(got) == t.num_rows - n_victim
+    # the surviving rows are bit-exact
+    want = t.filter(pc_mod.not_equal(t["source"], victim)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["text"].tolist() == want["text"].tolist()
+
+    # snapshot log: pre-delete state still reads the victim's rows
+    snaps = sn.list_snapshots(out)
+    assert snaps[-1]["op"] == "delete"
+    pre = pl.decode_dir(out, snapshot=snaps[-2]["id"]).to_pandas()
+    assert (pre["source"] == victim).sum() == n_victim
+
+    # point lookup of a deleted key finds nothing
+    found = pl.lookup_rows(out, [victim])
+    assert found is None or found.count() == 0
+
+    # predicate mode: drop short docs everywhere
+    n_short = pc_mod.sum(pc_mod.less(
+        pc_mod.utf8_length(t["text"]), 120)).as_py()
+    s2 = pl.delete_rows(
+        out, predicate=lambda tb: pc_mod.less(
+            pc_mod.utf8_length(tb["text"]), 120),
+        predicate_columns=["text"])
+    got2 = pl.decode_dir(out).to_pandas()
+    assert (got2["text"].str.len() >= 120).all()
+    assert s2["deleted_rows"] + len(got2) == len(got)
+    assert s2["deleted_rows"] <= n_short  # victim rows already gone
+
+    # guards
+    with pytest.raises(ValueError, match="exactly one"):
+        pl.delete_rows(out)
+    with pytest.raises(ValueError, match="exactly one"):
+        pl.delete_rows(out, keys=["x"],
+                       predicate=lambda tb: [], predicate_columns=["text"])
+    with pytest.raises(ValueError, match="predicate_columns"):
+        pl.delete_rows(out, predicate=lambda tb: [])
+    with pytest.raises(Exception, match="rows"):
+        pl.delete_rows(out, predicate=lambda tb: pa.array([True]),
+                       predicate_columns=["text"])
+
+    # full wipe: every partition becomes a readable zero-row layout
+    s3 = pl.delete_rows(
+        out, predicate=lambda tb: pa.array([True] * tb.num_rows),
+        predicate_columns=["doc_id"])
+    assert s3["deleted_rows"] == len(got2)
+    wiped = pl.decode_dir(out).to_pandas()
+    assert len(wiped) == 0
+    assert pl.layout_stats(out)["rows"] == 0
+
+
 def test_compact_preserves_lineage_and_replays_crash(ray_session, web,
                                                      tmp_path):
     import json
