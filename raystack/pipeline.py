@@ -2823,6 +2823,7 @@ def compact_partitions(out_dir: str, min_files: int = 2,
 
 
 def delete_rows(out_dir: str, *, keys: list[str] | None = None,
+                keys_ds=None, key_col: str | None = None,
                 predicate=None, predicate_columns: list[str] | None = None,
                 page_rows: int = DEFAULT_PAGE_ROWS,
                 zone_columns: list[str] | None = None,
@@ -2845,6 +2846,14 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
       byte-for-byte untouched, and only matching partitions pay the full
       decode + re-encode.
 
+    A third mode, ``keys_ds=`` (a ``ray.data.Dataset`` whose ``key_col``
+    column — default: the layout's ``url_col`` — holds the keys), is the
+    same key delete at Dataset scale: when the takedown list is itself
+    too big for the driver, ONLY the keys shuffle (a ``groupby(part_key)``
+    whose bytes are the key column), and one group task per TOUCHED
+    partition rewrites it against its own key subset. Partitions
+    receiving no keys are never opened.
+
     Rewrites use the compact commit protocol (journal → install → retire
     into ``_history/<gen>/``), so a crashed delete heals on the next
     maintenance run, lineage survives, and the step is snapshot-logged
@@ -2855,9 +2864,10 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
 
     from .log import get_logger
     log = get_logger(logger)
-    if (keys is None) == (predicate is None):
+    n_modes = sum(x is not None for x in (keys, keys_ds, predicate))
+    if n_modes != 1:
         raise ValueError("delete_rows: pass exactly one of keys= / "
-                         "predicate=")
+                         "keys_ds= / predicate=")
     if predicate is not None and not predicate_columns:
         raise ValueError("delete_rows: predicate= requires "
                          "predicate_columns=[...]")
@@ -2865,15 +2875,78 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
     if not os.path.isdir(pages_root):
         raise FileNotFoundError(f"no encoded layout under {out_dir}")
     cfg = mf.load_config(out_dir) or {}
-    key_col = cfg.get("url_col")
+    url_col = cfg.get("url_col")
 
     from .snapshots import retirement_gen
     gen = retirement_gen(out_dir)
 
+    def _finish(n_deleted: int, n_rewritten: int, scanned: int,
+                total: int) -> dict:
+        manifest = mf.load_manifest(out_dir)
+        enc = sorted({c for row in manifest.values()
+                      for c in row.get("codecs", {})}
+                     - {"filepath", "filename"})
+        summary = _finalize_manifest(out_dir, enc, snapshot_op="delete")
+        summary["deleted_rows"] = n_deleted
+        summary["rewritten_partitions"] = n_rewritten
+        log.send_log(f"delete_rows: removed {n_deleted} row(s) across "
+                     f"{n_rewritten} partition(s) "
+                     f"({scanned} scanned of {total})")
+        return summary
+
     all_dirs = sorted(d for d in os.listdir(pages_root)
                       if d.startswith("part_key="))
+
+    if keys_ds is not None:
+        if not url_col:
+            raise ValueError("delete_rows: keys_ds= needs the layout's "
+                             "partitioning config (url_col)")
+        kc = key_col or url_col
+        num_partitions = cfg["num_partitions"]
+        hot = cfg.get("hot_hosts") or {}
+        hmap = cfg.get("host_map")
+
+        def key_batch(t: pa.Table) -> pa.Table:
+            vals = t[kc].combine_chunks().cast(pa.string())
+            pk = compute_part_keys(vals, num_partitions, hot, hmap)
+            return pa.table({"__k": vals,
+                             "part_key": pa.array(pk, type=pa.int64())})
+
+        def del_group(g: pa.Table) -> pa.Table:
+            pk = int(g["part_key"][0].as_py())
+            part_dir = os.path.join(pages_root, f"part_key={pk}")
+            empty = pa.table({"part_key": pa.array([pk], pa.int64()),
+                              "deleted": pa.array([0], pa.int64())})
+            if not os.path.isdir(part_dir):
+                return empty
+            keyset = pc.unique(g["__k"].combine_chunks())
+            _replay_partition_journal(out_dir, part_dir, gen)
+            probe = _decode_partition_dir(part_dir, [url_col])
+            if probe.num_rows == 0:
+                return empty
+            mask = pc.is_in(probe[url_col], value_set=keyset)
+            ndel = int(pc.sum(mask).as_py() or 0)
+            if ndel == 0:
+                return empty
+            full = _decode_partition_dir(part_dir)
+            keep = full.filter(pc.invert(
+                pc.is_in(full[url_col], value_set=keyset)))
+            _commit_partition_rewrite(
+                out_dir, part_dir, pk, keep, gen, page_rows, url_col,
+                zone_columns, input_files=_partition_lineage(part_dir))
+            return pa.table({"part_key": pa.array([pk], pa.int64()),
+                             "deleted": pa.array([ndel], pa.int64())})
+
+        res = keys_ds.map_batches(key_batch, batch_format="pyarrow") \
+            .groupby("part_key") \
+            .map_groups(del_group, batch_format="pyarrow").to_pandas()
+        n_deleted = int(res["deleted"].sum()) if len(res) else 0
+        n_rewritten = int((res["deleted"] > 0).sum()) if len(res) else 0
+        return _finish(n_deleted, n_rewritten,
+                       len(res), len(all_dirs))
+
     if keys is not None:
-        if not key_col:
+        if not url_col:
             raise ValueError("delete_rows: keys= needs the layout's "
                              "partitioning config (url_col) — use "
                              "predicate= on this layout")
@@ -2883,10 +2956,10 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
             cfg.get("hot_hosts") or {}, cfg.get("host_map"))).tolist())
         dirs = [d for d in all_dirs
                 if int(d.split("=", 1)[1]) in routed]
-        check_cols = [key_col]
+        check_cols = [url_col]
 
         def make_mask(t: pa.Table) -> pa.ChunkedArray:
-            return pc.is_in(t[key_col], value_set=key_arr)
+            return pc.is_in(t[url_col], value_set=key_arr)
     else:
         dirs = all_dirs
         check_cols = list(predicate_columns)
@@ -2918,22 +2991,63 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
         keep = full.filter(pc.invert(
             pc.fill_null(make_mask(full), False)))
         _commit_partition_rewrite(out_dir, part_dir, pk, keep, gen,
-                                  page_rows, key_col, zone_columns,
+                                  page_rows, url_col, zone_columns,
                                   input_files=_partition_lineage(part_dir))
         return ndel
 
     task = ray.remote(num_cpus=1)(one)
     deleted = ray.get([task.remote(d) for d in dirs]) if dirs else []
-    n_deleted = int(sum(deleted))
-    n_rewritten = sum(1 for n in deleted if n)
-    manifest = mf.load_manifest(out_dir)
-    enc_cols = sorted({c for row in manifest.values()
-                       for c in row.get("codecs", {})}
-                      - {"filepath", "filename"})
-    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="delete")
-    summary["deleted_rows"] = n_deleted
-    summary["rewritten_partitions"] = n_rewritten
-    log.send_log(f"delete_rows: removed {n_deleted} row(s) across "
-                 f"{n_rewritten} partition(s) "
-                 f"({len(dirs)} scanned of {len(all_dirs)})")
+    return _finish(int(sum(deleted)), sum(1 for n in deleted if n),
+                   len(dirs), len(all_dirs))
+
+
+def upsert_rows(source_paths: list[str], out_dir: str, *,
+                columns_select: list[str] | None = None,
+                columns_rename: dict[str, str] | None = None,
+                add_filename: bool = True,
+                schema: str = "strict",
+                precode: bool = True,
+                page_rows: int = DEFAULT_PAGE_ROWS,
+                map_bytes: int = TARGET_MAP_BYTES,
+                logger=None) -> dict:
+    """Recrawl semantics: re-ingest files into an existing layout with
+    the NEWEST snapshot of a key winning — every stored row whose
+    ``url_col`` value appears in the incoming files is deleted
+    (:func:`delete_rows` at Dataset scale: only the incoming keys
+    shuffle, only the partitions they route to rewrite), then the files
+    append exactly like :func:`encode_append` (same routing, exactly-once
+    tags, optional ``schema="union"`` drift absorption). Keys that occur
+    more than once WITHIN the increment all land — upsert dedups against
+    the layout, not inside the batch (run exact_dedup upstream for
+    that). Two snapshots record the step (``delete`` then ``append``),
+    so time travel can still read the replaced rows until ``vacuum``."""
+    import ray.data
+
+    from .io import read_parquet_clean
+    cfg = mf.load_config(out_dir) or {}
+    url_col = cfg.get("url_col")
+    if not url_col:
+        raise FileNotFoundError(
+            f"no partitioning config under {out_dir}")
+    # the incoming key column may be named differently pre-rename
+    src_key = url_col
+    for old, new in (columns_rename or {}).items():
+        if new == url_col:
+            src_key = old
+            break
+    keys_ds = read_parquet_clean(source_paths, columns=[src_key])
+    if src_key != url_col:
+        keys_ds = keys_ds.map_batches(
+            lambda t: t.rename_columns([url_col]),
+            batch_format="pyarrow")
+    del_summary = delete_rows(out_dir, keys_ds=keys_ds,
+                              page_rows=page_rows, logger=logger)
+    summary = encode_append(source_paths, out_dir,
+                            columns_select=columns_select,
+                            columns_rename=columns_rename,
+                            add_filename=add_filename, schema=schema,
+                            precode=precode, page_rows=page_rows,
+                            map_bytes=map_bytes, logger=logger)
+    summary["replaced_rows"] = del_summary["deleted_rows"]
+    summary["rewritten_partitions"] = del_summary["rewritten_partitions"]
     return summary

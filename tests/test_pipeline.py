@@ -1125,6 +1125,78 @@ def test_delete_rows_keys_predicate_and_wipe(ray_session, tmp_path):
     assert pl.layout_stats(out)["rows"] == 0
 
 
+def test_delete_rows_ds_parity_and_upsert(ray_session, tmp_path):
+    """keys_ds= (Dataset-scale takedown) produces the exact layout the
+    driver-list path does; upsert_rows ≡ fresh encode of (old rows whose
+    key is absent from the increment) ∪ increment."""
+    import pyarrow.compute as pc_mod
+    import ray.data
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source"])
+    day1 = str(tmp_path / "day1.parquet")
+    pq.write_table(t, day1)
+    victims = sorted(set(t["source"].to_pylist()))[:2]
+
+    outs = {}
+    for mode in ("list", "ds"):
+        out = str(tmp_path / f"enc_{mode}")
+        pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                    num_partitions=4, add_filename=False)
+        if mode == "list":
+            pl.delete_rows(out, keys=victims)
+        else:
+            pl.delete_rows(out, keys_ds=ray.data.from_arrow(
+                pa.table({"source": pa.array(victims)})))
+        outs[mode] = pl.decode_dir(out).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    assert outs["list"].equals(outs["ds"])
+    assert not set(victims) & set(outs["ds"]["source"])
+
+    # upsert: day2 re-crawls one surviving source (text changes) and
+    # adds a brand-new source
+    out = str(tmp_path / "enc_ds")
+    recrawl_src = sorted(set(outs["ds"]["source"]))[0]
+    old = pa.table(outs["ds"])
+    re_mask = pc_mod.equal(old["source"], recrawl_src)
+    day2_t = pa.table({
+        "doc_id": pa.array(
+            [90000 + i for i in range(
+                pc_mod.sum(re_mask).as_py() + 3)]),
+        "text": pa.array(
+            ["recrawled " + s for s in
+             old.filter(re_mask)["text"].to_pylist()] +
+            ["brand new doc %d" % i for i in range(3)]),
+        "source": pa.array(
+            [recrawl_src] * pc_mod.sum(re_mask).as_py() +
+            ["https://new.example/x"] * 3),
+    }).select(old.column_names).cast(old.schema)
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(day2_t, day2)
+
+    s = pl.upsert_rows([day2], out, add_filename=False)
+    assert s["replaced_rows"] == pc_mod.sum(re_mask).as_py()
+    got = pl.decode_dir(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = pa.concat_tables([
+        old.filter(pc_mod.invert(re_mask)), day2_t]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+    # the recrawled source's rows are all the NEW snapshot
+    assert all(s.startswith("recrawled ") or s.startswith("brand new")
+               for s in got[got["source"] == recrawl_src]["text"]
+               .tolist())
+
+    # upsert of the SAME increment again replaces its own rows (stable)
+    s2 = pl.upsert_rows([day2], out, add_filename=False)
+    assert s2["replaced_rows"] == day2_t.num_rows
+    got2 = pl.decode_dir(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got2["text"].tolist() == got["text"].tolist()
+
+
 def test_compact_preserves_lineage_and_replays_crash(ray_session, web,
                                                      tmp_path):
     import json
