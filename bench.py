@@ -374,6 +374,33 @@ def run_bench(num_cpus: int) -> dict:
         queries["bm25_topk"] = round(time.perf_counter() - t0, 3)
         assert 0 < n_top <= 10, n_top
 
+    # persisted dedup index: one shingling pass over the corpus builds
+    # the fingerprint + banded-minhash buckets; the probe dedups a small
+    # increment (planted exact + near copies) reading ONLY the bucket=
+    # dirs its own keys hash to
+    if os.path.isfile(doc_path):
+        import pyarrow.parquet as _pq
+        from raystack.ops.dedupindex import build_dedup_index, \
+            dedup_increment
+        didx = os.path.join(CACHE, "dedup_idx")
+        shutil.rmtree(didx, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_dedup_index(_read_pq(doc_path, columns=["doc_id", "text"]),
+                          didx, num_buckets=64)
+        queries["dedup_index_build"] = round(time.perf_counter() - t0, 3)
+        head = _pq.read_table(doc_path, columns=["doc_id", "text"]) \
+            .slice(0, 128)
+        inc = pa.table({
+            "doc_id": pa.array([10 ** 9 + i for i in range(128)],
+                               pa.int64()),
+            "text": pa.array(
+                [t + (" tail" if i % 2 else "")
+                 for i, t in enumerate(head["text"].to_pylist())])})
+        t0 = time.perf_counter()
+        n_dup = dedup_increment(ray.data.from_arrow(inc), didx).count()
+        queries["dedup_index_probe"] = round(time.perf_counter() - t0, 3)
+        assert n_dup >= 64, n_dup  # at least the byte-exact plants
+
     # product quantization: train on a bounded sample, code the embedding
     # column (64 float32 -> 8 bytes, 32x), ADC top-k over the codes
     if os.path.isfile(emb_path_probe := os.path.join(SF_DIR,

@@ -67,18 +67,43 @@ def exact_dedup_by_hash(ds, content_col: str, id_col: str):
 # MinHash signatures + LSH
 # ---------------------------------------------------------------------------
 
-def _signatures_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
-    data, starts, lengths = flatten_column(t[text_col])
-    h = window_hashes(data)
+def sig_matrix(data, starts, lengths, h=None) -> np.ndarray:
+    """(rows, ``_N_PERM``) uint64 minhash signature matrix over a flattened
+    string column. The shared kernel behind :func:`minhash_signatures` and
+    the persisted dedup index (:mod:`raystack.ops.dedupindex`); pass a
+    precomputed ``window_hashes(data)`` as ``h`` to share the rolling-hash
+    pass with a fingerprint computation."""
+    if h is None:
+        h = window_hashes(data)
     valid = row_valid_mask(starts, lengths, len(data), 8)
     # rows shorter than the shingle window are seeded from their tail hash
     # per permutation — distinct short docs no longer share the sentinel
     # signature (they'd otherwise all be marked near-duplicates)
     tail = tail_hash8(data, starts, lengths)
-    sig = np.stack([
+    return np.stack([
         min_hash_per_row(h, starts, lengths, valid, int(_PERM_A[k]),
                          int(_PERM_B[k]), tail=tail)
         for k in range(_N_PERM)], axis=1)  # (rows, N_PERM)
+
+
+def band_key_matrix(sig_i64: np.ndarray, bands: int) -> np.ndarray:
+    """(rows, ``bands``) int64 combined LSH keys ``(band << 48) ^ bucket``
+    where ``bucket`` hashes the band's signature segment — the same key
+    construction :func:`minhash_lsh_dedup` shuffles on, exposed for the
+    persisted dedup index so its build and probe sides agree exactly."""
+    rpb = _N_PERM // bands
+    out = np.empty((sig_i64.shape[0], bands), dtype=np.int64)
+    for b in range(bands):
+        seg = sig_i64[:, b * rpb:(b + 1) * rpb]
+        bucket = splitmix64(np.bitwise_xor.reduce(
+            seg.view(np.uint64) * _PERM_A[:rpb], axis=1)).view(np.int64)
+        out[:, b] = (np.int64(b) << np.int64(48)) ^ bucket
+    return out
+
+
+def _signatures_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    data, starts, lengths = flatten_column(t[text_col])
+    sig = sig_matrix(data, starts, lengths)
     return pa.table({
         id_col: t[id_col].combine_chunks()
         if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],

@@ -66,28 +66,38 @@ def add_quality_score(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def fingerprint_kernel(data, starts, lengths, h=None) -> np.ndarray:
+    """Per-row 64-bit content fingerprint over a flattened string column
+    (uint64). Shared by :func:`add_fingerprint` and the persisted dedup
+    index (:mod:`raystack.ops.dedupindex`) — the two MUST stay in sync, so
+    the math lives here once. Pass precomputed ``window_hashes(data)`` as
+    ``h`` to share the rolling-hash pass with a signature computation."""
+    if h is None:
+        h = window_hashes(data)
+    valid = row_valid_mask(starts, lengths, len(data), 8)
+    hv = np.where(valid, h, _U64(0))
+    # rows too short for an 8-byte window get their content folded in
+    # via the tail hash — otherwise every short doc's fingerprint would
+    # depend only on its length ('cat' vs 'dog' collide)
+    no_window = np.maximum(lengths - 7, 0) == 0
+    if len(hv):
+        x = np.bitwise_xor.reduceat(hv, np.minimum(starts, len(hv) - 1))
+        x = x.astype(np.uint64)
+    else:
+        x = np.zeros(len(starts), dtype=np.uint64)
+    if no_window.any():
+        tail = tail_hash8(data, starts, lengths)
+        x[no_window] = tail[no_window]
+    return splitmix64(x ^ splitmix64(lengths.astype(np.uint64)))
+
+
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
     """64-bit content fingerprint: XOR of all rolling 8-byte window hashes of
     the row (order-insensitive core) mixed with a head-weighted sum and the
     length — fully vectorized over the flat buffer, no per-row Python."""
     def fn(t: pa.Table) -> pa.Table:
         data, starts, lengths = flatten_column(t[text_col])
-        h = window_hashes(data)
-        valid = row_valid_mask(starts, lengths, len(data), 8)
-        hv = np.where(valid, h, _U64(0))
-        # rows too short for an 8-byte window get their content folded in
-        # via the tail hash — otherwise every short doc's fingerprint would
-        # depend only on its length ('cat' vs 'dog' collide)
-        no_window = np.maximum(lengths - 7, 0) == 0
-        if len(hv):
-            x = np.bitwise_xor.reduceat(hv, np.minimum(starts, len(hv) - 1))
-            x = x.astype(np.uint64)
-        else:
-            x = np.zeros(len(starts), dtype=np.uint64)
-        if no_window.any():
-            tail = tail_hash8(data, starts, lengths)
-            x[no_window] = tail[no_window]
-        fp = splitmix64(x ^ splitmix64(lengths.astype(np.uint64)))
+        fp = fingerprint_kernel(data, starts, lengths)
         return t.append_column(out_col, pa.array(fp.view(np.int64)))
     return ds.map_batches(fn, batch_format="pyarrow")
 
