@@ -32,10 +32,17 @@ Layout::
   agree on ≥ ``sim_threshold`` of the 32 components — the same verdict
   rule :func:`minhash_lsh_dedup` applies within its candidate buckets.
 
+Index rows are sorted by key within each written batch and stored in
+small row groups (``_RG_ROWS``), so probes prune TWICE: directory-level
+(only the ``bucket=`` dirs the increment's keys hash to are opened) and
+row-group-level (footer min/max stats skip every group that provably
+holds no probe key — at corpus scale a bucket is hundreds of GB but a
+probe reads ~one ~1 MB row group per key).
+
 Probe shape at scale: the increment is reduced to its signature table
 (~300 B/doc, materialized — the corpus side is never materialized), probe
-keys prune the index read to the touched ``bucket=`` directories, and the
-(new × stored) pairing is count-gated: small increments broadcast their
+keys prune the index read to the touched ``bucket=`` directories and the
+surviving row groups, and the (new × stored) pairing is count-gated: small increments broadcast their
 sorted key arrays (``ray.put`` once, ≤ ~25 MB at the 65536-doc gate) and
 match map-side with ``searchsorted`` inside the pruned scan — zero
 shuffles, the only all-to-all is the final tiny ``groupby().min()`` —
@@ -69,6 +76,13 @@ _BROADCAST_LIMIT = _DEDUP_BROADCAST_LIMIT
 
 #: partitions for the probe-side hash joins
 _JOIN_PARTITIONS = 16
+
+#: parquet row-group size for index files. Small on purpose: index rows
+#: are written SORTED by key within each batch, so row-group min/max
+#: stats become narrow key ranges and a broadcast probe reads ~one row
+#: group per probe key instead of the whole touched bucket — at corpus
+#: scale a bucket is hundreds of GB, a row group ~1 MB.
+_RG_ROWS = 8192
 
 
 # ---------------------------------------------------------------------------
@@ -125,17 +139,26 @@ def _signature_table(ds, text_col: str, id_col: str):
                           batch_size=4096).materialize()
 
 
+def _sorted_rows(t: pa.Table, key: str) -> pa.Table:
+    """Sort an index-row batch by (bucket, key) so each written file's
+    row groups hold narrow key ranges — what row-group-stat pruning in
+    :func:`_scan_file_pruned` relies on for its effectiveness (never its
+    correctness: stats are valid on unsorted data too, just wide)."""
+    order = np.lexsort((np.asarray(t[key]).astype(np.int64),
+                        np.asarray(t["bucket"]).astype(np.int64)))
+    return t.take(pa.array(order))
+
+
 def _exact_rows_fn(id_col: str, num_buckets: int):
     def fn(t: pa.Table) -> pa.Table:
         bucket = (np.asarray(t["fp"]).view(np.uint64)
                   % np.uint64(num_buckets)).astype(np.int64)
-        return pa.table({"fp": t["fp"].combine_chunks()
-                         if isinstance(t["fp"], pa.ChunkedArray)
-                         else t["fp"],
-                         id_col: t[id_col].combine_chunks()
-                         if isinstance(t[id_col], pa.ChunkedArray)
-                         else t[id_col],
-                         "bucket": pa.array(bucket)})
+        return _sorted_rows(pa.table(
+            {"fp": t["fp"].combine_chunks()
+             if isinstance(t["fp"], pa.ChunkedArray) else t["fp"],
+             id_col: t[id_col].combine_chunks()
+             if isinstance(t[id_col], pa.ChunkedArray) else t[id_col],
+             "bucket": pa.array(bucket)}), "fp")
     return fn
 
 
@@ -152,12 +175,12 @@ def _near_rows_fn(id_col: str, bands: int, num_buckets: int):
             t["sig"], pa.ChunkedArray) else t["sig"]
         bucket = (k.view(np.uint64) % np.uint64(num_buckets)) \
             .astype(np.int64)
-        return pa.table({
+        return _sorted_rows(pa.table({
             "k": pa.array(k),
             id_col: pa.array(ids),
             "sig": pa.concat_arrays([sig_arr] * bands) if n
             else sig_arr.slice(0, 0),
-            "bucket": pa.array(bucket)})
+            "bucket": pa.array(bucket)}), "k")
     return fn
 
 
@@ -166,15 +189,16 @@ def _write_index_rows(sigs, index_dir: str, id_col: str, bands: int,
     """Two light passes over the materialized signature table →
     hive-partitioned exact + near sub-indexes (``write_parquet`` with
     ``partition_cols`` appends uniquely-named files, so builds and
-    appends share the same code path)."""
+    appends share the same code path). Rows are sorted by key within
+    each batch and written in small row groups — see ``_RG_ROWS``."""
     sigs.map_batches(_exact_rows_fn(id_col, num_buckets),
                      batch_format="pyarrow") \
         .write_parquet(os.path.join(index_dir, "exact"),
-                       partition_cols=["bucket"])
+                       partition_cols=["bucket"], row_group_size=_RG_ROWS)
     sigs.map_batches(_near_rows_fn(id_col, bands, num_buckets),
                      batch_format="pyarrow") \
         .write_parquet(os.path.join(index_dir, "near"),
-                       partition_cols=["bucket"])
+                       partition_cols=["bucket"], row_group_size=_RG_ROWS)
 
 
 def build_dedup_index(ds, index_dir: str, text_col: str = "text",
@@ -246,6 +270,62 @@ def _min_per_new(t: pa.Table) -> pa.Table:
                      "dup_of": pa.array(dof[first])})
 
 
+def _scan_file_pruned(path: str, key_col: str, columns: list[str],
+                      keys: np.ndarray):
+    """Read from ONE index file only the row groups whose [min, max]
+    key statistics can contain one of ``keys`` (sorted int64), then keep
+    only exact-match rows. Returns ``(table, n_rg_read, n_rg_total)``.
+    Row groups without stats are read (safe fallback) — pruning can only
+    skip what provably holds no probe key."""
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(path)
+    md = f.metadata
+    if md.num_row_groups == 0:
+        return f.schema_arrow.empty_table().select(columns), 0, 0
+    names = [md.row_group(0).column(i).path_in_schema
+             for i in range(md.num_columns)]
+    ci = names.index(key_col)
+    take = []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ci).statistics
+        if st is None or not st.has_min_max:
+            take.append(g)
+            continue
+        lo = int(np.searchsorted(keys, int(st.min), "left"))
+        if lo < len(keys) and int(keys[lo]) <= int(st.max):
+            take.append(g)
+    if not take:
+        return (f.schema_arrow.empty_table().select(columns),
+                0, md.num_row_groups)
+    t = f.read_row_groups(take, columns=columns)
+    v = np.asarray(t[key_col]).astype(np.int64)
+    pos = np.minimum(np.searchsorted(keys, v), len(keys) - 1)
+    return (t.filter(pa.array(keys[pos] == v)),
+            len(take), md.num_row_groups)
+
+
+def _pruned_scan(files: list[str], key_col: str, columns: list[str],
+                 keys_ref):
+    """Distributed membership scan over index files: one map task per
+    file batch opens each footer, prunes row groups by key stats, and
+    emits only rows whose key is in the broadcast sorted key array.
+    Replaces ``read_parquet`` for broadcast probes — the touched buckets'
+    bytes mostly never leave storage."""
+    import ray
+    import ray.data
+
+    def rd(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        outs = [_scan_file_pruned(p, key_col, columns, keys)[0]
+                for p in b["path"].to_pylist()]
+        return pa.concat_tables(outs, promote_options="none")
+
+    return ray.data.from_items(
+        [{"path": p} for p in files],
+        override_num_blocks=min(len(files), 32)) \
+        .map_batches(rd, batch_format="pyarrow")
+
+
 def _probe_broadcast(sigs, index_dir: str, meta: dict,
                      sim_threshold: float) -> list:
     """Join-free probe for count-gated increments: the increment's sorted
@@ -272,6 +352,7 @@ def _probe_broadcast(sigs, index_dir: str, meta: dict,
         os.path.join(index_dir, "exact"),
         [int(b) for b in np.unique(fp_s.view(np.uint64) % np.uint64(nb))])
     if files:
+        ref_ek = ray.put(fp_s)
         ref_e = ray.put((fp_s, fid_s))
 
         def exact_match(t: pa.Table) -> pa.Table:
@@ -286,7 +367,7 @@ def _probe_broadcast(sigs, index_dir: str, meta: dict,
                 "__new_id": pa.array(fids[nidx]),
                 "dup_of": pa.array(sid[srow])}))
 
-        out.append(ray.data.read_parquet(files, columns=["fp", id_col])
+        out.append(_pruned_scan(files, "fp", ["fp", id_col], ref_ek)
                    .map_batches(exact_match, batch_format="pyarrow")
                    .materialize())
 
@@ -300,6 +381,7 @@ def _probe_broadcast(sigs, index_dir: str, meta: dict,
         os.path.join(index_dir, "near"),
         [int(b) for b in np.unique(k_s.view(np.uint64) % np.uint64(nb))])
     if files:
+        ref_nk = ray.put(k_s)
         ref_n = ray.put((k_s, didx_s, new_ids, nsig))
         thr = sim_threshold
 
@@ -321,8 +403,7 @@ def _probe_broadcast(sigs, index_dir: str, meta: dict,
                 "__new_id": pa.array(nids[nidx[keep]]),
                 "dup_of": pa.array(sid[srow[keep]])}))
 
-        out.append(ray.data.read_parquet(files, columns=["k", id_col,
-                                                         "sig"])
+        out.append(_pruned_scan(files, "k", ["k", id_col, "sig"], ref_nk)
                    .map_batches(near_match, batch_format="pyarrow")
                    .materialize())
     return [m for m in out if m.count()]

@@ -159,3 +159,48 @@ def test_ingest_dedup_maintenance_loop(ray_session, tmp_path):
         {"doc_id": pa.array([200]), "text": pa.array([mk(77)])})),
         idx).to_pandas()
     assert dict(zip(flagged["doc_id"], flagged["dup_of"])) == {200: 103}
+
+
+def test_probe_row_group_pruning(ray_session, tmp_path, monkeypatch):
+    """Broadcast probes read ~one row group per probe key, not whole
+    buckets: build with tiny row groups, then prove (a) the scan kernel
+    skips almost every row group for a small probe and (b) the pruned
+    dedup_increment result is still exact."""
+    import glob
+    import os
+
+    import ray.data
+    monkeypatch.setattr(dx, "_RG_ROWS", 8)
+    old_ids, old_texts = _corpus()
+    idx = str(tmp_path / "idx")
+    dx.build_dedup_index(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(old_ids), "text": pa.array(old_texts)})),
+        idx, num_buckets=4, bands=8)   # few buckets -> big buckets
+
+    new_ids, new_texts = _increment(old_ids, old_texts)
+    got = dx.dedup_increment(
+        ray.data.from_arrow(pa.table({"doc_id": pa.array(new_ids),
+                                      "text": pa.array(new_texts)})),
+        idx, sim_threshold=0.7).to_pandas()
+    want = _brute_matches(new_ids, new_texts, old_ids, old_texts,
+                          bands=8, thr=0.7)
+    assert dict(zip(got["doc_id"].astype(int),
+                    got["dup_of"].astype(int))) == want
+
+    # kernel-level proof over the real index files: probing the 3 exact
+    # plants touches a small fraction of the index's row groups
+    fp, _sig = _sigs_local([new_texts[0], new_texts[1], new_texts[2]])
+    keys = np.sort(fp)
+    files = sorted(glob.glob(os.path.join(idx, "exact", "bucket=*",
+                                          "*.parquet")))
+    read = total = rows = 0
+    for f in files:
+        t, r, n = dx._scan_file_pruned(f, "fp", ["fp", "doc_id"], keys)
+        read += r
+        total += n
+        rows += t.num_rows
+    assert rows == 3                    # exactly the planted matches
+    # a row group's key range is ~1/16 of its bucket's hash range at 8
+    # rows/group over this corpus; 3 probe keys should skip the vast
+    # majority of groups even when every file is probed
+    assert total >= 40 and read <= total // 3, (read, total)
