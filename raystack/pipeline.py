@@ -88,6 +88,18 @@ def auto_partitions(ds=None, source_paths: list[str] | None = None,
     return 32
 
 
+def _cluster(full: pa.Table, sort_by) -> pa.Table:
+    """Partition-local clustering before the page cut. ``sort_by`` is a
+    column name (plain sort — the named column's zone maps get tight) or
+    a LIST of names (Z-order interleave via
+    :func:`raystack.zones.zorder_indices` — every listed column's zone
+    maps get locally narrow, so range predicates on any of them prune)."""
+    if isinstance(sort_by, (list, tuple)):
+        from .zones import zorder_indices
+        return full.take(pa.array(zorder_indices(full, list(sort_by))))
+    return full.sort_by(sort_by)
+
+
 def _crc(data: bytes) -> int:
     return zlib.crc32(data) & 0xFFFFFFFF
 
@@ -487,7 +499,7 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                        pre_packed: bool | None = None,
                        host_map: dict[str, list[int]] | None = None,
                        zone_columns: list[str] | None = None,
-                       sort_by: str | None = None) -> dict:
+                       sort_by: str | list[str] | None = None) -> dict:
     """Full co-located encode: partition → (skip done) → groupby shuffle →
     per-partition encode with lineage → partitioned Parquet + manifest.
 
@@ -568,7 +580,7 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
                   for b in group["seg"]]
         full = pa.concat_tables(tables, promote_options="default")
         if sort_by is not None and full.num_rows:
-            full = full.sort_by(sort_by)  # clustering (see tasks path)
+            full = _cluster(full, sort_by)  # clustering (see tasks path)
         if url_col in full.schema.names and full.num_rows:
             # routing audit: the persisted config must reproduce the keyer's
             # part_key for this group's rows — a pre-packed dataset keyed
@@ -937,7 +949,7 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
                       has_prov: bool, zone_cols, *blobs: bytes,
                       append: bool = False, file_tag: str = "",
                       backfill: dict | None = None,
-                      sort_by: str | None = None,
+                      sort_by: str | list[str] | None = None,
                       bloom_col: str | None = None) -> dict:
     """Reduce side of the task exchange: unpack this partition's segments
     (in map order — deterministic), concat, encode to pages, write ONE
@@ -991,7 +1003,7 @@ def _encode_part_task(pk: int, out_dir: str, enc_cols: list[str],
             # sorted column's zone maps TIGHT (each page covers a narrow
             # value range), so range queries prune pages precisely
             # instead of hitting every page's min/max span
-            full = full.sort_by(sort_by)
+            full = _cluster(full, sort_by)
     else:  # backfill-only task: partition got no new rows this append
         full = None
     files = ""
@@ -1163,7 +1175,7 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
                              precode: bool = True,
                              collect_stats: bool = False,
                              zone_columns: list[str] | None = None,
-                             sort_by: str | None = None,
+                             sort_by: str | list[str] | None = None,
                              warc_extract_text: tuple[bytes, bytes] | None
                              = None) -> dict:
     """Co-located encode with a deterministic raw-task exchange instead of

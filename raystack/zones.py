@@ -52,6 +52,42 @@ _BLOOM_BITS_PER_VALUE = 10
 _BLOOM_N_HASHES = 4
 
 
+def zorder_indices(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Morton/Z-order clustering permutation over ``cols``. Each column's
+    values are reduced to their partition-local RANK (``pc.sort_indices``
+    order — type-generic, nulls last), ranks are scaled to a shared bit
+    budget and bit-interleaved; sorting rows by the interleaved key gives
+    EVERY listed column locally narrow value ranges per page, so zone
+    maps prune range predicates on any of them (a single-column
+    ``sort_by`` only tightens the first column's zones and leaves the
+    others as wide as a shuffle). Rank-based, so no value-distribution
+    assumptions; ties keep input order (stable)."""
+    n = t.num_rows
+    k = len(cols)
+    if n == 0 or k == 0:
+        return np.empty(0, dtype=np.int64)
+    if k == 1:
+        arr = t[cols[0]]
+        return pc.sort_indices(
+            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+            else arr).to_numpy().astype(np.int64)
+    bits = min(63 // k, max(1, int(n).bit_length()))
+    top = np.uint64((1 << bits) - 1)
+    key = np.zeros(n, dtype=np.uint64)
+    for j, c in enumerate(cols):
+        arr = t[c]
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) \
+            else arr
+        order = pc.sort_indices(arr).to_numpy().astype(np.int64)
+        rank = np.empty(n, dtype=np.uint64)
+        rank[order] = np.arange(n, dtype=np.uint64)
+        scaled = rank * top // np.uint64(max(n - 1, 1))
+        for b in range(bits):
+            key |= ((scaled >> np.uint64(b)) & np.uint64(1)) \
+                << np.uint64(b * k + j)
+    return np.argsort(key, kind="stable").astype(np.int64)
+
+
 def _bloom_seeds() -> np.ndarray:
     from .ops.hashing import splitmix64
     return splitmix64(np.arange(1, _BLOOM_N_HASHES + 1, dtype=np.uint64))

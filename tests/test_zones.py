@@ -417,3 +417,57 @@ def test_string_zone_maps_url_range(ray_session, tmp_path):
     # open-ended bound too
     n2 = count_where(out, {"url": (lo, None)})
     assert n2 == int((full.url >= lo).sum()) and n2 > n
+
+
+def test_zorder_encode_prunes_both_columns(ray_session, tmp_path):
+    """sort_by=[a, b] Z-order clusters the partition so BOTH columns'
+    zone pages cover narrow ranges: range queries on either column must
+    prune better than the shuffled layout, and at least comparably to
+    what a single-column sort gives its own column — while a
+    single-column sort leaves the OTHER column's zones as wide as a
+    shuffle. Decoded content identical in all layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from raystack import pipeline as pl
+    from raystack.zones import decode_dir_where, zone_prune_plan
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    t = pa.table({"k": [f"h{i % 8}" for i in range(n)],
+                  "a": pa.array(rng.permutation(n), pa.int64()),
+                  "b": pa.array(rng.permutation(n), pa.int64())})
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+
+    def build(out, sort_by):
+        pl.encode_partitioned_tasks([src], str(tmp_path / out),
+                                    url_col="k", num_partitions=2,
+                                    page_rows=128, add_filename=False,
+                                    zone_columns=["a", "b"],
+                                    sort_by=sort_by)
+        return str(tmp_path / out)
+
+    plain = build("plain", None)
+    only_a = build("only_a", "a")
+    zord = build("zord", ["a", "b"])
+
+    def kept(out, col):
+        plan = zone_prune_plan(out, {col: (100, 180)})
+        return sum(len(p) if p is not None else 10 ** 6
+                   for p in plan.values())
+
+    # z-order prunes BOTH columns well below the shuffled layout
+    assert kept(zord, "a") < kept(plain, "a") / 2
+    assert kept(zord, "b") < kept(plain, "b") / 2
+    # the single-column sort does nothing for the other column
+    assert kept(only_a, "b") >= kept(zord, "b")
+    # content identical across layouts, range query exact
+    base = pl.decode_dir(plain).to_pandas().sort_values("a") \
+        .reset_index(drop=True)
+    for out in (only_a, zord):
+        got = pl.decode_dir(out).to_pandas().sort_values("a") \
+            .reset_index(drop=True)
+        assert got.equals(base)
+    got = decode_dir_where(zord, {"b": (100, 180)}).to_pandas()
+    assert sorted(got["b"]) == list(range(100, 181))
