@@ -64,12 +64,33 @@ def _postings_fn(text_col: str, id_col: str, num_buckets: int,
                              "tf": z, "dl": z, "bucket": z})
         bucket = (pd.util.hash_array(tok, categorize=False)
                   % np.uint64(num_buckets)).astype(np.int64)
+        # sorted by (bucket, token): each written file's row groups then
+        # hold narrow token ranges, so the query-side OR-of-equality
+        # filter prunes row groups via footer stats — a hot bucket's
+        # postings mostly never leave storage
         return pa.table({"token": pa.array(tok, pa.string()),
                          id_col: ids.take(pa.array(dpos)),
                          "tf": pa.array(tf), "dl": pa.array(dl),
-                         "bucket": pa.array(bucket)})
+                         "bucket": pa.array(bucket)}) \
+            .sort_by([("bucket", "ascending"), ("token", "ascending")])
 
     return postings
+
+
+#: parquet row-group size for postings files — small so row-group stats
+#: over the sorted token column give fine pruning granularity
+_RG_ROWS = 8192
+
+
+def _words_filter(words: list[str]):
+    """OR-of-equality expression for the query words. This pyarrow build
+    does NOT prune row groups on ``isin`` (verified: isin keeps every
+    group, the equivalent ==-chain keeps only matching ones), so the
+    filter is built as a chain; query word lists are tiny."""
+    import functools
+    import operator
+    return functools.reduce(operator.or_,
+                            [pc.field("token") == w for w in words])
 
 
 def build_text_index(ds, out_dir: str, text_col: str = "text",
@@ -87,7 +108,8 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     # token count (see chunk_documents' first-touch rationale)
     ds.map_batches(_postings_fn(text_col, id_col, num_buckets, lowercase),
                    batch_format="pyarrow", batch_size=4096) \
-        .write_parquet(out_dir, partition_cols=["bucket"])
+        .write_parquet(out_dir, partition_cols=["bucket"],
+                       row_group_size=_RG_ROWS)
     # corpus stats for BM25: n_docs is a metadata count on the input;
     # total token count is a column-pruned sum over the index itself
     # (sum of tf across postings == total tokens, exactly)
@@ -132,7 +154,8 @@ def append_text_index(ds, index_dir: str) -> dict:
     ds.map_batches(_postings_fn(meta["text_col"], meta["id_col"],
                                 meta["num_buckets"], meta["lowercase"]),
                    batch_format="pyarrow", batch_size=4096) \
-        .write_parquet(index_dir, partition_cols=["bucket"])
+        .write_parquet(index_dir, partition_cols=["bucket"],
+                       row_group_size=_RG_ROWS)
     files = sorted(_glob.glob(os.path.join(index_dir, "bucket=*",
                                            "*.parquet")))
     total = ray.data.read_parquet(files, columns=["tf"]).sum("tf") \
@@ -172,7 +195,7 @@ def query_text_index(index_dir: str, words: list[str], mode: str = "and"):
              "n_matched": pa.array([], pa.int64())}))
     post = ray.data.read_parquet(
         files, columns=["token", id_col],
-        filter=pc.field("token").isin(words))
+        filter=_words_filter(words))
     counts = post.groupby(id_col).count().rename_columns(
         {"count()": "n_matched"})
     if mode == "or":
@@ -243,7 +266,7 @@ def bm25_topk(index_dir: str, words: list[str], k: int = 10,
         return ray.data.from_arrow(empty)
     post = ray.data.read_parquet(
         files, columns=["token", id_col, "tf", "dl"],
-        filter=pc.field("token").isin(words))
+        filter=_words_filter(words))
     # exact df per query token: a groupby over <= len(words) groups
     df_rows = post.groupby("token").count().take_all()
     if not df_rows:

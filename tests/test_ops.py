@@ -1462,3 +1462,35 @@ def test_text_index_append_equals_full_build(ray_session, tmp_path):
     rf = bm25_topk(full, ["stream", "query", "data"], k=15).to_pandas()
     assert ri["doc_id"].tolist() == rf["doc_id"].tolist()
     assert np.allclose(ri["score"], rf["score"], rtol=1e-12)
+
+
+def test_text_index_row_group_pruning(ray_session, tmp_path, monkeypatch):
+    """Postings are written sorted by token in small row groups, and the
+    query filter is an OR-of-equality chain (this pyarrow build does not
+    prune row groups on isin): a query's words must touch a small
+    fraction of a bucket's row groups, with results unchanged."""
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+    import raystack.ops.textindex as tx
+
+    monkeypatch.setattr(tx, "_RG_ROWS", 64)
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    idx = str(tmp_path / "tidx")
+    tx.build_text_index(ray.data.from_arrow(t), idx, num_buckets=4)
+
+    words = ["stream", "query"]
+    got = tx.query_text_index(idx, words, mode="or").to_pandas()
+    assert len(got)  # the words do occur in the corpus
+
+    kept = total = 0
+    expr = tx._words_filter(words)
+    for f in glob.glob(os.path.join(idx, "bucket=*", "*.parquet")):
+        frag = list(pads.dataset(f).get_fragments())[0]
+        kept += len(list(frag.split_by_row_group(expr)))
+        total += frag.metadata.num_row_groups
+    assert total >= 40 and kept <= total // 4, (kept, total)
