@@ -66,7 +66,9 @@ def main():
     ap.add_argument("--sort-by", default="",
                     help="cluster each partition on this column before "
                          "paging (tight zone pages for range queries; "
-                         "disables map-side precode)")
+                         "disables map-side precode); a comma list "
+                         "Z-orders on all listed columns — every one "
+                         "gets locally narrow zone pages")
     ap.add_argument("--zone-columns", default="",
                     help="comma list of columns to zone-map at encode "
                          "time (per-page min/max sidecars for pruned "
@@ -179,6 +181,10 @@ def main():
 
     t0 = time.perf_counter()
     zone_cols = [c for c in args.zone_columns.split(",") if c] or None
+    sort_cols = [c for c in args.sort_by.split(",") if c]
+    # one column = plain sort; several = Z-order clustering
+    sort_by_arg = (sort_cols[0] if len(sort_cols) == 1 else sort_cols) \
+        if sort_cols else None
     if is_warc and not args.append:
         # Common Crawl front door: warc(.gz) -> webtext table -> encoded
         # layout. --mode tasks runs the raw-task exchange directly on the
@@ -193,7 +199,7 @@ def main():
                 paths, args.output, url_col=args.url_col,
                 num_partitions=num_partitions, resume=args.resume,
                 logger=PrintLogger(), collect_stats=True,
-                zone_columns=zone_cols, sort_by=args.sort_by or None,
+                zone_columns=zone_cols, sort_by=sort_by_arg,
                 warc_extract_text=extract)
         else:
             from raystack.sources.warc import read_warc
@@ -208,7 +214,7 @@ def main():
                 ds, args.output, url_col=args.url_col,
                 num_partitions=num_partitions, resume=args.resume,
                 source_paths=paths, logger=PrintLogger(),
-                zone_columns=zone_cols, sort_by=args.sort_by or None)
+                zone_columns=zone_cols, sort_by=sort_by_arg)
     elif args.append:
         summary = pl.encode_append(paths, args.output,
                                    columns_rename=renames or None,
@@ -227,7 +233,7 @@ def main():
             paths, args.output, columns_rename=renames or None,
             url_col=args.url_col, num_partitions=num_partitions,
             resume=args.resume, logger=PrintLogger(), collect_stats=True,
-            zone_columns=zone_cols, sort_by=args.sort_by or None)
+            zone_columns=zone_cols, sort_by=sort_by_arg)
     else:
         ds = read_aligned(paths, columns_rename=renames or None,
                           add_filename=True)
