@@ -155,3 +155,73 @@ def test_crawl_to_training_data(ray_session, tmp_path):
     # doc_starts count across the epoch == number of documents
     n_starts = sum(len(s) for s in fetched["doc_starts"].to_pylist())
     assert n_starts == len(ids)
+
+
+def test_continuous_crawl_with_dedup_index(ray_session, tmp_path):
+    """The day-N ingest loop: each increment dedups within itself AND
+    against the persisted index of everything already ingested (the
+    stored corpus text is never rescanned), then the survivors append to
+    the encoded layout. Day 2 replays day-1 content (exact and
+    near-copies) plus fresh docs — only the fresh docs may land."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from raystack import pipeline as pl
+    from raystack.ops.dedupindex import ingest_dedup
+
+    rng = np.random.default_rng(23)
+    mk = lambda i: " ".join(
+        f"w{i}t{j}v{(i * 211 + j * 13) % 9973}" for j in range(60))
+    idx = str(tmp_path / "didx")
+    out = str(tmp_path / "layout")
+
+    def table(ids, texts):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([f"https://site{i % 5}.com/d{i}" for i in ids],
+                            pa.string()),
+            "text": pa.array(texts, pa.string())})
+
+    # day 1: 40 docs, one internal exact dup (id 39 copies id 0)
+    d1_ids = list(range(40))
+    d1_texts = [mk(i) for i in range(39)] + [mk(0)]
+    surv1 = ingest_dedup(ray.data.from_arrow(table(d1_ids, d1_texts)),
+                         idx, num_buckets=8).materialize()
+    n1 = surv1.count()
+    assert n1 == 39
+    day1_pq = str(tmp_path / "day1.parquet")
+    pq.write_table(pa.concat_tables(ray.get(surv1.to_arrow_refs())),
+                   day1_pq)
+    pl.encode_partitioned_tasks([day1_pq], out, url_col="url",
+                                num_partitions=2, add_filename=False)
+
+    # day 2: 3 exact replays of day-1 content, 2 near replays, 5 fresh
+    d2_ids = list(range(100, 110))
+    d2_texts = ([mk(3), mk(7), mk(0)]          # exact (incl. the keeper
+                + [mk(5) + " zz", mk(9) + " q"]  # of day-1's dup), near
+                + [mk(500 + i) for i in range(5)])
+    surv2 = ingest_dedup(ray.data.from_arrow(table(d2_ids, d2_texts)),
+                         idx).materialize()
+    kept2 = sorted(surv2.to_pandas()["doc_id"].astype(int))
+    assert kept2 == [105, 106, 107, 108, 109]  # only the fresh docs
+    day2_pq = str(tmp_path / "day2.parquet")
+    pq.write_table(pa.concat_tables(ray.get(surv2.to_arrow_refs())),
+                   day2_pq)
+    pl.encode_append([day2_pq], out, add_filename=False)
+
+    # the layout holds exactly day-1 survivors + day-2 fresh docs,
+    # decoded text byte-identical to what the loop admitted
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = pa.concat_tables([
+        pa.concat_tables(ray.get(surv1.to_arrow_refs())),
+        pa.concat_tables(ray.get(surv2.to_arrow_refs()))]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+
+    # the index grew by exactly the admitted docs
+    import json
+    with open(os.path.join(idx, "dedup_index_meta.json")) as f:
+        assert json.load(f)["n_docs"] == n1 + len(kept2)
