@@ -133,10 +133,41 @@ def _sig_rows_fn(text_col: str, id_col: str):
 
 def _signature_table(ds, text_col: str, id_col: str):
     """Materialized (id, fp, sig) Dataset — ~300 B/doc; computed once per
-    build/append/probe so the text is shingled exactly once."""
+    probe so the increment's text is shingled exactly once. PROBE-side
+    only: increments are bounded. Build/append go through
+    :func:`_persist_signature_table` instead — a 10^12-doc corpus'
+    signature table must not sit in the object store."""
     return ds.map_batches(_sig_rows_fn(text_col, id_col),
                           batch_format="pyarrow",
                           batch_size=4096).materialize()
+
+
+def _persist_signature_table(ds, index_dir: str, text_col: str,
+                             id_col: str) -> tuple[str, int]:
+    """Build/append-side signature table, spilled to parquet
+    (``index_dir/_sigs``): ONE streaming shingling pass writes it, the
+    exact and near index passes read it back COLUMN-PRUNED (16 B/row for
+    the exact tier instead of the full ~300 B signature rows), then the
+    spill is deleted. Build memory stays independent of corpus size —
+    nothing corpus-sized ever lives in the object store. Returns
+    ``(spill_dir, n_docs)``."""
+    import shutil
+
+    import ray.data
+    sdir = os.path.join(index_dir, "_sigs")
+    shutil.rmtree(sdir, ignore_errors=True)
+    ds.map_batches(_sig_rows_fn(text_col, id_col),
+                   batch_format="pyarrow", batch_size=4096) \
+        .write_parquet(sdir)
+    files = sorted(_glob.glob(os.path.join(sdir, "*.parquet")))
+    n = int(ray.data.read_parquet(files).count()) if files else 0
+    return sdir, n
+
+
+def _read_sigs(sdir: str, columns: list[str]):
+    import ray.data
+    files = sorted(_glob.glob(os.path.join(sdir, "*.parquet")))
+    return ray.data.read_parquet(files, columns=columns)
 
 
 def _sorted_rows(t: pa.Table, key: str) -> pa.Table:
@@ -184,19 +215,28 @@ def _near_rows_fn(id_col: str, bands: int, num_buckets: int):
     return fn
 
 
-def _write_index_rows(sigs, index_dir: str, id_col: str, bands: int,
-                      num_buckets: int) -> None:
-    """Two light passes over the materialized signature table →
+def _write_index_rows(sigs_dir: str, index_dir: str, id_col: str,
+                      bands: int, num_buckets: int) -> None:
+    """Two column-pruned passes over the spilled signature table →
     hive-partitioned exact + near sub-indexes (``write_parquet`` with
     ``partition_cols`` appends uniquely-named files, so builds and
-    appends share the same code path). Rows are sorted by key within
-    each batch and written in small row groups — see ``_RG_ROWS``."""
-    sigs.map_batches(_exact_rows_fn(id_col, num_buckets),
+    appends share the same code path). Each pass GLOBALLY sorts its rows
+    by (bucket, key) — one range-partitioned distributed sort per tier,
+    paid once at build/append — so every written file holds a narrow,
+    disjoint key range and its small row groups (``_RG_ROWS``) give
+    probes near-exact row-group pruning (a per-batch sort would leave
+    each file's groups spanning the whole hash range whenever the
+    upstream read splits into small blocks)."""
+    _read_sigs(sigs_dir, ["fp", id_col]) \
+        .map_batches(_exact_rows_fn(id_col, num_buckets),
                      batch_format="pyarrow") \
+        .sort(["bucket", "fp"]) \
         .write_parquet(os.path.join(index_dir, "exact"),
                        partition_cols=["bucket"], row_group_size=_RG_ROWS)
-    sigs.map_batches(_near_rows_fn(id_col, bands, num_buckets),
+    _read_sigs(sigs_dir, [id_col, "sig"]) \
+        .map_batches(_near_rows_fn(id_col, bands, num_buckets),
                      batch_format="pyarrow") \
+        .sort(["bucket", "k"]) \
         .write_parquet(os.path.join(index_dir, "near"),
                        partition_cols=["bucket"], row_group_size=_RG_ROWS)
 
@@ -208,13 +248,16 @@ def build_dedup_index(ds, index_dir: str, text_col: str = "text",
     The corpus documents themselves are NOT stored — only fingerprints,
     band keys and signatures; ``dedup_increment`` probes are pruned to
     the buckets the increment's own keys hash to."""
+    import shutil
     if _N_PERM % bands:
         raise ValueError(f"bands must divide {_N_PERM}")
-    sigs = _signature_table(ds, text_col, id_col)
-    _write_index_rows(sigs, index_dir, id_col, bands, num_buckets)
+    sdir, n_docs = _persist_signature_table(ds, index_dir, text_col,
+                                            id_col)
+    if n_docs:
+        _write_index_rows(sdir, index_dir, id_col, bands, num_buckets)
+    shutil.rmtree(sdir, ignore_errors=True)
     meta = {"num_buckets": int(num_buckets), "bands": int(bands),
-            "text_col": text_col, "id_col": id_col,
-            "n_docs": int(sigs.count())}
+            "text_col": text_col, "id_col": id_col, "n_docs": n_docs}
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -226,12 +269,17 @@ def append_dedup_index(ds, index_dir: str) -> dict:
     :func:`raystack.ops.textindex.append_text_index`). The caller must not
     re-append ids already indexed — typically this is called on the
     SURVIVORS of :func:`dedup_increment` (see :func:`ingest_dedup`)."""
+    import shutil
     with open(os.path.join(index_dir, _META)) as f:
         meta = json.load(f)
-    sigs = _signature_table(ds, meta["text_col"], meta["id_col"])
-    _write_index_rows(sigs, index_dir, meta["id_col"], meta["bands"],
-                      meta["num_buckets"])
-    meta["n_docs"] = int(meta["n_docs"]) + int(sigs.count())
+    sdir, n_new = _persist_signature_table(ds, index_dir,
+                                           meta["text_col"],
+                                           meta["id_col"])
+    if n_new:
+        _write_index_rows(sdir, index_dir, meta["id_col"],
+                          meta["bands"], meta["num_buckets"])
+    shutil.rmtree(sdir, ignore_errors=True)
+    meta["n_docs"] = int(meta["n_docs"]) + n_new
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
