@@ -263,15 +263,28 @@ def build_dedup_index(ds, index_dir: str, text_col: str = "text",
     return meta
 
 
-def append_dedup_index(ds, index_dir: str) -> dict:
+def append_dedup_index(ds, index_dir: str, tag: str | None = None) -> dict:
     """Add NEW documents' rows into the same ``bucket=`` directories with
     the index's stored config (the dedup sibling of
     :func:`raystack.ops.textindex.append_text_index`). The caller must not
     re-append ids already indexed — typically this is called on the
-    SURVIVORS of :func:`dedup_increment` (see :func:`ingest_dedup`)."""
+    SURVIVORS of :func:`dedup_increment` (see :func:`ingest_dedup`).
+
+    ``tag`` makes the append exactly-once per increment: a tag already in
+    the meta's ``applied`` list is skipped (same contract as
+    ``encode_append``'s file-set tags), so a retried day-N ingest cannot
+    double-append its signatures. Note the append is not atomic — a
+    crash between the parquet writes and the meta rewrite leaves the
+    rows in but the tag unrecorded; the retry then re-appends them.
+    Duplicate signature rows cannot flip a verdict (the same content
+    matches the same keys, ``dup_of`` stays the min id) — only
+    ``n_docs`` would read high, which the tag prevents in the common
+    retry-after-success case."""
     import shutil
     with open(os.path.join(index_dir, _META)) as f:
         meta = json.load(f)
+    if tag is not None and tag in meta.get("applied", []):
+        return meta
     sdir, n_new = _persist_signature_table(ds, index_dir,
                                            meta["text_col"],
                                            meta["id_col"])
@@ -280,6 +293,8 @@ def append_dedup_index(ds, index_dir: str) -> dict:
                           meta["bands"], meta["num_buckets"])
     shutil.rmtree(sdir, ignore_errors=True)
     meta["n_docs"] = int(meta["n_docs"]) + n_new
+    if tag is not None:
+        meta["applied"] = meta.get("applied", []) + [tag]
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta
@@ -590,7 +605,8 @@ def dedup_increment(new_ds, index_dir: str, sim_threshold: float = 0.7):
 
 def ingest_dedup(new_ds, index_dir: str, text_col: str = "text",
                  id_col: str = "doc_id", sim_threshold: float = 0.7,
-                 num_buckets: int = 64, bands: int = 8):
+                 num_buckets: int = 64, bands: int = 8,
+                 tag: str | None = None):
     """The maintenance loop for a growing deduped corpus, one increment at
     a time: dedup WITHIN the increment (exact + minhash-LSH, the one-shot
     operators), drop incoming docs that duplicate the INDEXED corpus
@@ -599,9 +615,22 @@ def ingest_dedup(new_ds, index_dir: str, text_col: str = "text",
     surviving documents as a Dataset. First call on a missing index
     builds it. Greedy semantics: a doc dropped within the increment is
     not revived if its keeper then loses to the corpus — it was a near
-    duplicate of corpus-duplicating content either way."""
+    duplicate of corpus-duplicating content either way.
+
+    Pass a ``tag`` (e.g. the crawl day) to make the loop refuse an
+    increment it has already ingested: re-running the same increment
+    would otherwise flag every previously-admitted doc against itself
+    and silently return (almost) nothing — failing loudly beats that."""
     from .dedup import exact_dup_ids, minhash_lsh_dedup
     from .join import semi_join, semi_join_bloom
+
+    if tag is not None and os.path.exists(os.path.join(index_dir, _META)):
+        with open(os.path.join(index_dir, _META)) as f:
+            if tag in json.load(f).get("applied", []):
+                raise ValueError(
+                    f"increment tag {tag!r} already ingested into "
+                    f"{index_dir} — a re-run would dedup the increment "
+                    "against its own first ingestion")
 
     kept = new_ds
 
@@ -630,10 +659,16 @@ def ingest_dedup(new_ds, index_dir: str, text_col: str = "text",
             kept, index_dir, sim_threshold=sim_threshold)
             .select_columns([id_col]))
         kept = kept.materialize()
-        append_dedup_index(kept, index_dir)
+        append_dedup_index(kept, index_dir, tag=tag)
     else:
         kept = kept.materialize()
         build_dedup_index(kept, index_dir, text_col=text_col,
                           id_col=id_col, num_buckets=num_buckets,
                           bands=bands)
+        if tag is not None:
+            with open(os.path.join(index_dir, _META)) as f:
+                meta = json.load(f)
+            meta["applied"] = [tag]
+            with open(os.path.join(index_dir, _META), "w") as f:
+                json.dump(meta, f)
     return kept

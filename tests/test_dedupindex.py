@@ -204,3 +204,34 @@ def test_probe_row_group_pruning(ray_session, tmp_path, monkeypatch):
     # rows/group over this corpus; 3 probe keys should skip the vast
     # majority of groups even when every file is probed
     assert total >= 40 and read <= total // 3, (read, total)
+
+
+def test_append_tags_exactly_once(ray_session, tmp_path):
+    """A tagged append is exactly-once (n_docs stable on retry), and
+    ingest_dedup refuses a tag it has already ingested instead of
+    silently deduping the increment against its own first run."""
+    import json
+    import os
+
+    import ray.data
+    old_ids, old_texts = _corpus()
+    idx = str(tmp_path / "idx")
+    base = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(old_ids[:30]),
+         "text": pa.array(old_texts[:30])}))
+    dx.ingest_dedup(base, idx, num_buckets=8, tag="day1")
+
+    inc = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([900]),
+         "text": pa.array(["wholly new content " * 20])}))
+    dx.append_dedup_index(inc, idx, tag="day2")
+    with open(os.path.join(idx, "dedup_index_meta.json")) as f:
+        n = json.load(f)["n_docs"]
+    dx.append_dedup_index(inc, idx, tag="day2")      # retry: no-op
+    with open(os.path.join(idx, "dedup_index_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["n_docs"] == n
+    assert meta["applied"] == ["day1", "day2"]
+
+    with pytest.raises(ValueError, match="already ingested"):
+        dx.ingest_dedup(base, idx, tag="day1")
