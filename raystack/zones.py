@@ -166,6 +166,35 @@ def bloom_prune_key_pages(zones_dir: str, col: str,
     return out
 
 
+class _PageSums:
+    """Per-page exact SUM accumulator for a sidecar column: numeric
+    columns get a ``zsum`` sidecar column (``pc.sum`` semantics — nulls
+    skipped, all-null page → null), non-summable types silently get
+    none. ``sum_where`` reads ``zsum`` for contained pages the way
+    ``count_where`` reads ``nrows``."""
+
+    def __init__(self):
+        self.vals: list = []
+        self.ok = True
+
+    def add(self, arr) -> None:
+        if not self.ok:
+            return
+        try:
+            self.vals.append(pc.sum(arr).as_py())
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                pa.ArrowTypeError):
+            self.ok = False
+
+    def column(self):
+        if not self.ok:
+            return None
+        try:
+            return pa.array(self.vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return None
+
+
 def _part_dirs(out_dir: str) -> list[str]:
     pages_root = os.path.join(out_dir, "pages")
     return sorted(d for d in os.listdir(pages_root)
@@ -211,6 +240,7 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
         rows = {"page_idx": [], "nrows": [], "nnull": [],
                 "zmin": [], "zmax": []}
         blooms = [] if col in bloom_cols else None
+        sums = _PageSums()
         ztype = None
         for p, i in pages:
             chunk = EncodedChunk.from_bytes(sel["data"][i].as_py())
@@ -222,6 +252,7 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
             rows["nnull"].append(arr.null_count)
             rows["zmin"].append(mm["min"].as_py())
             rows["zmax"].append(mm["max"].as_py())
+            sums.add(arr)
             if blooms is not None:
                 blooms.append(_page_bloom(arr))
         if ztype is None:
@@ -231,6 +262,9 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
                 "nnull": pa.array(rows["nnull"], pa.int64()),
                 "zmin": pa.array(rows["zmin"], type=ztype),
                 "zmax": pa.array(rows["zmax"], type=ztype)}
+        zs = sums.column()
+        if zs is not None:
+            cols["zsum"] = zs
         if blooms is not None:
             cols["bloom"] = pa.array(blooms, pa.binary())
         t = pa.table(cols)
@@ -282,6 +316,7 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
         rows = {"page_idx": [], "nrows": [], "nnull": [],
                 "zmin": [], "zmax": []}
         blooms = [] if col in bloom_cols else None
+        sums = _PageSums()
         try:
             for pidx, lo in enumerate(range(0, max(n, 1), page_rows)):
                 sl = arr.slice(lo, page_rows)
@@ -291,6 +326,7 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
                 rows["nnull"].append(sl.null_count)
                 rows["zmin"].append(mm["min"].as_py())
                 rows["zmax"].append(mm["max"].as_py())
+                sums.add(sl)
                 if blooms is not None:
                     blooms.append(_page_bloom(sl))
         except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
@@ -300,6 +336,9 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
                 "nnull": pa.array(rows["nnull"], pa.int64()),
                 "zmin": pa.array(rows["zmin"], type=arr.type),
                 "zmax": pa.array(rows["zmax"], type=arr.type)}
+        zs = sums.column()
+        if zs is not None:
+            cols["zsum"] = zs
         if blooms is not None:
             cols["bloom"] = pa.array(blooms, pa.binary())
         t = pa.table(cols)
@@ -328,6 +367,7 @@ def zone_sidecar_from_pages(zones_dir: str, col: str,
     rows = {"page_idx": [], "nrows": [], "nnull": [],
             "zmin": [], "zmax": []}
     blooms = [] if bloom else None
+    sums = _PageSums()
     ztype = None
     for p, arr in sorted(pages, key=lambda x: x[0]):
         if isinstance(arr, pa.ChunkedArray):
@@ -339,6 +379,7 @@ def zone_sidecar_from_pages(zones_dir: str, col: str,
         rows["nnull"].append(arr.null_count)
         rows["zmin"].append(mm["min"].as_py())
         rows["zmax"].append(mm["max"].as_py())
+        sums.add(arr)
         if blooms is not None:
             blooms.append(_page_bloom(arr))
     if ztype is None:
@@ -348,6 +389,9 @@ def zone_sidecar_from_pages(zones_dir: str, col: str,
             "nnull": pa.array(rows["nnull"], pa.int64()),
             "zmin": pa.array(rows["zmin"], type=ztype),
             "zmax": pa.array(rows["zmax"], type=ztype)}
+    zs = sums.column()
+    if zs is not None:
+        cols["zsum"] = zs
     if blooms is not None:
         cols["bloom"] = pa.array(blooms, pa.binary())
     pq.write_table(pa.table(cols), os.path.join(zones_dir, f"{col}.parquet"))
@@ -588,6 +632,114 @@ def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
                     mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
             total += int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
     return total
+
+
+def _sum_partition(pages_dir: str, zones_dir: str, value_col: str,
+                   ranges: dict):
+    """Exact predicate SUM of ``value_col`` for one partition (SQL SUM
+    semantics — null values skipped): pages proven contained by every
+    predicate range contribute their sidecar ``zsum`` without decoding,
+    proven-disjoint pages nothing, and only boundary pages decode the
+    predicate columns + the value column. Returns a Python number, or
+    ``None`` when no non-null value matched (SUM of the empty set).
+    Pure function run inside one Ray task."""
+    import pyarrow.parquet as pq
+
+    from .pipeline import _decode_partition_dir
+
+    pred_cols = list(ranges)
+    want = list(dict.fromkeys([*pred_cols, value_col]))
+
+    def exact_sum(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        mask = pa.array([True] * t.num_rows)
+        for col, (lo, hi) in ranges.items():
+            if lo is not None:
+                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
+            if hi is not None:
+                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
+        vals = t[value_col].filter(pc.fill_null(mask, False))
+        s = pc.sum(vals)
+        return s.as_py()  # None when nothing (non-null) matched
+
+    def full_sum():
+        return exact_sum(_decode_partition_dir(pages_dir, want))
+
+    zts = {}
+    for col in want:
+        zf = os.path.join(zones_dir, f"{col}.parquet")
+        if not os.path.exists(zf):
+            return full_sum()
+        zts[col] = pq.read_table(zf)
+    if "zsum" not in zts[value_col].schema.names:
+        return full_sum()  # pre-zsum sidecar: exact, just not pushed down
+    layouts = {tuple(zip(np.asarray(z["page_idx"]).tolist(),
+                         np.asarray(z["nrows"]).tolist()))
+               for z in zts.values()}
+    if len(layouts) != 1:
+        # value/predicate columns don't share page boundaries: page-level
+        # math is unsound, fall back (always aligned)
+        return full_sum()
+
+    ref = zts[value_col]
+    page_idx = np.asarray(ref["page_idx"])
+    disjoint = np.zeros(len(page_idx), dtype=bool)
+    contained = np.ones(len(page_idx), dtype=bool)
+    for col, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            continue  # unconstrained: imposes nothing (see count_where)
+        z = zts[col]
+        zmin, zmax = z["zmin"], z["zmax"]
+        has_null = np.asarray(pc.greater(z["nnull"], 0))
+        stats_null = np.asarray(pc.is_null(zmin))
+        if lo is not None:
+            disjoint |= np.asarray(pc.fill_null(pc.less(zmax, lo), False))
+            contained &= np.asarray(pc.fill_null(
+                pc.greater_equal(zmin, lo), False))
+        if hi is not None:
+            disjoint |= np.asarray(pc.fill_null(pc.greater(zmin, hi),
+                                                False))
+            contained &= np.asarray(pc.fill_null(
+                pc.less_equal(zmax, hi), False))
+        contained &= ~has_null & ~stats_null
+        disjoint |= stats_null & np.asarray(pc.equal(z["nnull"],
+                                                     z["nrows"]))
+    take = contained & ~disjoint
+    total, saw = None, False
+    if take.any() and not pa.types.is_null(ref["zsum"].type):
+        s = pc.sum(ref["zsum"].filter(pa.array(take)))
+        if s.as_py() is not None:
+            total, saw = s.as_py(), True
+    boundary = sorted(page_idx[~contained & ~disjoint].tolist())
+    if boundary:
+        b = exact_sum(_decode_partition_dir(pages_dir, want,
+                                            page_whitelist=boundary))
+        if b is not None:
+            total = b if not saw else total + b
+            saw = True
+    return total if saw else None
+
+
+def sum_where(out_dir: str, value_col: str, ranges: dict):
+    """Exact SUM of ``value_col`` over rows matching every range
+    predicate, accelerated by zone maps: one Ray task per partition;
+    pages proven contained sum from sidecar metadata (``zsum``),
+    proven-disjoint pages cost nothing, and only boundary pages are
+    decoded. Identical to summing ``decode_dir_where(...)`` — without
+    zones (or with pre-``zsum`` sidecars) it degrades to a pruned
+    decode, never a wrong answer. Returns ``None`` when no non-null
+    value matches (SQL ``SUM`` of the empty set)."""
+    import ray
+
+    pages_root = os.path.join(out_dir, "pages")
+    zones_root = os.path.join(out_dir, ZONES_DIRNAME)
+    one = ray.remote(num_cpus=1)(_sum_partition)
+    parts = [p for p in ray.get(
+        [one.remote(os.path.join(pages_root, d),
+                    os.path.join(zones_root, d), value_col, ranges)
+         for d in _part_dirs(out_dir)]) if p is not None]
+    return sum(parts) if parts else None
 
 
 def count_where(out_dir: str, ranges: dict) -> int:

@@ -471,3 +471,70 @@ def test_zorder_encode_prunes_both_columns(ray_session, tmp_path):
         assert got.equals(base)
     got = decode_dir_where(zord, {"b": (100, 180)}).to_pandas()
     assert sorted(got["b"]) == list(range(100, 181))
+
+
+def test_sum_where_matches_oracle(encoded_dir):
+    """Metadata-pushed SUM: contained pages contribute their sidecar
+    zsum without decoding; result equals DuckDB's SUM over the decoded
+    relation for int sums, boundary/disjoint/unbounded cases."""
+    import duckdb
+
+    from raystack import pipeline as pl
+    from raystack.zones import build_zone_maps, sum_where
+    build_zone_maps(encoded_dir, ["doc_id", "n_chars"])
+    full = pl.decode_dir(encoded_dir,
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", full)
+    for ranges in ({"doc_id": (10, 200)},
+                   {"n_chars": (None, 300)},
+                   {"doc_id": (0, 10**9), "n_chars": (100, None)},
+                   {"doc_id": (10**9, None)},        # empty -> None
+                   {"doc_id": (None, None)}):
+        conds = " AND ".join(
+            f"{c} >= {lo}" for c, (lo, hi) in ranges.items()
+            if lo is not None) or "TRUE"
+        conds_hi = " AND ".join(
+            f"{c} <= {hi}" for c, (lo, hi) in ranges.items()
+            if hi is not None) or "TRUE"
+        exp = con.execute(
+            f"SELECT SUM(n_chars) FROM t WHERE {conds} AND {conds_hi}"
+        ).fetchone()[0]
+        got = sum_where(encoded_dir, "n_chars", ranges)
+        assert got == (int(exp) if exp is not None else None), ranges
+
+
+def test_sum_where_nulls_and_fallbacks(ray_session, tmp_path):
+    """Null values are skipped (SQL SUM), all-null pages contribute
+    nothing, float sums are exact vs the decoded reference, and a
+    sidecar WITHOUT zsum (pre-upgrade layout) falls back to the pruned
+    decode with identical results."""
+    import glob
+
+    import pyarrow.parquet as pqt
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import sum_where
+    out = str(tmp_path / "enc")
+    n = 768
+    vals = [float(i) if (i // 64) % 3 else None for i in range(n)]
+    t = pa.table({"k": pa.array([f"h{i % 4}" for i in range(n)]),
+                  "ts": pa.array(list(range(n)), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    pl.encode_partitioned(ray.data.from_arrow(t), out, url_col="k",
+                          num_partitions=2, page_rows=64,
+                          zone_columns=["ts", "v"], sort_by="ts")
+    ref = sum(v for i, v in enumerate(vals)
+              if v is not None and 100 <= i <= 500)
+    got = sum_where(out, "v", {"ts": (100, 500)})
+    assert got == pytest.approx(ref)
+    # value-column self-predicate (nulls in the predicate column)
+    ref2 = sum(v for v in vals if v is not None and v >= 300.0)
+    assert sum_where(out, "v", {"v": (300.0, None)}) == pytest.approx(ref2)
+    # strip zsum from every sidecar -> exact via decode fallback
+    for zf in glob.glob(os.path.join(out, "zones", "*", "*.parquet")):
+        z = pqt.read_table(zf)
+        if "zsum" in z.schema.names:
+            pqt.write_table(z.drop_columns(["zsum"]), zf)
+    assert sum_where(out, "v", {"ts": (100, 500)}) == pytest.approx(ref)
