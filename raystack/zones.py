@@ -634,15 +634,34 @@ def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
     return total
 
 
-def _sum_partition(pages_dir: str, zones_dir: str, value_col: str,
-                   ranges: dict):
-    """Exact predicate SUM of ``value_col`` for one partition (SQL SUM
-    semantics — null values skipped): pages proven contained by every
-    predicate range contribute their sidecar ``zsum`` without decoding,
-    proven-disjoint pages nothing, and only boundary pages decode the
-    predicate columns + the value column. Returns a Python number, or
-    ``None`` when no non-null value matched (SUM of the empty set).
-    Pure function run inside one Ray task."""
+def _merge_partial(a: dict, b: dict) -> dict:
+    """Merge two SUM/COUNT/MIN/MAX partials (``{"sum","n","min","max"}``;
+    None fields mean 'no non-null value seen')."""
+    def opt(f, x, y):
+        if x is None:
+            return y
+        if y is None:
+            return x
+        return f(x, y)
+    return {"sum": opt(lambda x, y: x + y, a["sum"], b["sum"]),
+            "n": a["n"] + b["n"],
+            "min": opt(min, a["min"], b["min"]),
+            "max": opt(max, a["max"], b["max"])}
+
+
+_EMPTY_PARTIAL = {"sum": None, "n": 0, "min": None, "max": None}
+
+
+def _agg_partition(pages_dir: str, zones_dir: str, value_col: str,
+                   ranges: dict) -> dict:
+    """Exact predicate SUM/COUNT/MIN/MAX partial of ``value_col`` for one
+    partition (SQL semantics — null values skipped, ``n`` counts
+    matching non-null values): pages proven contained by every predicate
+    range contribute sidecar metadata (``zsum``, ``nrows - nnull``,
+    ``zmin``/``zmax``) without decoding, proven-disjoint pages nothing,
+    and only boundary pages decode the predicate columns + the value
+    column. Numeric value columns only (``pc.sum``). Pure function run
+    inside one Ray task."""
     import pyarrow.parquet as pq
 
     from .pipeline import _decode_partition_dir
@@ -650,9 +669,9 @@ def _sum_partition(pages_dir: str, zones_dir: str, value_col: str,
     pred_cols = list(ranges)
     want = list(dict.fromkeys([*pred_cols, value_col]))
 
-    def exact_sum(t: pa.Table):
+    def exact_agg(t: pa.Table) -> dict:
         if t.num_rows == 0:
-            return None
+            return dict(_EMPTY_PARTIAL)
         mask = pa.array([True] * t.num_rows)
         for col, (lo, hi) in ranges.items():
             if lo is not None:
@@ -660,27 +679,31 @@ def _sum_partition(pages_dir: str, zones_dir: str, value_col: str,
             if hi is not None:
                 mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
         vals = t[value_col].filter(pc.fill_null(mask, False))
-        s = pc.sum(vals)
-        return s.as_py()  # None when nothing (non-null) matched
+        n = len(vals) - vals.null_count
+        if n == 0:
+            return dict(_EMPTY_PARTIAL)
+        mm = pc.min_max(vals)
+        return {"sum": pc.sum(vals).as_py(), "n": n,
+                "min": mm["min"].as_py(), "max": mm["max"].as_py()}
 
-    def full_sum():
-        return exact_sum(_decode_partition_dir(pages_dir, want))
+    def full_agg() -> dict:
+        return exact_agg(_decode_partition_dir(pages_dir, want))
 
     zts = {}
     for col in want:
         zf = os.path.join(zones_dir, f"{col}.parquet")
         if not os.path.exists(zf):
-            return full_sum()
+            return full_agg()
         zts[col] = pq.read_table(zf)
     if "zsum" not in zts[value_col].schema.names:
-        return full_sum()  # pre-zsum sidecar: exact, just not pushed down
+        return full_agg()  # pre-zsum sidecar: exact, just not pushed down
     layouts = {tuple(zip(np.asarray(z["page_idx"]).tolist(),
                          np.asarray(z["nrows"]).tolist()))
                for z in zts.values()}
     if len(layouts) != 1:
         # value/predicate columns don't share page boundaries: page-level
         # math is unsound, fall back (always aligned)
-        return full_sum()
+        return full_agg()
 
     ref = zts[value_col]
     page_idx = np.asarray(ref["page_idx"])
@@ -705,41 +728,58 @@ def _sum_partition(pages_dir: str, zones_dir: str, value_col: str,
         contained &= ~has_null & ~stats_null
         disjoint |= stats_null & np.asarray(pc.equal(z["nnull"],
                                                      z["nrows"]))
+    out = dict(_EMPTY_PARTIAL)
     take = contained & ~disjoint
-    total, saw = None, False
-    if take.any() and not pa.types.is_null(ref["zsum"].type):
-        s = pc.sum(ref["zsum"].filter(pa.array(take)))
-        if s.as_py() is not None:
-            total, saw = s.as_py(), True
+    if take.any():
+        tk = pa.array(take)
+        zn = int(pc.sum(pc.subtract(
+            ref["nrows"], ref["nnull"]).filter(tk)).as_py() or 0)
+        if zn:
+            mn = pc.min_max(ref["zmin"].filter(tk))["min"].as_py()
+            mx = pc.min_max(ref["zmax"].filter(tk))["max"].as_py()
+            zs = None if pa.types.is_null(ref["zsum"].type) \
+                else pc.sum(ref["zsum"].filter(tk)).as_py()
+            out = _merge_partial(out, {"sum": zs, "n": zn,
+                                       "min": mn, "max": mx})
     boundary = sorted(page_idx[~contained & ~disjoint].tolist())
     if boundary:
-        b = exact_sum(_decode_partition_dir(pages_dir, want,
-                                            page_whitelist=boundary))
-        if b is not None:
-            total = b if not saw else total + b
-            saw = True
-    return total if saw else None
+        out = _merge_partial(out, exact_agg(_decode_partition_dir(
+            pages_dir, want, page_whitelist=boundary)))
+    return out
 
 
-def sum_where(out_dir: str, value_col: str, ranges: dict):
-    """Exact SUM of ``value_col`` over rows matching every range
-    predicate, accelerated by zone maps: one Ray task per partition;
-    pages proven contained sum from sidecar metadata (``zsum``),
-    proven-disjoint pages cost nothing, and only boundary pages are
-    decoded. Identical to summing ``decode_dir_where(...)`` — without
-    zones (or with pre-``zsum`` sidecars) it degrades to a pruned
-    decode, never a wrong answer. Returns ``None`` when no non-null
-    value matches (SQL ``SUM`` of the empty set)."""
+def agg_where(out_dir: str, value_col: str, ranges: dict) -> dict:
+    """Exact SUM / COUNT(value) / MIN / MAX / AVG of ``value_col`` over
+    rows matching every range predicate, accelerated by zone maps: one
+    Ray task per partition; pages proven contained answer from sidecar
+    metadata alone (``zsum``, ``nrows - nnull``, ``zmin``/``zmax``),
+    proven-disjoint pages cost nothing, only boundary pages decode.
+    Identical to aggregating ``decode_dir_where(...)`` — without zones
+    (or with pre-``zsum`` sidecars) it degrades to a pruned decode,
+    never a wrong answer. None fields = no non-null value matched (SQL
+    aggregates of the empty set); ``count`` counts matching NON-NULL
+    values (SQL ``COUNT(col)``, not ``COUNT(*)`` — that's
+    :func:`count_where`)."""
+    import functools
+
     import ray
 
     pages_root = os.path.join(out_dir, "pages")
     zones_root = os.path.join(out_dir, ZONES_DIRNAME)
-    one = ray.remote(num_cpus=1)(_sum_partition)
-    parts = [p for p in ray.get(
+    one = ray.remote(num_cpus=1)(_agg_partition)
+    p = functools.reduce(_merge_partial, ray.get(
         [one.remote(os.path.join(pages_root, d),
                     os.path.join(zones_root, d), value_col, ranges)
-         for d in _part_dirs(out_dir)]) if p is not None]
-    return sum(parts) if parts else None
+         for d in _part_dirs(out_dir)]), dict(_EMPTY_PARTIAL))
+    return {"sum": p["sum"], "count": p["n"], "min": p["min"],
+            "max": p["max"],
+            "avg": (p["sum"] / p["n"]) if p["n"] else None}
+
+
+def sum_where(out_dir: str, value_col: str, ranges: dict):
+    """Exact SUM of ``value_col`` over rows matching every range
+    predicate — see :func:`agg_where` (this is its ``sum`` field)."""
+    return agg_where(out_dir, value_col, ranges)["sum"]
 
 
 def count_where(out_dir: str, ranges: dict) -> int:

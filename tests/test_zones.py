@@ -538,3 +538,37 @@ def test_sum_where_nulls_and_fallbacks(ray_session, tmp_path):
         if "zsum" in z.schema.names:
             pqt.write_table(z.drop_columns(["zsum"]), zf)
     assert sum_where(out, "v", {"ts": (100, 500)}) == pytest.approx(ref)
+
+
+def test_agg_where_matches_oracle(encoded_dir):
+    """agg_where pushes SUM/COUNT(col)/MIN/MAX/AVG into the sidecars;
+    every field equals DuckDB over the decoded relation."""
+    import duckdb
+
+    from raystack import pipeline as pl
+    from raystack.zones import agg_where, build_zone_maps
+    build_zone_maps(encoded_dir, ["doc_id", "n_chars"])
+    full = pl.decode_dir(encoded_dir,
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", full)
+    for ranges in ({"doc_id": (10, 200)},
+                   {"n_chars": (None, 300)},
+                   {"doc_id": (10**9, None)},
+                   {"doc_id": (None, None)}):
+        lo_c = " AND ".join(f"{c} >= {lo}" for c, (lo, _) in ranges.items()
+                            if lo is not None) or "TRUE"
+        hi_c = " AND ".join(f"{c} <= {hi}" for c, (_, hi) in ranges.items()
+                            if hi is not None) or "TRUE"
+        s, n, mn, mx, av = con.execute(
+            "SELECT SUM(n_chars), COUNT(n_chars), MIN(n_chars), "
+            f"MAX(n_chars), AVG(n_chars) FROM t WHERE {lo_c} AND {hi_c}"
+        ).fetchone()
+        got = agg_where(encoded_dir, "n_chars", ranges)
+        assert got["count"] == n, ranges
+        assert got["sum"] == (int(s) if s is not None else None), ranges
+        assert got["min"] == mn and got["max"] == mx, ranges
+        if av is None:
+            assert got["avg"] is None
+        else:
+            assert got["avg"] == pytest.approx(av), ranges
