@@ -502,13 +502,18 @@ def decode_image_any(payload) -> np.ndarray | None:
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         from raystack.ops.tiff import decode_tiff
         return decode_tiff(payload)
+    if head[:4] == b"RIFF" and bytes(payload[8:16]) == b"WEBPVP8L":
+        # lossless WebP: real from-scratch decode; lossy VP8 falls
+        # through to the dims probe in MediaDecoder
+        from raystack.ops.vp8l import decode_webp
+        return decode_webp(bytes(payload))
     return None
 
 
 class MediaDecoder:
     """Actor-pool decode stage: sniff each payload's magic bytes and run
     the REAL decoder where one exists (PPM/PGM, BMP, PNG, JPEG, GIF, TIFF,
-    PCM WAV), else mark the
+    lossless WebP/VP8L, PCM WAV), else mark the
     row undecoded (library-bound formats are the documented stub tier).
     The per-payload loop is intentional — each payload is one multi-KB
     media file and the heavy work inside (pixel/sample math) is numpy;
@@ -547,7 +552,9 @@ class MediaDecoder:
                         (255.0 if img.dtype == np.uint8 else 65535.0)
                     kind[i], decoded[i] = "image", True
                 elif head[:4] == b"RIFF" and head[8:12] == b"WEBP":
-                    wp = probe_webp(p)  # dims without VP8 pixel decode
+                    # lossy VP8 / VP8X: dims without pixel decode
+                    # (lossless VP8L decoded for real above)
+                    wp = probe_webp(p)
                     width[i], height[i] = wp["width"], wp["height"]
                     channels[i] = 4 if wp.get("alpha") else 3
                     kind[i], decoded[i] = "image", True
