@@ -503,10 +503,15 @@ def decode_image_any(payload) -> np.ndarray | None:
         from raystack.ops.tiff import decode_tiff
         return decode_tiff(payload)
     if head[:4] == b"RIFF" and bytes(payload[8:16]) == b"WEBPVP8L":
-        # lossless WebP: real from-scratch decode; lossy VP8 falls
-        # through to the dims probe in MediaDecoder
-        from raystack.ops.vp8l import decode_webp
-        return decode_webp(bytes(payload))
+        # lossless WebP: real from-scratch decode; a stream the decoder
+        # can't finish (truncated, or a feature beyond the implemented
+        # envelope) falls back to MediaDecoder's dims-probe tier instead
+        # of losing the metadata — same None contract as unknown magic
+        from raystack.ops.vp8l import Vp8lError, decode_webp
+        try:
+            return decode_webp(bytes(payload))
+        except Vp8lError:
+            return None
     return None
 
 
