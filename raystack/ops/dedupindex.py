@@ -13,6 +13,10 @@ layout as :func:`raystack.ops.textindex.build_text_index` and the IVF
 index), so a probe reads ONLY the buckets its own keys hash to and the
 corpus text never moves again.
 
+Document ids must be int64 (the repo-wide ``doc_id`` convention — the
+probe's broadcast match gathers ids through numpy int arrays); key a
+url-identified corpus by a derived int64 id, not the url string.
+
 Layout::
 
     index_dir/

@@ -101,3 +101,26 @@ def test_media_decoder_stage_decodes_vp8l(ray_session):
     row = out.iloc[0]
     assert row["kind"] == "image" and bool(row["decoded"])
     assert (row["width"], row["height"], row["channels"]) == (22, 15, 4)
+
+
+def test_hypothesis_roundtrip_random_options():
+    """Property sweep: random images × random option combos roundtrip
+    bit-exactly (bounded examples — the decoder is a reference
+    implementation, not a throughput path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 24),
+           st.integers(1, 24), st.booleans(),
+           st.sampled_from([None, 0, 1, 7, 11, 12, 13]),
+           st.sampled_from([0, 3, 6]), st.booleans())
+    def case(seed, w, h, subg, pred, cache, lz):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        got = decode_webp(encode_vp8l(
+            img, subtract_green=subg, predictor=pred,
+            cache_bits=cache, use_lz77=lz))
+        assert (got == img).all()
+
+    case()
