@@ -223,6 +223,49 @@ def build_ivf_index(ds, out_dir: str, emb_col: str = "embedding",
     return meta
 
 
+def append_ivf_index(ds, index_dir: str, tag: str | None = None) -> dict:
+    """Incremental ingest into a persisted IVF layout (the vector
+    sibling of ``append_text_index`` / ``append_dedup_index``): new
+    vectors are assigned with the index's STORED centroids — they never
+    move, so existing buckets are untouched — and, when the index
+    carries a PQ codebook, coded with the stored codebook; the rows land
+    in the same ``bucket=`` dirs as uniquely-named files (queries glob
+    the dir, so old and new rows serve together). ``build(A,
+    centroids=C)`` then ``append(B)`` answers every query identically to
+    ``build(A ∪ B, centroids=C)`` (equivalence-tested). ``tag`` makes
+    the append exactly-once per increment (a re-run with an applied tag
+    is a no-op — duplicate rows would surface twice in top-k).
+
+    Honest trade: centroids trained at build time drift from the true
+    corpus distribution as appends accumulate, so recall on appended
+    regions can sag — rebuild once the corpus has grown far past the
+    trained sample (inherent to any fixed-coarse-quantizer IVF)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    if tag is not None and tag in meta.get("applied", []):
+        return meta
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    emb_col, id_col = meta["emb_col"], meta["id_col"]
+    bucketed = assign_clusters(ds, cent, id_col=id_col, vec_col=emb_col,
+                               keep_cols=[emb_col], out_col="bucket_id")
+    if "pq" in meta:
+        from .pq import pq_encode
+        bucketed = pq_encode(bucketed, meta["pq"], emb_col=emb_col,
+                             code_col="pq_code")
+    bucketed = bucketed.map_batches(
+        lambda t: t.append_column("bucket", t["bucket_id"]),
+        batch_format="pyarrow")
+    bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+    if tag is not None:
+        meta["applied"] = meta.get("applied", []) + [tag]
+        with open(os.path.join(index_dir, "ivf_meta.json"), "w") as f:
+            json.dump(meta, f)
+    return meta
+
+
 def query_ivf_index(index_dir: str, queries: np.ndarray,
                     query_ids: np.ndarray, k: int = 10, n_probe: int = 4,
                     exclude_self: bool = True, use_pq: bool = False):

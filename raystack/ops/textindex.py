@@ -129,7 +129,7 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     return meta
 
 
-def append_text_index(ds, index_dir: str) -> dict:
+def append_text_index(ds, index_dir: str, tag: str | None = None) -> dict:
     """Incremental ingest into an existing index (the text sibling of
     ``pipeline.encode_append``): tokenize the NEW documents with the
     index's stored config, write their postings into the same ``bucket=``
@@ -140,7 +140,12 @@ def append_text_index(ds, index_dir: str) -> dict:
     (column-pruned, distributed). build(A) then append(B) answers every
     query identically to build(A ∪ B); the caller must not re-append ids
     already indexed (postings are per-doc, duplicates would double-count
-    matches)."""
+    matches).
+
+    ``tag`` makes the append exactly-once per increment (same contract
+    as the dedup index's tags): a tag already in the meta's ``applied``
+    list is a no-op, so a retried day-N ingest cannot double-count its
+    postings in boolean match counts or BM25 tf."""
     import glob as _glob
     import json
     import os
@@ -149,6 +154,8 @@ def append_text_index(ds, index_dir: str) -> dict:
 
     with open(os.path.join(index_dir, _META)) as f:
         meta = json.load(f)
+    if tag is not None and tag in meta.get("applied", []):
+        return meta
 
     n_new = int(ds.count())
     ds.map_batches(_postings_fn(meta["text_col"], meta["id_col"],
@@ -163,6 +170,8 @@ def append_text_index(ds, index_dir: str) -> dict:
     meta["n_docs"] = int(meta.get("n_docs", 0)) + n_new
     meta["avgdl"] = (float(total) / meta["n_docs"]) if meta["n_docs"] \
         else 0.0
+    if tag is not None:
+        meta["applied"] = meta.get("applied", []) + [tag]
     with open(os.path.join(index_dir, _META), "w") as f:
         json.dump(meta, f)
     return meta

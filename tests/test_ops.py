@@ -1494,3 +1494,71 @@ def test_text_index_row_group_pruning(ray_session, tmp_path, monkeypatch):
         kept += len(list(frag.split_by_row_group(expr)))
         total += frag.metadata.num_row_groups
     assert total >= 40 and kept <= total // 4, (kept, total)
+
+
+def test_ivf_append_equivalence_and_tags(ray_session, tmp_path):
+    """append_ivf_index: build(A, centroids=C) + append(B) answers every
+    query identically to build(A∪B, centroids=C); tagged re-runs are
+    no-ops (duplicate rows would surface twice in top-k)."""
+    import glob
+    import os
+
+    import ray.data
+    from raystack.ops.similarity import (append_ivf_index,
+                                         build_ivf_index,
+                                         query_ivf_index,
+                                         train_centroids)
+    import pyarrow.parquet as pqt
+    t = pqt.read_table(f"{SF}/embeddings.parquet")
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    cent = train_centroids(m[:256], 8)
+    half = t.num_rows // 2
+    a = ray.data.from_arrow(t.slice(0, half))
+    b = ray.data.from_arrow(t.slice(half))
+    qm, qids = m[:4], df["vec_id"].to_numpy()[:4]
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    build_ivf_index(a, inc, n_centroids=8, centroids=cent)
+    append_ivf_index(b, inc, tag="day2")
+    build_ivf_index(emb, full, n_centroids=8, centroids=cent)
+    for probe in (3, 8):
+        gi = query_ivf_index(inc, qm, qids, k=10, n_probe=probe) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        gf = query_ivf_index(full, qm, qids, k=10, n_probe=probe) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert gi.equals(gf), probe
+
+    # tagged retry: no new files, results unchanged
+    files_before = sorted(glob.glob(os.path.join(inc, "bucket=*",
+                                                 "*.parquet")))
+    append_ivf_index(b, inc, tag="day2")
+    assert sorted(glob.glob(os.path.join(inc, "bucket=*",
+                                         "*.parquet"))) == files_before
+
+
+def test_text_index_append_tags_exactly_once(ray_session, tmp_path):
+    import json
+    import os
+
+    import pyarrow.parquet as pqt
+    import ray.data
+    from raystack.ops.textindex import append_text_index, build_text_index
+    t = pqt.read_table(f"{SF}/documents.parquet",
+                       columns=["doc_id", "text"])
+    idx = str(tmp_path / "tidx")
+    build_text_index(ray.data.from_arrow(t.slice(0, 100)), idx,
+                     num_buckets=8)
+    inc = ray.data.from_arrow(t.slice(100, 50))
+    append_text_index(inc, idx, tag="day2")
+    with open(os.path.join(idx, "text_index_meta.json")) as f:
+        m1 = json.load(f)
+    append_text_index(inc, idx, tag="day2")     # retry: no-op
+    with open(os.path.join(idx, "text_index_meta.json")) as f:
+        m2 = json.load(f)
+    assert m1["n_docs"] == m2["n_docs"] == 150
+    assert m2["applied"] == ["day2"]
