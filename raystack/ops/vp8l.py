@@ -67,19 +67,32 @@ class _BitReader:
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
+        self.n = len(data) * 8
 
     def bit(self) -> int:
         p = self.pos
-        if (p >> 3) >= len(self.d):
+        if p >= self.n:
             raise Vp8lError("bitstream truncated")
         self.pos = p + 1
         return (self.d[p >> 3] >> (p & 7)) & 1
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            v |= self.bit() << i
+        if n == 0:
+            return 0
+        if self.pos + n > self.n:
+            raise Vp8lError("bitstream truncated")
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.d[byte:byte + 7], "little")
+        v = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos += n
         return v
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` stream bits without consuming (zero-padded past the
+        end — the consumer checks its own code length against ``n``)."""
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.d[byte:byte + 7], "little")
+        return (chunk >> (self.pos & 7)) & ((1 << n) - 1)
 
 
 class _BitWriter:
@@ -121,12 +134,14 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Tree:
-    """Bit-by-bit decode tree for a canonical prefix code."""
+    """Flat-LUT decoder for a canonical prefix code (the jpeg.py trick):
+    peek ``bits`` stream bits, one table lookup gives (symbol, length).
+    Table index low bits = first-read bits = the canonical code reversed,
+    so each code fills every index sharing its reversed prefix."""
 
-    __slots__ = ("children", "leaf")
+    __slots__ = ("sym", "ln", "bits", "leaf")
 
     def __init__(self):
-        self.children = [None, None]
         self.leaf = None
 
     @classmethod
@@ -136,23 +151,28 @@ class _Tree:
         if len(used) == 1:  # degenerate: zero bits read, always symbol
             root.leaf = used[0][0]
             return root
+        bits = max(ln for _, ln in used)
+        root.bits = bits
+        root.sym = np.zeros(1 << bits, dtype=np.int32)
+        root.ln = np.zeros(1 << bits, dtype=np.uint8)
         for s, (code, ln) in _canonical_codes(lengths).items():
-            node = root
-            for i in range(ln - 1, -1, -1):
-                b = (code >> i) & 1
-                if node.children[b] is None:
-                    node.children[b] = cls()
-                node = node.children[b]
-            node.leaf = s
+            rev = 0
+            for i in range(ln):
+                rev |= ((code >> i) & 1) << (ln - 1 - i)
+            idx = np.arange(rev, 1 << bits, 1 << ln)
+            root.sym[idx] = s
+            root.ln[idx] = ln
         return root
 
     def decode(self, br: _BitReader) -> int:
-        node = self
-        while node.leaf is None:
-            node = node.children[br.bit()]
-            if node is None:
-                raise Vp8lError("invalid prefix code")
-        return node.leaf
+        if self.leaf is not None:
+            return self.leaf
+        idx = br.peek(self.bits)
+        ln = int(self.ln[idx])
+        if ln == 0 or br.pos + ln > br.n:
+            raise Vp8lError("invalid prefix code or truncated stream")
+        br.pos += ln
+        return int(self.sym[idx])
 
 
 def _read_code_lengths(br: _BitReader, alphabet: int) -> list[int]:
