@@ -2200,6 +2200,41 @@ def read_encoded(out_dir: str):
     return ray.data.read_parquet(os.path.join(out_dir, "pages"))
 
 
+def scan(out_dir: str, columns: list[str] | None = None,
+         where: dict | None = None, keys: list | None = None,
+         snapshot: int | None = None, limit: int | None = None):
+    """One read entry point over an encoded layout, routing to the most
+    pruned decode the request allows:
+
+    - ``keys=[...]`` → :func:`lookup_rows` (partition routing + per-page
+      key blooms: ~1 page per column per hit);
+    - ``where={col: (lo, hi), ...}`` → zone-pruned exact filtered decode
+      (:func:`raystack.zones.decode_dir_where`);
+    - otherwise → partition-local :func:`decode_dir`
+      (``snapshot=`` time-travels through the snapshot log).
+
+    ``limit`` applies last (Ray's streaming limit — upstream tasks stop
+    early). ``keys`` composes with neither ``where`` nor ``snapshot``
+    (point lookups route through the LIVE layout's blooms); combining
+    raises rather than silently ignoring a clause."""
+    if keys is not None:
+        if where is not None or snapshot is not None:
+            raise ValueError("keys= routes through the live layout's "
+                             "blooms — it composes with neither where= "
+                             "nor snapshot=")
+        out = lookup_rows(out_dir, keys, columns=columns)
+    elif where is not None:
+        if snapshot is not None:
+            raise ValueError("where= reads the live zone sidecars — "
+                             "decode_dir(snapshot=) then filter for "
+                             "historical states")
+        from .zones import decode_dir_where
+        out = decode_dir_where(out_dir, where, columns=columns)
+    else:
+        out = decode_dir(out_dir, columns=columns, snapshot=snapshot)
+    return out.limit(limit) if limit is not None else out
+
+
 def _lookup_partition_dir(part_dir: str, zones_dir: str, url_col: str,
                           hashes: np.ndarray,
                           columns: list[str] | None) -> pa.Table | None:

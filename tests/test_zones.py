@@ -572,3 +572,36 @@ def test_agg_where_matches_oracle(encoded_dir):
             assert got["avg"] is None
         else:
             assert got["avg"] == pytest.approx(av), ranges
+
+
+def test_scan_unified_entry(encoded_dir):
+    """pl.scan routes to the most pruned decode for the request and each
+    route equals its underlying call; invalid combinations raise."""
+    from raystack import pipeline as pl
+    from raystack.zones import build_zone_maps, decode_dir_where
+    build_zone_maps(encoded_dir, ["doc_id"])
+
+    full = pl.scan(encoded_dir, columns=["doc_id", "n_chars"]).to_pandas()
+    ref = pl.decode_dir(encoded_dir,
+                        columns=["doc_id", "n_chars"]).to_pandas()
+    assert full.sort_values("doc_id").reset_index(drop=True).equals(
+        ref.sort_values("doc_id").reset_index(drop=True))
+
+    w = pl.scan(encoded_dir, where={"doc_id": (10, 30)}).to_pandas()
+    wref = decode_dir_where(encoded_dir, {"doc_id": (10, 30)}).to_pandas()
+    assert sorted(w["doc_id"]) == sorted(wref["doc_id"])
+
+    srcs = ref  # keys route: look up two sources present in the layout
+    some = pl.decode_dir(encoded_dir, columns=["source"]).to_pandas()
+    key = some["source"].iloc[0]
+    k = pl.scan(encoded_dir, keys=[key]).to_pandas()
+    kref = pl.lookup_rows(encoded_dir, [key]).to_pandas()
+    assert len(k) == len(kref) > 0
+
+    lim = pl.scan(encoded_dir, where={"doc_id": (0, None)}, limit=7)
+    assert lim.count() == 7
+
+    with pytest.raises(ValueError, match="composes with neither"):
+        pl.scan(encoded_dir, keys=[key], where={"doc_id": (0, 1)})
+    with pytest.raises(ValueError, match="historical"):
+        pl.scan(encoded_dir, where={"doc_id": (0, 1)}, snapshot=1)
