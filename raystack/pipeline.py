@@ -2869,6 +2869,135 @@ def compact_partitions(out_dir: str, min_files: int = 2,
     return summary
 
 
+def recluster(out_dir: str, sort_by: str | list[str],
+              page_rows: int = DEFAULT_PAGE_ROWS,
+              zone_columns: list[str] | None = None,
+              logger=None) -> dict:
+    """Re-cluster an encoded layout in place: every partition's rows are
+    reordered by ``sort_by`` (a column name sorts; a LIST Z-orders via
+    :func:`raystack.zones.zorder_indices`) and the partition is rewritten
+    through the same crash-safe journal/install/retire commit as
+    :func:`compact_partitions` — pages renumbered from 0, codecs
+    re-picked over the new row order, lineage carried forward, the
+    pre-cluster pages readable via time travel until vacuum. Zone
+    sidecars are rebuilt for the sort columns (plus any extra
+    ``zone_columns``) — the point of clustering: after it, range
+    predicates on those columns prune pages via
+    :func:`raystack.zones.decode_dir_where`. ``sort_by`` persists in the
+    layout config so later :func:`encode_append` increments can cluster
+    their own pages identically. Decoded content is identical modulo row
+    order (each partition holds the same row SET)."""
+    import ray
+
+    from .log import get_logger
+    log = get_logger(logger)
+    sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+    if not sort_cols:
+        raise ValueError("recluster: sort_by must name >=1 column")
+    existing = set(_layout_column_types(out_dir))
+    missing = [c for c in sort_cols if c not in existing]
+    if missing:
+        raise ValueError(f"recluster: sort column(s) {missing} not in "
+                         f"layout {sorted(existing)}")
+    zcols = sorted(set(sort_cols) | set(zone_columns or []))
+    pages_root = os.path.join(out_dir, "pages")
+    dirs = sorted(d for d in os.listdir(pages_root)
+                  if d.startswith("part_key="))
+    cfg = mf.load_config(out_dir) or {}
+    key_col = cfg.get("url_col")
+
+    from .snapshots import retirement_gen
+    gen = retirement_gen(out_dir)
+
+    def one(d: str) -> int:
+        part_dir = os.path.join(pages_root, d)
+        pk = int(d.split("=", 1)[1])
+        _replay_partition_journal(out_dir, part_dir, gen)
+        full = _decode_partition_dir(part_dir)
+        if full.num_rows:
+            full = _cluster(full, sort_by)
+        _commit_partition_rewrite(out_dir, part_dir, pk, full, gen,
+                                  page_rows, key_col, zcols,
+                                  input_files=_partition_lineage(part_dir))
+        return full.num_rows
+
+    task = ray.remote(num_cpus=1)(one)
+    rows = ray.get([task.remote(d) for d in dirs])
+    cfg["sort_by"] = sort_by if isinstance(sort_by, str) else sort_cols
+    mf.save_config(out_dir, cfg)
+    enc_cols = sorted(c for c in existing
+                      if c not in ("filepath", "filename"))
+    summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="recluster")
+    summary["reclustered"] = len(dirs)
+    summary["reclustered_rows"] = int(sum(rows))
+    log.send_log(f"recluster: {len(dirs)} partition(s) by {sort_cols}")
+    return summary
+
+
+def export_parquet(out_dir: str, dest: str,
+                   columns: list[str] | None = None,
+                   snapshot: int | None = None,
+                   compression: str = "snappy",
+                   row_group_rows: int = DEFAULT_PAGE_ROWS,
+                   resume: bool = False, logger=None) -> dict:
+    """Interop escape hatch: decode an encoded layout back into STANDARD
+    hive-partitioned Parquet (``dest/part_key=N/data.parquet``) that any
+    engine reads — no raystack needed downstream. One Ray task per
+    partition (same fan-out shape as :func:`decode_dir`, no shuffle),
+    each installing its file atomically (dot-prefixed tmp + rename), so
+    with ``resume=True`` a re-run after a crash skips every partition
+    whose file already landed and rewrites only the missing ones — the
+    output-resumability contract of the encode paths, applied to the
+    export. ``snapshot=`` exports a historical state via the snapshot
+    log. Returns ``{partitions, skipped, rows, bytes}``."""
+    import ray
+
+    from .log import get_logger
+    log = get_logger(logger)
+    pages_root = os.path.join(out_dir, "pages")
+    if snapshot is not None:
+        from .snapshots import resolve_snapshot_paths
+        per_dir = resolve_snapshot_paths(out_dir, snapshot)
+        items = sorted((d, paths) for d, paths in per_dir.items())
+        if not items:
+            raise FileNotFoundError(
+                f"snapshot {snapshot} of {out_dir} lists no partitions")
+    else:
+        items = [(d, None) for d in sorted(os.listdir(pages_root))
+                 if d.startswith("part_key=")]
+        if not items:
+            raise FileNotFoundError(f"no part_key= dirs under {pages_root}")
+    os.makedirs(dest, exist_ok=True)
+    todo, skipped = [], 0
+    for d, paths in items:
+        if resume and os.path.exists(os.path.join(dest, d, "data.parquet")):
+            skipped += 1
+            continue
+        todo.append((d, paths))
+
+    def one(d: str, paths) -> tuple[int, int]:
+        import pyarrow.parquet as _pq
+        t = _decode_partition_dir(os.path.join(pages_root, d), columns,
+                                  paths=paths)
+        part_dest = os.path.join(dest, d)
+        os.makedirs(part_dest, exist_ok=True)
+        final = os.path.join(part_dest, "data.parquet")
+        tmp = os.path.join(part_dest, ".data.parquet.tmp")
+        _pq.write_table(t, tmp, compression=compression,
+                        row_group_size=row_group_rows)
+        os.replace(tmp, final)
+        return t.num_rows, os.path.getsize(final)
+
+    task = ray.remote(num_cpus=1)(one)
+    out = ray.get([task.remote(d, paths) for d, paths in todo])
+    log.send_log(f"export_parquet: {len(todo)} partition(s) → {dest}"
+                 + (f" ({skipped} skipped, already exported)"
+                    if skipped else ""))
+    return {"partitions": len(todo), "skipped": skipped,
+            "rows": int(sum(r for r, _ in out)),
+            "bytes": int(sum(b for _, b in out))}
+
+
 def delete_rows(out_dir: str, *, keys: list[str] | None = None,
                 keys_ds=None, key_col: str | None = None,
                 predicate=None, predicate_columns: list[str] | None = None,

@@ -1,0 +1,151 @@
+"""In-place re-clustering (:func:`raystack.pipeline.recluster`) and the
+standard-Parquet interop export (:func:`raystack.pipeline.export_parquet`).
+
+recluster rewrites every partition with rows reordered by a sort key (or
+Z-order list) through the crash-safe commit protocol — same row SET per
+partition, zone sidecars rebuilt narrow so range predicates prune, the
+pre-cluster state readable via time travel. export_parquet decodes a
+layout back into hive-partitioned plain Parquet any engine reads, with
+atomic per-partition installs so a crashed export resumes by skipping
+finished partitions.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from raystack import manifest as mf
+from raystack import pipeline as pl
+from raystack import snapshots as sn
+from raystack import zones as zn
+
+SRC = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _decoded(out: str, snapshot=None, columns=None) -> pd.DataFrame:
+    df = pl.decode_dir(out, snapshot=snapshot, columns=columns).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True) \
+        .reindex(sorted(df.columns), axis=1)
+
+
+@pytest.fixture()
+def layout(ray_session, tmp_path):
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([SRC], out, url_col="source",
+                                num_partitions=4, add_filename=False)
+    return out
+
+
+def test_recluster_preserves_content(layout):
+    before = _decoded(layout)
+    summary = pl.recluster(layout, "n_chars", page_rows=32)
+    assert summary["reclustered"] == 4
+    assert summary["reclustered_rows"] == len(before)
+    pd.testing.assert_frame_equal(_decoded(layout), before)
+
+
+def test_recluster_narrows_zone_pruning(layout):
+    # default encode order is row-arrival (n_chars shuffled across pages):
+    # a narrow n_chars range overlaps nearly every page. After clustering
+    # by n_chars the same range must prune to a strict subset of pages.
+    pl.recluster(layout, "n_chars", page_rows=32)
+    lo = int(_decoded(layout)["n_chars"].quantile(0.4))
+    hi = int(_decoded(layout)["n_chars"].quantile(0.6))
+    plan = zn.zone_prune_plan(layout, {"n_chars": (lo, hi)})
+    pages_root = os.path.join(layout, "pages")
+    total = kept = 0
+    for d in sorted(os.listdir(pages_root)):
+        if not d.startswith("part_key="):
+            continue
+        t = pads.dataset(os.path.join(pages_root, d)).to_table(
+            columns=["column", "page_idx"])
+        n = len([1 for c in t["column"].to_pylist() if c == "n_chars"])
+        total += n
+        pruned = plan.get(d)
+        kept += n if (d in plan and pruned is None) else \
+            (len(pruned) if d in plan else 0)
+    assert kept < total  # clustering made the sidecars selective
+    # and the pruned filtered decode is exact
+    got = zn.decode_dir_where(layout, {"n_chars": (lo, hi)}).to_pandas()
+    exp = _decoded(layout)
+    exp = exp[(exp["n_chars"] >= lo) & (exp["n_chars"] <= hi)]
+    got = got.sort_values("doc_id").reset_index(drop=True) \
+        .reindex(sorted(got.columns), axis=1)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+
+def test_recluster_zorder_list_and_config(layout):
+    before = _decoded(layout)
+    pl.recluster(layout, ["n_chars", "doc_id"], page_rows=32)
+    pd.testing.assert_frame_equal(_decoded(layout), before)
+    cfg = mf.load_config(layout)
+    assert cfg["sort_by"] == ["n_chars", "doc_id"]
+
+
+def test_recluster_snapshot_and_time_travel(layout):
+    before = _decoded(layout)
+    pl.recluster(layout, "n_chars")
+    snaps = sn.list_snapshots(layout)
+    assert [s["op"] for s in snaps] == ["encode", "recluster"]
+    # pre-cluster snapshot still decodes bit-identically
+    pd.testing.assert_frame_equal(_decoded(layout, snapshot=1), before)
+
+
+def test_recluster_unknown_column_raises(layout):
+    with pytest.raises(ValueError, match="not in layout"):
+        pl.recluster(layout, "nope")
+
+
+def test_export_roundtrip_and_columns(layout, tmp_path):
+    dest = str(tmp_path / "plain")
+    summary = pl.export_parquet(layout, dest)
+    exp = _decoded(layout)
+    assert summary["partitions"] == 4 and summary["skipped"] == 0
+    assert summary["rows"] == len(exp)
+    got = pads.dataset(dest, partitioning="hive").to_table() \
+        .to_pandas().drop(columns=["part_key"])
+    got = got.sort_values("doc_id").reset_index(drop=True) \
+        .reindex(sorted(got.columns), axis=1)
+    pd.testing.assert_frame_equal(got, exp)
+    # projected export carries only the asked columns
+    dest2 = str(tmp_path / "plain2")
+    pl.export_parquet(layout, dest2, columns=["doc_id", "lang"])
+    one = next(os.path.join(r, f) for r, _, fs in os.walk(dest2)
+               for f in fs if f.endswith(".parquet"))
+    assert pq.read_schema(one).names == ["doc_id", "lang"]
+
+
+def test_export_resume_skips_finished(layout, tmp_path):
+    dest = str(tmp_path / "plain")
+    pl.export_parquet(layout, dest)
+    exp = _decoded(layout)
+    # simulate a crashed export: one partition's file vanished
+    victim = os.path.join(dest, "part_key=2", "data.parquet")
+    os.remove(victim)
+    summary = pl.export_parquet(layout, dest, resume=True)
+    assert summary["partitions"] == 1 and summary["skipped"] == 3
+    assert os.path.exists(victim)
+    got = pads.dataset(dest, partitioning="hive").to_table() \
+        .to_pandas().drop(columns=["part_key"])
+    got = got.sort_values("doc_id").reset_index(drop=True) \
+        .reindex(sorted(got.columns), axis=1)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_export_snapshot_state(layout, tmp_path):
+    before = _decoded(layout)
+    med = float(before["n_chars"].median())
+    pl.delete_rows(layout,
+                   predicate=lambda t: pc.greater(t["n_chars"], med),
+                   predicate_columns=["n_chars"])
+    dest = str(tmp_path / "hist")
+    pl.export_parquet(layout, dest, snapshot=1)
+    got = pads.dataset(dest, partitioning="hive").to_table() \
+        .to_pandas().drop(columns=["part_key"])
+    got = got.sort_values("doc_id").reset_index(drop=True) \
+        .reindex(sorted(got.columns), axis=1)
+    pd.testing.assert_frame_equal(got, before)
