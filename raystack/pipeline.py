@@ -616,10 +616,12 @@ def encode_partitioned(ds, out_dir: str, columns: list[str] | None = None,
     log.send_log(f"encode_partitioned: "
                  f"{len(host_map) if host_map else len(hot_hosts or {})} "
                  f"host(s) planned, {num_partitions} partitions → {out_dir}")
-    mf.save_config(out_dir, {"url_col": url_col,
-                             "num_partitions": num_partitions,
-                             "hot_hosts": hot_hosts,
-                             "host_map": host_map})
+    cfg = {"url_col": url_col, "num_partitions": num_partitions,
+           "hot_hosts": hot_hosts, "host_map": host_map}
+    if sort_by is not None:
+        cfg["sort_by"] = sort_by if isinstance(sort_by, str) \
+            else list(sort_by)
+    mf.save_config(out_dir, cfg)
     pages = keyed.groupby("part_key").map_groups(encode_group,
                                                  batch_format="pyarrow")
     # stream pages straight to partitioned storage (never materialized)
@@ -1279,6 +1281,11 @@ def encode_partitioned_tasks(source_paths: list[str], out_dir: str, *,
     done = _resume_prepare(out_dir, resume)
     cfg = {"url_col": url_col, "num_partitions": num_partitions,
            "hot_hosts": hot_hosts, "host_map": host_map}
+    if sort_by is not None:
+        # persists with the layout: encode_append clusters its new pages
+        # the same way, so zone pruning survives incremental ingest
+        cfg["sort_by"] = sort_by if isinstance(sort_by, str) \
+            else list(sort_by)
     if is_warc:
         # appends must parse/extract exactly like the initial encode —
         # the extraction tags persist with the layout (latin-1: tags are
@@ -1538,6 +1545,24 @@ def encode_append(source_paths: list[str], out_dir: str, *,
                 backfill[c] = pa.string() if c in prov_cols \
                     else plan.unified_schema.field(c).type
 
+    # the layout's persisted clustering applies to appended pages too —
+    # a recluster (or encode-time sort_by) would otherwise degrade one
+    # append at a time as unsorted increments land. Clustering re-orders
+    # rows at the reduce, so map-side precode is off (same rule as the
+    # fresh-encode path); sort columns this append lacks (union drift)
+    # skip clustering rather than fail — sidecars are invalidated either
+    # way and the rows stay decodable.
+    sort_by = cfg.get("sort_by")
+    if sort_by is not None:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        if all(c in enc_cols for c in sort_cols):
+            precode = False
+        else:
+            log.send_log(f"encode_append: persisted sort_by={sort_cols} "
+                         "references columns absent from this append — "
+                         "new pages land unclustered")
+            sort_by = None
+
     # precode works for appends too: heavy plain-family columns compress
     # ONCE on the map side exactly as in encode_partitioned_tasks. The
     # append base page (global max over ALL existing pages + 1) upper-
@@ -1577,7 +1602,8 @@ def encode_append(source_paths: list[str], out_dir: str, *,
     enc_refs = [enc_fn.remote(pk, out_dir, enc_cols, prov_cols, page_rows,
                               has_prov, None, *[m[pk] for m in map_refs],
                               append=True, file_tag=tag,
-                              backfill=backfill or None)
+                              backfill=backfill or None,
+                              sort_by=sort_by)
                 for pk in range(num_partitions)]
     ray.get(enc_refs)
     summary = _finalize_manifest(out_dir, enc_cols, snapshot_op="append")
@@ -2208,8 +2234,9 @@ def scan(out_dir: str, columns: list[str] | None = None,
 
     - ``keys=[...]`` → :func:`lookup_rows` (partition routing + per-page
       key blooms: ~1 page per column per hit);
-    - ``where={col: (lo, hi), ...}`` → zone-pruned exact filtered decode
-      (:func:`raystack.zones.decode_dir_where`);
+    - ``where={col: (lo, hi) | {"in": [...]}, ...}`` → zone-pruned exact
+      filtered decode (:func:`raystack.zones.decode_dir_where`; ranges
+      prune on page min/max, memberships on value-in-[zmin, zmax]);
     - otherwise → partition-local :func:`decode_dir`
       (``snapshot=`` time-travels through the snapshot log).
 

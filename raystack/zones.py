@@ -428,6 +428,47 @@ def build_zone_maps(out_dir: str, columns: list[str],
     return ray.get([one.remote(d) for d in dirs])
 
 
+def _pred(spec) -> tuple:
+    """Normalize one predicate spec. A 2-tuple/list ``(lo, hi)`` is a
+    closed RANGE (either side None = unbounded) → ``("range", lo, hi)``.
+    ``{"in": [...]}`` or a set is MEMBERSHIP (SQL ``IN``: null never
+    matches; an empty list matches nothing) → ``("in", values)``. A
+     2-element list is always a range — pass ``{"in": [a, b]}`` for a
+    two-value membership test."""
+    if isinstance(spec, dict):
+        if set(spec) != {"in"}:
+            raise ValueError(f"predicate dict must be "
+                             f"{{'in': [...]}}, got {sorted(spec)}")
+        return ("in", list(dict.fromkeys(spec["in"])))
+    if isinstance(spec, (set, frozenset)):
+        return ("in", sorted(spec))
+    if isinstance(spec, (tuple, list)) and len(spec) == 2:
+        return ("range", spec[0], spec[1])
+    raise ValueError(f"predicate must be (lo, hi) or {{'in': [...]}}, "
+                     f"got {spec!r}")
+
+
+def predicate_mask(t: pa.Table, ranges: dict):
+    """Exact boolean mask for the conjunction of every column predicate
+    (see :func:`_pred`), null-filled to False — the single definition of
+    predicate semantics shared by the filtered decode, count and
+    aggregate pushdown paths."""
+    mask = pa.array([True] * t.num_rows)
+    for col, spec in ranges.items():
+        kind, *args = _pred(spec)
+        if kind == "range":
+            lo, hi = args
+            if lo is not None:
+                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
+            if hi is not None:
+                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
+        else:
+            vals = pa.array(args[0]) if args[0] else \
+                pa.array([], type=t[col].type)
+            mask = pc.and_kleene(mask, pc.is_in(t[col], value_set=vals))
+    return pc.fill_null(mask, False)
+
+
 def _overlap_pages(zones_dir: str,
                    ranges: dict) -> list[set[int]] | None:
     """Per-PREDICATE-COLUMN sets of page indexes that may satisfy that
@@ -440,17 +481,25 @@ def _overlap_pages(zones_dir: str,
     import pyarrow.parquet as pq
 
     sets: list[set[int]] = []
-    for col, (lo, hi) in ranges.items():
+    for col, spec in ranges.items():
         zf = os.path.join(zones_dir, f"{col}.parquet")
         if not os.path.exists(zf):
             return None
         z = pq.read_table(zf)
         zmin, zmax = z["zmin"], z["zmax"]
-        ok = pa.array([True] * z.num_rows)
-        if hi is not None:
-            ok = pc.and_kleene(ok, pc.less_equal(zmin, hi))
-        if lo is not None:
-            ok = pc.and_kleene(ok, pc.greater_equal(zmax, lo))
+        kind, *args = _pred(spec)
+        if kind == "range":
+            lo, hi = args
+            ok = pa.array([True] * z.num_rows)
+            if hi is not None:
+                ok = pc.and_kleene(ok, pc.less_equal(zmin, hi))
+            if lo is not None:
+                ok = pc.and_kleene(ok, pc.greater_equal(zmax, lo))
+        else:  # membership: a page may match iff ANY value falls in it
+            ok = pa.array([False] * z.num_rows)
+            for v in args[0]:
+                ok = pc.or_kleene(ok, pc.and_kleene(
+                    pc.less_equal(zmin, v), pc.greater_equal(zmax, v)))
         # all-null pages have null zmin/zmax → unknown → keep
         ok = pc.fill_null(ok, True)
         sets.append(set(np.asarray(z["page_idx"])[np.asarray(ok)]
@@ -463,8 +512,9 @@ def zone_prune_plan(out_dir: str, ranges: dict) -> dict:
     no page bytes touched): ``{part_dir: sorted page list | None}``.
     ``None`` = decode all pages of that partition (no zones, or mixed
     page boundaries where page pruning is unsound); fully pruned
-    partitions are omitted. ``ranges`` maps column → (lo, hi) closed
-    bounds, either side None for unbounded."""
+    partitions are omitted. ``ranges`` maps column → predicate: a
+    ``(lo, hi)`` closed range (either side None for unbounded) or
+    ``{"in": [...]}`` membership (see :func:`_pred`)."""
     plan: dict = {}
     zones_root = os.path.join(out_dir, ZONES_DIRNAME)
     for d in _part_dirs(out_dir):
@@ -498,9 +548,13 @@ def decode_dir_where(out_dir: str, ranges: dict,
                      columns: list[str] | None = None):
     """Exactly-filtered decode over an encoded layout: zone maps prune
     partitions and pages first (their bytes are never decoded), then the
-    surviving rows get the exact range filter — the result always equals
+    surviving rows get the exact filter — the result always equals
     ``decode_dir(out_dir, columns)`` + filter, zones or not. One Ray task
-    per surviving partition, same scale shape as ``decode_dir``."""
+    per surviving partition, same scale shape as ``decode_dir``.
+    ``ranges`` maps column → ``(lo, hi)`` closed range or
+    ``{"in": [...]}`` membership (SQL ``IN`` — null never matches);
+    membership prunes pages whose [zmin, zmax] contains no listed value,
+    which goes page-exact after clustering a low-cardinality column."""
     import ray.data
 
     from .pipeline import _decode_partition_dir
@@ -515,13 +569,7 @@ def decode_dir_where(out_dir: str, ranges: dict,
     def exact_filter(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        mask = pa.array([True] * t.num_rows)
-        for col, (lo, hi) in ranges.items():
-            if lo is not None:
-                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
-            if hi is not None:
-                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
-        out = t.filter(pc.fill_null(mask, False))
+        out = t.filter(predicate_mask(t, ranges))
         if columns is not None:
             out = out.select([c for c in columns if c in out.schema.names])
         return out
@@ -549,6 +597,62 @@ def decode_dir_where(out_dir: str, ranges: dict,
         .map_batches(decode_one, batch_size=1, batch_format="numpy")
 
 
+def _page_classify(z: pa.Table, spec) -> tuple[np.ndarray, np.ndarray]:
+    """Per-page (disjoint, contained) proof arrays for ONE predicate
+    column from its zone rows: disjoint = no row of the page can match,
+    contained = EVERY row matches (requires zero nulls and non-null
+    stats). For membership predicates disjointness holds when no value
+    falls inside [zmin, zmax]; containment is only provable for CONSTANT
+    pages (zmin == zmax) whose single value is in the set — common after
+    clustering a low-cardinality column. Shared by the COUNT and
+    aggregate pushdown paths."""
+    n = z.num_rows
+    kind, *args = _pred(spec)
+    disjoint = np.zeros(n, dtype=bool)
+    contained = np.ones(n, dtype=bool)
+    zmin, zmax = z["zmin"], z["zmax"]
+    if kind == "range" and args[0] is None and args[1] is None:
+        # unconstrained column: the exact filter keeps EVERY row (nulls
+        # included), so it must impose nothing here — the null-page
+        # shortcuts below would otherwise drop all-null pages and break
+        # the decode_dir_where().count() identity
+        return disjoint, contained
+    has_null = np.asarray(pc.greater(z["nnull"], 0)) \
+        if "nnull" in z.schema.names else np.ones(n, dtype=bool)
+    stats_null = np.asarray(pc.is_null(zmin))
+    if kind == "range":
+        lo, hi = args
+        if lo is not None:
+            disjoint |= np.asarray(pc.fill_null(pc.less(zmax, lo), False))
+            contained &= np.asarray(pc.fill_null(
+                pc.greater_equal(zmin, lo), False))
+        if hi is not None:
+            disjoint |= np.asarray(pc.fill_null(pc.greater(zmin, hi),
+                                                False))
+            contained &= np.asarray(pc.fill_null(
+                pc.less_equal(zmax, hi), False))
+    else:
+        vals = args[0]
+        overlap = pa.array([False] * n)
+        for v in vals:
+            overlap = pc.or_kleene(overlap, pc.and_kleene(
+                pc.less_equal(zmin, v), pc.greater_equal(zmax, v)))
+        disjoint |= np.asarray(pc.fill_null(pc.invert(overlap), False))
+        if vals:
+            const_in = pc.and_kleene(
+                pc.equal(zmin, zmax),
+                pc.is_in(zmin, value_set=pa.array(vals)))
+            contained &= np.asarray(pc.fill_null(const_in, False))
+        else:
+            contained &= False
+    contained &= ~has_null & ~stats_null
+    # all-null pages have no value in range: every row fails the filter
+    if "nnull" in z.schema.names:
+        disjoint |= stats_null & np.asarray(pc.equal(z["nnull"],
+                                                     z["nrows"]))
+    return disjoint, contained
+
+
 def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
     """Exact predicate COUNT for one partition: pages provably disjoint
     from the range cost nothing, pages provably contained (min/max inside
@@ -565,13 +669,7 @@ def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
         t = _decode_partition_dir(pages_dir, pred_cols)
         if t.num_rows == 0:
             return 0
-        mask = pa.array([True] * t.num_rows)
-        for col, (lo, hi) in ranges.items():
-            if lo is not None:
-                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
-            if hi is not None:
-                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
-        return int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+        return int(pc.sum(predicate_mask(t, ranges)).as_py() or 0)
 
     zts = {}
     for col in pred_cols:
@@ -592,45 +690,17 @@ def _count_partition(pages_dir: str, zones_dir: str, ranges: dict) -> int:
     nrows = np.asarray(ref["nrows"])
     disjoint = np.zeros(len(page_idx), dtype=bool)
     contained = np.ones(len(page_idx), dtype=bool)
-    for col, (lo, hi) in ranges.items():
-        if lo is None and hi is None:
-            # unconstrained column: the exact filter keeps EVERY row
-            # (nulls included), so it must impose nothing here — the
-            # null-page shortcuts below would otherwise drop all-null
-            # pages and break the decode_dir_where().count() identity
-            continue
-        z = zts[col]
-        zmin, zmax = z["zmin"], z["zmax"]
-        has_null = np.asarray(pc.greater(z["nnull"], 0)) \
-            if "nnull" in z.schema.names else np.ones(len(page_idx), bool)
-        stats_null = np.asarray(pc.is_null(zmin))
-        if lo is not None:
-            disjoint |= np.asarray(pc.fill_null(pc.less(zmax, lo), False))
-            contained &= np.asarray(pc.fill_null(
-                pc.greater_equal(zmin, lo), False))
-        if hi is not None:
-            disjoint |= np.asarray(pc.fill_null(pc.greater(zmin, hi), False))
-            contained &= np.asarray(pc.fill_null(
-                pc.less_equal(zmax, hi), False))
-        contained &= ~has_null & ~stats_null
-        # all-null pages have no value in range: every row fails the filter
-        disjoint |= stats_null & np.asarray(
-            pc.equal(z["nnull"], z["nrows"])) \
-            if "nnull" in z.schema.names else stats_null & False
+    for col, spec in ranges.items():
+        dj, ct = _page_classify(zts[col], spec)
+        disjoint |= dj
+        contained &= ct
     total = int(nrows[contained & ~disjoint].sum())
     boundary = sorted(page_idx[~contained & ~disjoint].tolist())
     if boundary:
         t = _decode_partition_dir(pages_dir, pred_cols,
                                   page_whitelist=boundary)
         if t.num_rows:
-            mask = pa.array([True] * t.num_rows)
-            for col, (lo, hi) in ranges.items():
-                if lo is not None:
-                    mask = pc.and_kleene(mask,
-                                         pc.greater_equal(t[col], lo))
-                if hi is not None:
-                    mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
-            total += int(pc.sum(pc.fill_null(mask, False)).as_py() or 0)
+            total += int(pc.sum(predicate_mask(t, ranges)).as_py() or 0)
     return total
 
 
@@ -672,13 +742,7 @@ def _agg_partition(pages_dir: str, zones_dir: str, value_col: str,
     def exact_agg(t: pa.Table) -> dict:
         if t.num_rows == 0:
             return dict(_EMPTY_PARTIAL)
-        mask = pa.array([True] * t.num_rows)
-        for col, (lo, hi) in ranges.items():
-            if lo is not None:
-                mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
-            if hi is not None:
-                mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
-        vals = t[value_col].filter(pc.fill_null(mask, False))
+        vals = t[value_col].filter(predicate_mask(t, ranges))
         n = len(vals) - vals.null_count
         if n == 0:
             return dict(_EMPTY_PARTIAL)
@@ -709,25 +773,10 @@ def _agg_partition(pages_dir: str, zones_dir: str, value_col: str,
     page_idx = np.asarray(ref["page_idx"])
     disjoint = np.zeros(len(page_idx), dtype=bool)
     contained = np.ones(len(page_idx), dtype=bool)
-    for col, (lo, hi) in ranges.items():
-        if lo is None and hi is None:
-            continue  # unconstrained: imposes nothing (see count_where)
-        z = zts[col]
-        zmin, zmax = z["zmin"], z["zmax"]
-        has_null = np.asarray(pc.greater(z["nnull"], 0))
-        stats_null = np.asarray(pc.is_null(zmin))
-        if lo is not None:
-            disjoint |= np.asarray(pc.fill_null(pc.less(zmax, lo), False))
-            contained &= np.asarray(pc.fill_null(
-                pc.greater_equal(zmin, lo), False))
-        if hi is not None:
-            disjoint |= np.asarray(pc.fill_null(pc.greater(zmin, hi),
-                                                False))
-            contained &= np.asarray(pc.fill_null(
-                pc.less_equal(zmax, hi), False))
-        contained &= ~has_null & ~stats_null
-        disjoint |= stats_null & np.asarray(pc.equal(z["nnull"],
-                                                     z["nrows"]))
+    for col, spec in ranges.items():
+        dj, ct = _page_classify(zts[col], spec)
+        disjoint |= dj
+        contained &= ct
     out = dict(_EMPTY_PARTIAL)
     take = contained & ~disjoint
     if take.any():
@@ -750,7 +799,8 @@ def _agg_partition(pages_dir: str, zones_dir: str, value_col: str,
 
 def agg_where(out_dir: str, value_col: str, ranges: dict) -> dict:
     """Exact SUM / COUNT(value) / MIN / MAX / AVG of ``value_col`` over
-    rows matching every range predicate, accelerated by zone maps: one
+    rows matching every column predicate (range or {'in': [...]}
+    membership), accelerated by zone maps: one
     Ray task per partition; pages proven contained answer from sidecar
     metadata alone (``zsum``, ``nrows - nnull``, ``zmin``/``zmax``),
     proven-disjoint pages cost nothing, only boundary pages decode.
@@ -783,7 +833,8 @@ def sum_where(out_dir: str, value_col: str, ranges: dict):
 
 
 def count_where(out_dir: str, ranges: dict) -> int:
-    """Exact COUNT of rows matching every range predicate over an encoded
+    """Exact COUNT of rows matching every column predicate (range or
+    {'in': [...]} membership) over an encoded
     layout, accelerated by zone maps: one Ray task per partition; pages
     proven contained count via sidecar metadata (nrows), proven-disjoint
     pages cost nothing, and only boundary pages are decoded (predicate

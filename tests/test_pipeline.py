@@ -1492,3 +1492,69 @@ def test_encode_sharded_resume_rejects_shrunk_inputs(ray_session,
         pl.encode_sharded(paths[:4], out, num_partitions=2,
                           add_filename=False, map_bytes=1, max_refs=2,
                           resume=True)
+
+
+def test_append_clusters_with_persisted_sort_by(ray_session, tmp_path):
+    """A layout encoded with sort_by keeps its clustering through
+    encode_append: the persisted config makes each append's new pages
+    sort the same way, so zone pruning stays tight as increments land.
+    Control: the identical layout with the persisted sort_by removed
+    appends unsorted pages and prunes strictly worse. Sort columns
+    absent from a drifted append skip clustering instead of failing."""
+    from raystack import manifest as mf
+    from raystack.zones import build_zone_maps, zone_prune_plan
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 300), day1)
+    pq.write_table(t.slice(300), day2)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def build(out, keep_sort):
+        pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                    num_partitions=2, add_filename=False,
+                                    page_rows=64, sort_by="n_chars")
+        cfg = mf.load_config(out)
+        assert cfg["sort_by"] == "n_chars"  # persisted by the encode
+        if not keep_sort:
+            del cfg["sort_by"]
+            mf.save_config(out, cfg)
+        # precode=False on both sides: the sorted append disables it
+        # anyway (clustering re-orders the reduce), and a precoded
+        # control would page the heavy column on its own boundaries —
+        # non-uniform layout, partition-level pruning only — which would
+        # hide the comparison this test makes
+        pl.encode_append([day2], out, add_filename=False, page_rows=64,
+                         precode=False)
+        build_zone_maps(out, ["n_chars"])
+        return out
+
+    sorted_out = build(str(tmp_path / "sorted"), keep_sort=True)
+    control = build(str(tmp_path / "control"), keep_sort=False)
+
+    # identical content either way (clustering is a layout property)
+    for out in (sorted_out, control):
+        got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        assert got[want.columns.tolist()].equals(want)
+
+    lo = int(want["n_chars"].quantile(0.45))
+    hi = int(want["n_chars"].quantile(0.55))
+
+    def kept(out):
+        plan = zone_prune_plan(out, {"n_chars": (lo, hi)})
+        assert all(p is not None for p in plan.values())
+        return sum(len(p) for p in plan.values())
+
+    assert kept(sorted_out) < kept(control)
+
+    # drifted append missing the sort column: clusters nothing, fails
+    # nothing — rows land and decode with nulls for the sort column
+    day3 = str(tmp_path / "day3.parquet")
+    pq.write_table(t.slice(0, 50).drop_columns(["n_chars"]), day3)
+    pl.encode_append([day3], sorted_out, add_filename=False,
+                     page_rows=64, schema="union")
+    got = pl.decode_dir(sorted_out).to_pandas()
+    assert len(got) == len(want) + 50
+    assert got["n_chars"].isna().sum() == 50

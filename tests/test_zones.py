@@ -605,3 +605,95 @@ def test_scan_unified_entry(encoded_dir):
         pl.scan(encoded_dir, keys=[key], where={"doc_id": (0, 1)})
     with pytest.raises(ValueError, match="historical"):
         pl.scan(encoded_dir, where={"doc_id": (0, 1)}, snapshot=1)
+
+
+def test_in_predicate_decode_count_agg_exact(encoded_dir):
+    """{'in': [...]} membership predicates: the filtered decode, COUNT
+    and aggregate pushdown all equal decode-everything + pandas isin —
+    alone, combined with a range on another column, empty-list, and
+    absent-value cases. DuckDB mirrors the aggregate."""
+    import duckdb
+
+    from raystack import pipeline as pl
+    from raystack.zones import (agg_where, build_zone_maps, count_where,
+                                decode_dir_where)
+    build_zone_maps(encoded_dir, ["doc_id", "n_chars", "lang"])
+    full = pl.decode_dir(encoded_dir).to_pandas()
+    langs = sorted(full["lang"].dropna().unique())[:2]
+
+    got = decode_dir_where(encoded_dir, {"lang": {"in": langs}}) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = full[full["lang"].isin(langs)] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.reindex(sorted(got.columns), axis=1).equals(
+        exp.reindex(sorted(exp.columns), axis=1))
+
+    assert count_where(encoded_dir, {"lang": {"in": langs}}) == len(exp)
+    # membership alongside a range on another column
+    combined = {"lang": {"in": langs}, "n_chars": (100, None)}
+    exp2 = exp[exp["n_chars"] >= 100]
+    assert count_where(encoded_dir, combined) == len(exp2)
+    got2 = decode_dir_where(encoded_dir, combined).to_pandas()
+    assert sorted(got2["doc_id"]) == sorted(exp2["doc_id"])
+
+    a = agg_where(encoded_dir, "n_chars", {"lang": {"in": langs}})
+    langs_sql = ", ".join(f"'{v}'" for v in langs)
+    ref = duckdb.sql(
+        f"select sum(n_chars), count(n_chars), min(n_chars), "
+        f"max(n_chars), avg(n_chars) from "
+        f"read_parquet('{SF}/documents.parquet') "
+        f"where lang in ({langs_sql})").fetchone()
+    assert (a["sum"], a["count"], a["min"], a["max"]) == ref[:4]
+    assert abs(a["avg"] - ref[4]) < 1e-9
+
+    # a set literal is membership too
+    assert count_where(encoded_dir, {"lang": set(langs)}) == len(exp)
+    # empty list / absent value match nothing
+    assert count_where(encoded_dir, {"lang": {"in": []}}) == 0
+    assert count_where(encoded_dir, {"lang": {"in": ["zz"]}}) == 0
+    assert decode_dir_where(encoded_dir, {"lang": {"in": ["zz"]}}) \
+        .count() == 0
+
+
+def test_in_predicate_prunes_after_clustering(ray_session, tmp_path):
+    """After clustering on a low-cardinality column, membership pruning
+    gets page-exact: most pages are constant so they are answered from
+    metadata (contained) or skipped (disjoint); the pruning plan keeps a
+    strict subset of pages and results stay exact."""
+    from raystack import pipeline as pl
+    from raystack.zones import count_where, zone_prune_plan
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks(
+        [os.path.join(SF, "documents.parquet")], out, url_col="source",
+        num_partitions=2, add_filename=False)
+    pl.recluster(out, "lang", page_rows=32)
+    full = pl.decode_dir(out).to_pandas()
+    one = sorted(full["lang"].dropna().unique())[:1]
+    plan = zone_prune_plan(out, {"lang": {"in": one}})
+    import pyarrow.dataset as pads
+    total = kept = 0
+    for d in sorted(os.listdir(os.path.join(out, "pages"))):
+        if not d.startswith("part_key="):
+            continue
+        t = pads.dataset(os.path.join(out, "pages", d)).to_table(
+            columns=["column"])
+        n = sum(1 for c in t["column"].to_pylist() if c == "lang")
+        total += n
+        p = plan.get(d)
+        kept += n if (d in plan and p is None) else \
+            (len(p) if d in plan else 0)
+    assert kept < total
+    assert count_where(out, {"lang": {"in": one}}) == \
+        int(full["lang"].isin(one).sum())
+
+
+def test_pred_spec_validation(ray_session):
+    from raystack.zones import _pred
+    assert _pred((1, 5)) == ("range", 1, 5)
+    assert _pred([None, 5]) == ("range", None, 5)
+    assert _pred({"in": [3, 1, 3]}) == ("in", [3, 1])  # dedup, order kept
+    assert _pred({2, 1}) == ("in", [1, 2])
+    with pytest.raises(ValueError, match="predicate dict"):
+        _pred({"between": (1, 2)})
+    with pytest.raises(ValueError, match="predicate must be"):
+        _pred(7)
