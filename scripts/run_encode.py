@@ -88,6 +88,16 @@ def main():
                     help="print what changed between snapshots A and B "
                          "(per-partition file adds/removes, row/byte "
                          "deltas — metadata only, no Ray) and exit")
+    ap.add_argument("--recluster", default="", metavar="COLS",
+                    help="re-sort every partition of --output in place "
+                         "by the comma-separated column(s) (2+ columns "
+                         "Z-order) and exit; zone sidecars rebuilt, "
+                         "later --append runs cluster the same way")
+    ap.add_argument("--export", default="", metavar="DEST",
+                    help="decode --output into standard hive-partitioned "
+                         "Parquet under DEST and exit (atomic per-"
+                         "partition installs; with --resume a re-run "
+                         "skips finished partitions)")
     args = ap.parse_args()
 
     if args.stats:  # metadata-only: no Ray session, no page reads
@@ -125,7 +135,7 @@ def main():
         print(json.dumps(summary))
         ray.shutdown()
         return
-    if args.verify or args.compact:
+    if args.verify or args.compact or args.recluster or args.export:
         import ray
         if not ray.is_initialized():
             kw = {"address": os.environ.get("RAY_ADDRESS", "local"),
@@ -135,6 +145,16 @@ def main():
                 kw["num_cpus"] = args.num_cpus
             ray.init(**kw)
         from raystack import pipeline as pl
+        if args.recluster:
+            cols = [c.strip() for c in args.recluster.split(",")
+                    if c.strip()]
+            res = pl.recluster(args.output,
+                               cols[0] if len(cols) == 1 else cols)
+            print(json.dumps({"reclustered": res.get("reclustered", 0),
+                              **pl.layout_stats(args.output)}))
+        if args.export:
+            print(json.dumps(pl.export_parquet(args.output, args.export,
+                                               resume=args.resume)))
         if args.compact:
             res = pl.compact_partitions(args.output,
                                         min_files=args.compact)
