@@ -502,8 +502,18 @@ def _overlap_pages(zones_dir: str,
                     pc.less_equal(zmin, v), pc.greater_equal(zmax, v)))
         # all-null pages have null zmin/zmax → unknown → keep
         ok = pc.fill_null(ok, True)
-        sets.append(set(np.asarray(z["page_idx"])[np.asarray(ok)]
-                        .tolist()))
+        keep = np.asarray(ok)
+        if kind == "in" and args[0] and "bloom" in z.schema.names:
+            # high-cardinality columns (url): min/max spans are useless
+            # on unsorted pages, but the per-page bloom proves absence
+            # exactly like the point-lookup path — same key-hash
+            # canonicalization, so false negatives are impossible and a
+            # false positive only keeps an extra page
+            hashes = bloom_hashes(pa.array(args[0]))
+            keep = keep & np.array(
+                [_bloom_maybe_any(b.as_py(), hashes) for b in z["bloom"]],
+                dtype=bool)
+        sets.append(set(np.asarray(z["page_idx"])[keep].tolist()))
     return sets
 
 
@@ -643,6 +653,13 @@ def _page_classify(z: pa.Table, spec) -> tuple[np.ndarray, np.ndarray]:
                 pc.equal(zmin, zmax),
                 pc.is_in(zmin, value_set=pa.array(vals)))
             contained &= np.asarray(pc.fill_null(const_in, False))
+            if "bloom" in z.schema.names:
+                # bloom absence proof (see _overlap_pages): prunes
+                # unsorted high-cardinality pages min/max can't
+                hashes = bloom_hashes(pa.array(vals))
+                disjoint |= ~np.array(
+                    [_bloom_maybe_any(b.as_py(), hashes)
+                     for b in z["bloom"]], dtype=bool)
         else:
             contained &= False
     contained &= ~has_null & ~stats_null

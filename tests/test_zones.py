@@ -697,3 +697,48 @@ def test_pred_spec_validation(ray_session):
         _pred({"between": (1, 2)})
     with pytest.raises(ValueError, match="predicate must be"):
         _pred(7)
+
+
+def test_in_predicate_bloom_pruning_high_cardinality(ray_session,
+                                                     tmp_path):
+    """Membership on an UNSORTED high-cardinality column: min/max spans
+    cover everything, but per-page blooms (bloom_columns=) prove absence
+    — the pruning plan keeps a strict subset of pages, and the filtered
+    decode / count stay exact. Bloomless sidecars keep working (just
+    without the extra pruning)."""
+    import ray.data
+
+    from raystack import pipeline as pl
+    from raystack.zones import (build_zone_maps, count_where,
+                                decode_dir_where, zone_prune_plan)
+    out = str(tmp_path / "enc")
+    ds = ray.data.read_parquet(
+        os.path.join(SF, "documents.parquet"),
+        columns=["doc_id", "text", "source", "n_chars"])
+    pl.encode_partitioned(ds, out, url_col="source", num_partitions=4,
+                          page_rows=64)
+    build_zone_maps(out, ["text"], bloom_columns=["text"])
+    full = pl.decode_dir(out).to_pandas()
+    vals = [full["text"].iloc[3], full["text"].iloc[-7]]
+
+    plan = zone_prune_plan(out, {"text": {"in": vals}})
+    import pyarrow.dataset as pads
+    total = kept = 0
+    for d in sorted(os.listdir(os.path.join(out, "pages"))):
+        if not d.startswith("part_key="):
+            continue
+        t = pads.dataset(os.path.join(out, "pages", d)).to_table(
+            columns=["column"])
+        n = sum(1 for c in t["column"].to_pylist() if c == "text")
+        total += n
+        p = plan.get(d)
+        kept += n if (d in plan and p is None) else \
+            (len(p) if d in plan else 0)
+    assert kept < total  # blooms pruned pages min/max never could
+
+    got = decode_dir_where(out, {"text": {"in": vals}}).to_pandas()
+    exp = full[full["text"].isin(vals)]
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    assert count_where(out, {"text": {"in": vals}}) == len(exp)
+    # absent value: bloom prunes every page, exact empty result
+    assert count_where(out, {"text": {"in": ["no such document"]}}) == 0
