@@ -2963,6 +2963,7 @@ def recluster(out_dir: str, sort_by: str | list[str],
 
 def export_parquet(out_dir: str, dest: str,
                    columns: list[str] | None = None,
+                   where: dict | None = None,
                    snapshot: int | None = None,
                    compression: str = "snappy",
                    row_group_rows: int = DEFAULT_PAGE_ROWS,
@@ -2976,36 +2977,60 @@ def export_parquet(out_dir: str, dest: str,
     whose file already landed and rewrites only the missing ones — the
     output-resumability contract of the encode paths, applied to the
     export. ``snapshot=`` exports a historical state via the snapshot
-    log. Returns ``{partitions, skipped, rows, bytes}``."""
+    log. ``where=`` exports the matching subset (the curated-slice case:
+    one language, one time window) with the same predicates and zone
+    pruning as :func:`raystack.zones.decode_dir_where` — fully pruned
+    partitions write nothing, surviving ones decode only overlapping
+    pages then filter exactly; like ``scan``, ``where`` reads the LIVE
+    sidecars so it composes with neither ``snapshot``. Returns
+    ``{partitions, skipped, rows, bytes}``."""
     import ray
 
     from .log import get_logger
     log = get_logger(logger)
     pages_root = os.path.join(out_dir, "pages")
+    if where is not None and snapshot is not None:
+        raise ValueError("where= reads the live zone sidecars — "
+                         "export_parquet(snapshot=) then filter for "
+                         "historical states")
     if snapshot is not None:
         from .snapshots import resolve_snapshot_paths
         per_dir = resolve_snapshot_paths(out_dir, snapshot)
-        items = sorted((d, paths) for d, paths in per_dir.items())
+        items = sorted((d, paths, None) for d, paths in per_dir.items())
         if not items:
             raise FileNotFoundError(
                 f"snapshot {snapshot} of {out_dir} lists no partitions")
+    elif where is not None:
+        from .zones import zone_prune_plan
+        plan = zone_prune_plan(out_dir, where)
+        items = [(d, None, wl) for d, wl in sorted(plan.items())]
     else:
-        items = [(d, None) for d in sorted(os.listdir(pages_root))
+        items = [(d, None, None) for d in sorted(os.listdir(pages_root))
                  if d.startswith("part_key=")]
         if not items:
             raise FileNotFoundError(f"no part_key= dirs under {pages_root}")
+    want = columns
+    if where is not None and want is not None:
+        missing = [c for c in where if c not in want]
+        want = [*want, *missing]  # predicate columns decode, then drop
     os.makedirs(dest, exist_ok=True)
     todo, skipped = [], 0
-    for d, paths in items:
-        if resume and os.path.exists(os.path.join(dest, d, "data.parquet")):
+    for it in items:
+        if resume and os.path.exists(os.path.join(dest, it[0],
+                                                  "data.parquet")):
             skipped += 1
             continue
-        todo.append((d, paths))
+        todo.append(it)
 
-    def one(d: str, paths) -> tuple[int, int]:
+    def one(d: str, paths, whitelist) -> tuple[int, int]:
         import pyarrow.parquet as _pq
-        t = _decode_partition_dir(os.path.join(pages_root, d), columns,
-                                  paths=paths)
+        t = _decode_partition_dir(os.path.join(pages_root, d), want,
+                                  paths=paths, page_whitelist=whitelist)
+        if where is not None and t.num_rows:
+            from .zones import predicate_mask
+            t = t.filter(predicate_mask(t, where))
+            if columns is not None:
+                t = t.select([c for c in columns if c in t.schema.names])
         part_dest = os.path.join(dest, d)
         os.makedirs(part_dest, exist_ok=True)
         final = os.path.join(part_dest, "data.parquet")
@@ -3016,7 +3041,7 @@ def export_parquet(out_dir: str, dest: str,
         return t.num_rows, os.path.getsize(final)
 
     task = ray.remote(num_cpus=1)(one)
-    out = ray.get([task.remote(d, paths) for d, paths in todo])
+    out = ray.get([task.remote(*it) for it in todo])
     log.send_log(f"export_parquet: {len(todo)} partition(s) → {dest}"
                  + (f" ({skipped} skipped, already exported)"
                     if skipped else ""))

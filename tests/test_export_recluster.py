@@ -149,3 +149,37 @@ def test_export_snapshot_state(layout, tmp_path):
     got = got.sort_values("doc_id").reset_index(drop=True) \
         .reindex(sorted(got.columns), axis=1)
     pd.testing.assert_frame_equal(got, before)
+
+
+def test_export_where_filtered_subset(layout, tmp_path):
+    """where= exports exactly the decode_dir_where subset: zone pruning
+    included (a pruned-away partition writes nothing), predicate columns
+    decode for the filter but don't leak into a projected export."""
+    from raystack.zones import build_zone_maps, decode_dir_where
+    build_zone_maps(layout, ["n_chars"])
+    full = _decoded(layout)
+    lo = int(full["n_chars"].quantile(0.3))
+    pred = {"n_chars": (lo, None), "lang": {"in": ["en", "de"]}}
+    dest = str(tmp_path / "slice")
+    s = pl.export_parquet(layout, dest, where=pred)
+    exp = decode_dir_where(layout, pred).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    got = pads.dataset(dest, partitioning="hive").to_table() \
+        .to_pandas().drop(columns=["part_key"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.reindex(sorted(got.columns), axis=1).equals(
+        exp.reindex(sorted(exp.columns), axis=1))
+    assert s["rows"] == len(exp) > 0
+
+    # projection: predicate columns decode but don't export
+    dest2 = str(tmp_path / "slice2")
+    pl.export_parquet(layout, dest2, columns=["doc_id"], where=pred)
+    one = next(os.path.join(r, f) for r, _, fs in os.walk(dest2)
+               for f in fs if f.endswith(".parquet"))
+    assert pq.read_schema(one).names == ["doc_id"]
+    got2 = pads.dataset(dest2, partitioning="hive").to_table().to_pandas()
+    assert sorted(got2["doc_id"]) == sorted(exp["doc_id"])
+
+    # where composes with neither snapshot
+    with pytest.raises(ValueError, match="live zone sidecars"):
+        pl.export_parquet(layout, dest, where=pred, snapshot=1)
