@@ -3053,6 +3053,7 @@ def export_parquet(out_dir: str, dest: str,
 def delete_rows(out_dir: str, *, keys: list[str] | None = None,
                 keys_ds=None, key_col: str | None = None,
                 predicate=None, predicate_columns: list[str] | None = None,
+                where: dict | None = None,
                 page_rows: int = DEFAULT_PAGE_ROWS,
                 zone_columns: list[str] | None = None,
                 logger=None) -> dict:
@@ -3073,6 +3074,12 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
       the predicate's columns; a partition with no matches is left
       byte-for-byte untouched, and only matching partitions pay the full
       decode + re-encode.
+    - ``where={col: (lo, hi) | {"in": [...]}}``: the declarative form of
+      the predicate delete (same dict as
+      :func:`raystack.zones.decode_dir_where`), and the one to prefer
+      when the layout has zone sidecars: partitions the zones prove
+      match-free are never even opened, and inside survivors the
+      match probe decodes only the pages overlapping the predicate.
 
     A third mode, ``keys_ds=`` (a ``ray.data.Dataset`` whose ``key_col``
     column — default: the layout's ``url_col`` — holds the keys), is the
@@ -3092,10 +3099,10 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
 
     from .log import get_logger
     log = get_logger(logger)
-    n_modes = sum(x is not None for x in (keys, keys_ds, predicate))
+    n_modes = sum(x is not None for x in (keys, keys_ds, predicate, where))
     if n_modes != 1:
         raise ValueError("delete_rows: pass exactly one of keys= / "
-                         "keys_ds= / predicate=")
+                         "keys_ds= / predicate= / where=")
     if predicate is not None and not predicate_columns:
         raise ValueError("delete_rows: predicate= requires "
                          "predicate_columns=[...]")
@@ -3117,6 +3124,7 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
         summary = _finalize_manifest(out_dir, enc, snapshot_op="delete")
         summary["deleted_rows"] = n_deleted
         summary["rewritten_partitions"] = n_rewritten
+        summary["scanned_partitions"] = scanned
         log.send_log(f"delete_rows: removed {n_deleted} row(s) across "
                      f"{n_rewritten} partition(s) "
                      f"({scanned} scanned of {total})")
@@ -3188,6 +3196,20 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
 
         def make_mask(t: pa.Table) -> pa.ChunkedArray:
             return pc.is_in(t[url_col], value_set=key_arr)
+    elif where is not None:
+        # declarative predicate (same dict as decode_dir_where: ranges /
+        # {"in": [...]} memberships): zone sidecars prune FIRST, so a
+        # retention purge only opens partitions that can hold a match —
+        # pruned-away partitions are never read, and inside survivors the
+        # probe decodes only pages overlapping the predicate
+        from .zones import predicate_mask, zone_prune_plan
+        plan = zone_prune_plan(out_dir, where)
+        dirs = [d for d in all_dirs if d in plan]
+        probe_whitelists = plan
+        check_cols = list(where)
+
+        def make_mask(t: pa.Table):
+            return predicate_mask(t, where)
     else:
         dirs = all_dirs
         check_cols = list(predicate_columns)
@@ -3204,13 +3226,20 @@ def delete_rows(out_dir: str, *, keys: list[str] | None = None,
                     f"for a partition with {t.num_rows} rows")
             return m
 
+    if where is None:
+        probe_whitelists = {}
+
     def one(d: str) -> int:
         part_dir = os.path.join(pages_root, d)
         pk = int(d.split("=", 1)[1])
         _replay_partition_journal(out_dir, part_dir, gen)
         # cheap pre-check: decode only the mask's inputs — a partition
-        # with nothing to delete is left byte-for-byte untouched
-        probe = _decode_partition_dir(part_dir, check_cols)
+        # with nothing to delete is left byte-for-byte untouched. For
+        # where= the probe also skips pages the zone plan pruned (every
+        # possible match lives in a whitelisted page)
+        probe = _decode_partition_dir(part_dir, check_cols,
+                                      page_whitelist=probe_whitelists
+                                      .get(d))
         ndel = int(pc.sum(pc.fill_null(make_mask(probe), False)
                           ).as_py() or 0)
         if ndel == 0:

@@ -1558,3 +1558,53 @@ def test_append_clusters_with_persisted_sort_by(ray_session, tmp_path):
     got = pl.decode_dir(sorted_out).to_pandas()
     assert len(got) == len(want) + 50
     assert got["n_chars"].isna().sum() == 50
+
+
+def test_delete_rows_where_zone_pruned(ray_session, tmp_path):
+    """Declarative where= deletes: exact result (pandas mirror), zone
+    sidecars prune the scan — a predicate provably matching nothing
+    opens zero partitions and leaves every page file byte-identical."""
+    import hashlib
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "lang", "source",
+                               "n_chars"])
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([src], out, url_col="source",
+                                num_partitions=4, add_filename=False,
+                                page_rows=64, sort_by="n_chars",
+                                zone_columns=["n_chars"])
+    df = t.to_pandas()
+
+    def digests():
+        h = {}
+        root = os.path.join(out, "pages")
+        for r, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    h[p] = hashlib.sha1(open(p, "rb").read()).hexdigest()
+        return h
+
+    # zero-match predicate: zones prove it — nothing scanned or touched
+    before = digests()
+    s0 = pl.delete_rows(out, where={"n_chars": (10**9, None)})
+    assert s0["deleted_rows"] == 0
+    assert s0["scanned_partitions"] == 0  # zone-pruned, never opened
+    assert digests() == before
+
+    # real delete: range + membership, exact vs the pandas mirror
+    hi = int(df["n_chars"].quantile(0.8))
+    kill = (df["n_chars"] >= hi) & df["lang"].isin(["en", "de"])
+    s1 = pl.delete_rows(out, where={"n_chars": (hi, None),
+                                    "lang": {"in": ["en", "de"]}})
+    assert s1["deleted_rows"] == int(kill.sum()) > 0
+    got = pl.decode_dir(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    exp = df[~kill].sort_values("doc_id").reset_index(drop=True)
+    assert got[exp.columns.tolist()].equals(exp)
+
+    with pytest.raises(ValueError, match="exactly one of"):
+        pl.delete_rows(out, keys=["a"], where={"n_chars": (0, 1)})
