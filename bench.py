@@ -263,9 +263,22 @@ def run_bench(num_cpus: int) -> dict:
     persist_plan(eplan, os.path.join(ldir, "plan"), 256)
     persist_epoch_tokens(toks, os.path.join(ldir, "toks"), seed=7,
                          n_buckets=64)
+    # a small GRAFT_SF_DIR corpus packs fewer than 320 sequences — clamp
+    # the fetch window so the bench stays runnable at any scale. The
+    # persisted plan is one row per SPAN, so the sequence count is
+    # max(seq_id) + 1 (a tiny one-column scan of the span table)
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+    _seq_ids = _pads.dataset(os.path.join(ldir, "plan"),
+                             partitioning="hive") \
+        .to_table(columns=["seq_id"])["seq_id"]
+    n_seq = int(_pc.max(_seq_ids).as_py()) + 1
+    fetch_hi = min(320, n_seq)
+    fetch_lo = min(64, max(0, fetch_hi - 256))
     w = fetch_sequences(os.path.join(ldir, "toks"),
-                        os.path.join(ldir, "plan"), 64, 320, sep_id=256)
-    assert w.num_rows == 256
+                        os.path.join(ldir, "plan"), fetch_lo, fetch_hi,
+                        sep_id=256)
+    assert w.num_rows == fetch_hi - fetch_lo > 0
     queries["epoch_window"] = round(time.perf_counter() - t0, 3)
 
     from raystack.ops.dedup import minhash_lsh_dedup
@@ -327,6 +340,18 @@ def run_bench(num_cpus: int) -> dict:
                                            _dt.datetime(2024, 3, 1, 6))})
     queries["zone_count"] = round(time.perf_counter() - t0, 3)
     assert 0 < n_zone <= n_rows, n_zone
+
+    # curated-slice export: the same time-window predicate, zone-pruned,
+    # decoded and written back out as plain hive-partitioned Parquet
+    exp_dir = os.path.join(CACHE, "export_slice")
+    shutil.rmtree(exp_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    s_exp = pl.export_parquet(out, exp_dir, columns=["url", "lang"],
+                              where={"warc_ts": (_dt.datetime(2024, 3, 1),
+                                                 _dt.datetime(2024, 3, 1,
+                                                              6))})
+    queries["export_slice"] = round(time.perf_counter() - t0, 3)
+    assert s_exp["rows"] == n_zone, (s_exp["rows"], n_zone)
 
     # point lookup over the encoded headline layout: partition routing +
     # key-bloom page pruning (decode ~1 page per column per hit instead
