@@ -156,6 +156,30 @@ def test_crawl_to_training_data(ray_session, tmp_path):
     n_starts = sum(len(s) for s in fetched["doc_starts"].to_pylist())
     assert n_starts == len(ids)
 
+    # 8. layout lifecycle: the maintenance verbs compose with the
+    # training pipeline's layout — recluster by crawl time (content
+    # identical), declarative retention delete of the oldest half
+    # (zone-pruned), then export the survivors as plain Parquet any
+    # engine reads
+    pl.recluster(out, "warc_ts", page_rows=64)
+    re_ids = sorted(pl.decode_dir(out, columns=["doc_id"])
+                    .to_pandas()["doc_id"])
+    assert re_ids == sorted(exp["doc_id"])
+    ts = exp["warc_ts"].sort_values()
+    cut = ts.iloc[len(ts) // 2].to_pydatetime()
+    s_del = pl.delete_rows(out, where={"warc_ts": (None, cut)})
+    keep_mask = exp["warc_ts"] > cut
+    assert s_del["deleted_rows"] == int((~keep_mask).sum()) > 0
+    dest = str(tmp_path / "survivors")
+    s_exp = pl.export_parquet(out, dest, columns=["doc_id", "text"])
+    assert s_exp["rows"] == int(keep_mask.sum())
+    import pyarrow.dataset as pads
+    surv = pads.dataset(dest, partitioning="hive").to_table() \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = exp[keep_mask][["doc_id", "text"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert surv[["doc_id", "text"]].equals(ref)
+
 
 def test_continuous_crawl_with_dedup_index(ray_session, tmp_path):
     """The day-N ingest loop: each increment dedups within itself AND
