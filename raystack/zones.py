@@ -485,9 +485,16 @@ def _overlap_pages(zones_dir: str,
         zf = os.path.join(zones_dir, f"{col}.parquet")
         if not os.path.exists(zf):
             return None
-        z = pq.read_table(zf)
-        zmin, zmax = z["zmin"], z["zmax"]
         kind, *args = _pred(spec)
+        # driver-side planning reads ONLY the stats it needs — bloom
+        # bitmaps (KBs/page) stay on disk unless a membership predicate
+        # actually probes them
+        want_cols = ["page_idx", "zmin", "zmax"]
+        if kind == "in" and args[0] and \
+                "bloom" in pq.read_schema(zf).names:
+            want_cols.append("bloom")
+        z = pq.read_table(zf, columns=want_cols)
+        zmin, zmax = z["zmin"], z["zmax"]
         if kind == "range":
             lo, hi = args
             ok = pa.array([True] * z.num_rows)
