@@ -98,6 +98,16 @@ def main():
                          "Parquet under DEST and exit (atomic per-"
                          "partition installs; with --resume a re-run "
                          "skips finished partitions)")
+    ap.add_argument("--delete-keys", default="", metavar="FILE",
+                    help="retention: delete every row whose routing-key "
+                         "value appears in FILE (one key per line) and "
+                         "exit; only the partitions the keys route to "
+                         "are opened")
+    ap.add_argument("--delete-where", default="", metavar="JSON",
+                    help='retention: delete rows matching the JSON '
+                         'predicate dict, e.g. '
+                         '\'{"lang": {"in": ["xx"]}, "n_chars": '
+                         '[null, 50]}\' — zone sidecars prune the scan')
     args = ap.parse_args()
 
     if args.stats:  # metadata-only: no Ray session, no page reads
@@ -133,6 +143,32 @@ def main():
         summary = sn.rollback(args.output, args.rollback,
                               logger=PrintLogger())
         print(json.dumps(summary))
+        ray.shutdown()
+        return
+    if args.delete_keys or args.delete_where:
+        import ray
+        if not ray.is_initialized():
+            kw = {"address": os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+            if kw["address"] == "local" and args.num_cpus:
+                kw["num_cpus"] = args.num_cpus
+            ray.init(**kw)
+        from raystack import pipeline as pl
+        from raystack.log import PrintLogger
+        if args.delete_keys:
+            with open(args.delete_keys) as fh:
+                keys = [ln.rstrip("\n") for ln in fh if ln.strip()]
+            res = pl.delete_rows(args.output, keys=keys,
+                                 logger=PrintLogger())
+        else:
+            where = {c: (tuple(v) if isinstance(v, list) else v)
+                     for c, v in json.loads(args.delete_where).items()}
+            res = pl.delete_rows(args.output, where=where,
+                                 logger=PrintLogger())
+        print(json.dumps({k: res[k] for k in
+                          ("deleted_rows", "rewritten_partitions",
+                           "scanned_partitions")}))
         ray.shutdown()
         return
     if args.verify or args.compact or args.recluster or args.export:
