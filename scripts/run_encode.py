@@ -54,6 +54,13 @@ def main():
                     help="union = absorb schema drift on --append: "
                          "missing columns null-fill, new columns "
                          "back-fill existing rows with null pages")
+    ap.add_argument("--upsert", action="store_true",
+                    help="recrawl ingest: like --append, but rows whose "
+                         "routing key re-appears in the input files are "
+                         "REPLACED by the incoming snapshot")
+    ap.add_argument("--count-where", default="", metavar="JSON",
+                    help='print the exact zone-accelerated row count for '
+                         'the JSON predicate dict over --output and exit')
     ap.add_argument("--url-col", default="url")
     ap.add_argument("--rename", default="",
                     help="comma list old:new column renames (drift repair)")
@@ -143,6 +150,21 @@ def main():
         summary = sn.rollback(args.output, args.rollback,
                               logger=PrintLogger())
         print(json.dumps(summary))
+        ray.shutdown()
+        return
+    if args.count_where:
+        import ray
+        if not ray.is_initialized():
+            kw = {"address": os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False, "ignore_reinit_error": True,
+                  "logging_level": "ERROR"}
+            if kw["address"] == "local" and args.num_cpus:
+                kw["num_cpus"] = args.num_cpus
+            ray.init(**kw)
+        from raystack.zones import count_where
+        where = {c: (tuple(v) if isinstance(v, list) else v)
+                 for c, v in json.loads(args.count_where).items()}
+        print(json.dumps({"count": count_where(args.output, where)}))
         ray.shutdown()
         return
     if args.delete_keys or args.delete_where:
@@ -271,11 +293,12 @@ def main():
                 num_partitions=num_partitions, resume=args.resume,
                 source_paths=paths, logger=PrintLogger(),
                 zone_columns=zone_cols, sort_by=sort_by_arg)
-    elif args.append:
-        summary = pl.encode_append(paths, args.output,
-                                   columns_rename=renames or None,
-                                   schema=args.append_schema,
-                                   logger=PrintLogger())
+    elif args.append or args.upsert:
+        ingest = pl.upsert_rows if args.upsert else pl.encode_append
+        summary = ingest(paths, args.output,
+                         columns_rename=renames or None,
+                         schema=args.append_schema,
+                         logger=PrintLogger())
         if zone_cols:
             # appends invalidate touched sidecars; honor the flag by
             # rebuilding them (previously silently ignored on --append)
