@@ -524,41 +524,72 @@ def _overlap_pages(zones_dir: str,
     return sets
 
 
+_PRUNED = "__fully_pruned__"  # _plan_one sentinel: omit from the plan
+
+#: above this partition count the planning fan-outs to Ray tasks — a
+#: serial driver loop over thousands of sidecar files would gate every
+#: pruned query on driver filesystem latency
+PLAN_DRIVER_PARTITIONS = int(os.environ.get(
+    "RAYSTACK_PLAN_DRIVER_PARTITIONS", "256"))
+
+
+def _plan_one(zones_root: str, d: str, ranges: dict):
+    """Pruning verdict for ONE partition: a sorted page whitelist, None
+    (decode all pages), or the ``_PRUNED`` sentinel (no row can match —
+    omit the partition entirely). Pure function: runs on the driver for
+    small layouts, inside a Ray task for large ones."""
+    zdir = os.path.join(zones_root, d)
+    meta_p = os.path.join(zdir, "meta.json")
+    if not os.path.exists(meta_p):
+        return None
+    with open(meta_p) as f:
+        meta = json.load(f)
+    sets = _overlap_pages(zdir, ranges)
+    if sets is None:
+        return None
+    if any(not s for s in sets):
+        # one column proves no row can match — sound for ANY page
+        # layout (never intersect across columns before this check:
+        # with mixed boundaries, per-column page ids are unrelated
+        # and an empty INTERSECTION would drop matching rows)
+        return _PRUNED
+    if not meta.get("uniform", False):
+        return None  # mixed boundaries: partition-level only
+    inter = set.intersection(*sets) if sets else set()
+    if not inter:
+        return _PRUNED  # uniform boundaries: intersection is sound
+    return sorted(inter)
+
+
 def zone_prune_plan(out_dir: str, ranges: dict) -> dict:
-    """Driver-side pruning plan from the zone sidecars (metadata only —
-    no page bytes touched): ``{part_dir: sorted page list | None}``.
+    """Pruning plan from the zone sidecars (metadata only — no page
+    bytes touched): ``{part_dir: sorted page list | None}``.
     ``None`` = decode all pages of that partition (no zones, or mixed
     page boundaries where page pruning is unsound); fully pruned
     partitions are omitted. ``ranges`` maps column → predicate: a
     ``(lo, hi)`` closed range (either side None for unbounded) or
-    ``{"in": [...]}`` membership (see :func:`_pred`)."""
-    plan: dict = {}
+    ``{"in": [...]}`` membership (see :func:`_pred`). Layouts up to
+    ``PLAN_DRIVER_PARTITIONS`` partitions plan on the driver; above
+    that, planning fans out as Ray tasks (a chunk of partitions per
+    task) so a 4096-partition layout isn't gated on thousands of
+    serial driver file reads — identical plans either way."""
     zones_root = os.path.join(out_dir, ZONES_DIRNAME)
-    for d in _part_dirs(out_dir):
-        zdir = os.path.join(zones_root, d)
-        meta_p = os.path.join(zdir, "meta.json")
-        if not os.path.exists(meta_p):
-            plan[d] = None
-            continue
-        with open(meta_p) as f:
-            meta = json.load(f)
-        sets = _overlap_pages(zdir, ranges)
-        if sets is None:
-            plan[d] = None
-        elif any(not s for s in sets):
-            # one column proves no row can match — sound for ANY page
-            # layout (never intersect across columns before this check:
-            # with mixed boundaries, per-column page ids are unrelated
-            # and an empty INTERSECTION would drop matching rows)
-            continue
-        elif not meta.get("uniform", False):
-            plan[d] = None  # mixed boundaries: partition-level only
-        else:
-            inter = set.intersection(*sets) if sets else set()
-            if not inter:
-                continue  # uniform boundaries: intersection is sound
-            plan[d] = sorted(inter)
-    return plan
+    dirs = _part_dirs(out_dir)
+    if len(dirs) <= PLAN_DRIVER_PARTITIONS:
+        verdicts = [_plan_one(zones_root, d, ranges) for d in dirs]
+    else:
+        import ray
+        chunk = max(16, len(dirs) // 128)
+
+        @ray.remote(num_cpus=1)
+        def plan_chunk(ds: list[str]) -> list:
+            return [_plan_one(zones_root, d, ranges) for d in ds]
+
+        refs = [plan_chunk.remote(dirs[i:i + chunk])
+                for i in range(0, len(dirs), chunk)]
+        verdicts = [v for vs in ray.get(refs) for v in vs]
+    return {d: v for d, v in zip(dirs, verdicts)
+            if not (isinstance(v, str) and v == _PRUNED)}
 
 
 def decode_dir_where(out_dir: str, ranges: dict,

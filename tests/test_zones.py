@@ -742,3 +742,26 @@ def test_in_predicate_bloom_pruning_high_cardinality(ray_session,
     assert count_where(out, {"text": {"in": vals}}) == len(exp)
     # absent value: bloom prunes every page, exact empty result
     assert count_where(out, {"text": {"in": ["no such document"]}}) == 0
+
+
+def test_plan_parallel_path_identical(ray_session, tmp_path,
+                                      monkeypatch):
+    """The Ray-fan-out planning path (layouts above
+    PLAN_DRIVER_PARTITIONS) returns the exact same plan as the driver
+    loop — forced by dropping the threshold to 0."""
+    from raystack import pipeline as pl
+    from raystack import zones as zmod
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks(
+        [os.path.join(SF, "documents.parquet")], out, url_col="source",
+        num_partitions=4, add_filename=False, page_rows=64,
+        sort_by="n_chars", zone_columns=["n_chars"])
+    preds = [{"n_chars": (100, 300)},
+             {"n_chars": {"in": [150, 151, 152]}},
+             {"n_chars": (10**9, None)}]
+    for pred in preds:
+        driver_plan = zmod.zone_prune_plan(out, pred)
+        monkeypatch.setattr(zmod, "PLAN_DRIVER_PARTITIONS", 0)
+        task_plan = zmod.zone_prune_plan(out, pred)
+        monkeypatch.undo()
+        assert task_plan == driver_plan, pred
