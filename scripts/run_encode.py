@@ -105,6 +105,10 @@ def main():
                          "Parquet under DEST and exit (atomic per-"
                          "partition installs; with --resume a re-run "
                          "skips finished partitions)")
+    ap.add_argument("--snapshot", type=int, default=0, metavar="N",
+                    help="with --export: export the layout as of "
+                         "snapshot N (time travel) instead of the live "
+                         "state")
     ap.add_argument("--delete-keys", default="", metavar="FILE",
                     help="retention: delete every row whose routing-key "
                          "value appears in FILE (one key per line) and "
@@ -211,8 +215,9 @@ def main():
             print(json.dumps({"reclustered": res.get("reclustered", 0),
                               **pl.layout_stats(args.output)}))
         if args.export:
-            print(json.dumps(pl.export_parquet(args.output, args.export,
-                                               resume=args.resume)))
+            print(json.dumps(pl.export_parquet(
+                args.output, args.export, resume=args.resume,
+                snapshot=args.snapshot or None)))
         if args.compact:
             res = pl.compact_partitions(args.output,
                                         min_files=args.compact)
