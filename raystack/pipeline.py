@@ -1395,6 +1395,83 @@ def _layout_column_types(out_dir: str) -> dict[str, "pa.DataType"]:
     return {}
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(int(pid), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+
+
+import contextlib as _contextlib  # noqa: E402
+
+
+@_contextlib.contextmanager
+def _mutation_lock(out_dir: str, op: str):
+    """Advisory lock serializing layout mutations. Appends compute base
+    page indexes from the current state and rewrites journal per
+    partition — two CONCURRENT mutators would silently corrupt, so the
+    second fails LOUDLY here instead. Same-host stale locks (the owning
+    pid is dead) self-heal; a lock left by a crashed run on another
+    host must be removed manually (the error names the file). Verbs
+    that compose other verbs (upsert_rows, encode_sharded) are NOT
+    locked themselves — their steps serialize through this lock one at
+    a time."""
+    import socket
+    lock_dir = os.path.join(out_dir, "_manifest")
+    os.makedirs(lock_dir, exist_ok=True)
+    path = os.path.join(lock_dir, ".mutation.lock")
+    me = {"pid": os.getpid(), "op": op,
+          "host": socket.gethostname()}
+    for _ in range(2):  # second pass only after breaking a stale lock
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, json.dumps(me).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                with open(path) as fh:
+                    info = json.load(fh)
+            except (OSError, ValueError):
+                info = {}
+            if info.get("host") == me["host"] and info.get("pid") \
+                    and not _pid_alive(info["pid"]):
+                # crashed owner on this host: break the lock and retry
+                with _contextlib.suppress(FileNotFoundError):
+                    os.remove(path)
+                continue
+            raise RuntimeError(
+                f"layout {out_dir} is being mutated by {info or path} — "
+                "concurrent layout mutations are unsupported (they "
+                "would corrupt page numbering); wait for it, or remove "
+                f"{path} if that run crashed on another host")
+    try:
+        yield
+    finally:
+        with _contextlib.suppress(FileNotFoundError):
+            os.remove(path)
+
+
+def _mutates_layout(fn):
+    """Decorator: run ``fn`` under the layout's mutation lock (see
+    :func:`_mutation_lock`). ``out_dir`` is found by signature binding,
+    so both positional and keyword call styles lock correctly."""
+    import functools
+    import inspect
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        with _mutation_lock(bound.arguments["out_dir"], fn.__name__):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@_mutates_layout
 def encode_append(source_paths: list[str], out_dir: str, *,
                   columns_select: list[str] | None = None,
                   columns_rename: dict[str, str] | None = None,
@@ -2517,6 +2594,7 @@ def layout_stats(out_dir: str) -> dict:
     return summary
 
 
+@_mutates_layout
 def alter_layout(out_dir: str, drop: list[str] | None = None,
                  rename: dict[str, str] | None = None,
                  logger=None) -> dict:
@@ -2646,6 +2724,7 @@ def alter_layout(out_dir: str, drop: list[str] | None = None,
                               snapshot_op="alter")
 
 
+@_mutates_layout
 def derive_column(out_dir: str, fn, out_col: str, *,
                   input_columns: list[str],
                   page_rows: int = DEFAULT_PAGE_ROWS,
@@ -2837,6 +2916,7 @@ def _commit_partition_rewrite(out_dir: str, part_dir: str, pk: int,
             full, zcols, page_rows, uniform=True, bloom_columns=bloom)
 
 
+@_mutates_layout
 def compact_partitions(out_dir: str, min_files: int = 2,
                        page_rows: int = DEFAULT_PAGE_ROWS,
                        zone_columns: list[str] | None = None,
@@ -2896,6 +2976,7 @@ def compact_partitions(out_dir: str, min_files: int = 2,
     return summary
 
 
+@_mutates_layout
 def recluster(out_dir: str, sort_by: str | list[str],
               page_rows: int = DEFAULT_PAGE_ROWS,
               zone_columns: list[str] | None = None,
@@ -3050,6 +3131,7 @@ def export_parquet(out_dir: str, dest: str,
             "bytes": int(sum(b for _, b in out))}
 
 
+@_mutates_layout
 def delete_rows(out_dir: str, *, keys: list[str] | None = None,
                 keys_ds=None, key_col: str | None = None,
                 predicate=None, predicate_columns: list[str] | None = None,

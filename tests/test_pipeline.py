@@ -1608,3 +1608,41 @@ def test_delete_rows_where_zone_pruned(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="exactly one of"):
         pl.delete_rows(out, keys=["a"], where={"n_chars": (0, 1)})
+
+
+def test_mutation_lock_serializes_and_self_heals(ray_session, tmp_path):
+    """Concurrent layout mutations fail LOUDLY (a live lock holder
+    blocks a second mutator), a stale lock from a dead pid self-heals,
+    and a failing verb always releases its lock."""
+    import json
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    day1 = str(tmp_path / "day1.parquet")
+    pq.write_table(t.slice(0, 300), day1)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([day1], out, url_col="source",
+                                num_partitions=2, add_filename=False)
+    lock = os.path.join(out, "_manifest", ".mutation.lock")
+
+    # a LIVE holder (this very pid) blocks the next mutator loudly
+    with open(lock, "w") as fh:
+        json.dump({"pid": os.getpid(), "op": "test-holder",
+                   "host": __import__("socket").gethostname()}, fh)
+    with pytest.raises(RuntimeError, match="being mutated"):
+        pl.compact_partitions(out, min_files=1)
+    os.remove(lock)
+
+    # a stale lock (dead pid, same host) self-heals and the verb runs
+    with open(lock, "w") as fh:
+        json.dump({"pid": 2**22 + 12345, "op": "crashed",
+                   "host": __import__("socket").gethostname()}, fh)
+    assert pl.compact_partitions(out, min_files=1)["compacted"] == 2
+    assert not os.path.exists(lock)  # released after the verb
+
+    # a verb that raises still releases the lock
+    with pytest.raises(ValueError):
+        pl.recluster(out, "no_such_column")
+    assert not os.path.exists(lock)
+    # ...and the layout still mutates normally afterwards
+    assert pl.recluster(out, "n_chars")["reclustered"] == 2
