@@ -179,6 +179,24 @@ def arrays_bit_identical(a: pa.Array, b: pa.Array) -> bool:
         view = {2: np.uint16, 4: np.uint32,
                 8: np.uint64}[fa.dtype.itemsize]
         return np.array_equal(fa.view(view), fb.view(view))
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type) \
+            or pa.types.is_fixed_size_list(a.type):
+        # nested floats would hit Arrow's structural equals below, where
+        # NaN != NaN — recurse instead: per-row lengths must match
+        # (null-vs-empty already separated by the validity check above),
+        # then the flattened children compare bit-identically. flatten()
+        # applies offsets and skips null rows' slots on both sides alike
+        if not pa.types.is_fixed_size_list(a.type):
+            la = pc.fill_null(pc.list_value_length(a), -1)
+            lb = pc.fill_null(pc.list_value_length(b), -1)
+            if not np.array_equal(np.asarray(la), np.asarray(lb)):
+                return False
+        fa, fb = a.flatten(), b.flatten()
+        if isinstance(fa, pa.ChunkedArray):
+            fa = fa.combine_chunks()
+        if isinstance(fb, pa.ChunkedArray):
+            fb = fb.combine_chunks()
+        return arrays_bit_identical(fa, fb)
     return a.equals(b)
 
 

@@ -61,3 +61,51 @@ def test_binary_roundtrip(vals):
 def test_timestamp_roundtrip(vals):
     arr = pa.array(vals, type=pa.int64()).cast(pa.timestamp("us"))
     _roundtrip_all(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(),
+                       st.integers(min_value=-2**31, max_value=2**31 - 1)),
+             max_size=8)),
+    max_size=60))
+def test_list_int_roundtrip(vals):
+    # null list vs EMPTY list vs null element are three different
+    # states — the structural codec must preserve all three
+    _roundtrip_all(pa.array(vals, type=pa.list_(pa.int64())))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.floats(allow_nan=True, allow_infinity=True, width=32),
+             min_size=4, max_size=4)),
+    max_size=40))
+def test_fixed_size_list_float_roundtrip(vals):
+    # the embeddings shape: fixed_size_list<float32> with null rows
+    # (null slots still carry child buffer positions — bit-exactness
+    # includes NaN payloads)
+    _roundtrip_all(pa.array(vals, type=pa.list_(pa.float32(), 4)))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), st.text(max_size=12)), max_size=5)),
+    max_size=40))
+def test_list_string_roundtrip(vals):
+    _roundtrip_all(pa.array(vals, type=pa.list_(pa.string())))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(),
+                       st.lists(st.integers(min_value=0, max_value=255),
+                                max_size=4)),
+             max_size=4)),
+    max_size=30))
+def test_nested_list_roundtrip(vals):
+    # list<list<int>> — the structural codec composes with itself
+    _roundtrip_all(pa.array(vals, type=pa.list_(pa.list_(pa.int64()))))
