@@ -439,7 +439,14 @@ def _pred(spec) -> tuple:
         if set(spec) != {"in"}:
             raise ValueError(f"predicate dict must be "
                              f"{{'in': [...]}}, got {sorted(spec)}")
-        return ("in", list(dict.fromkeys(spec["in"])))
+        vals = list(dict.fromkeys(spec["in"]))
+        if any(isinstance(v, float) and v != v for v in vals):
+            # IEEE equality: NaN equals nothing — a NaN predicate value
+            # could never match and silently returning nothing would
+            # read as "no such rows"; refuse loudly instead
+            raise ValueError("NaN is not a valid membership value "
+                             "(float membership is IEEE equality)")
+        return ("in", vals)
     if isinstance(spec, (set, frozenset)):
         return ("in", sorted(spec))
     if isinstance(spec, (tuple, list)) and len(spec) == 2:
@@ -462,6 +469,14 @@ def predicate_mask(t: pa.Table, ranges: dict):
                 mask = pc.and_kleene(mask, pc.greater_equal(t[col], lo))
             if hi is not None:
                 mask = pc.and_kleene(mask, pc.less_equal(t[col], hi))
+        elif pa.types.is_floating(t[col].type):
+            # SQL/IEEE equality, not Arrow's bitwise is_in: -0.0 matches
+            # 0.0 (is_in hashes bit patterns and would miss it); NaN
+            # data matches nothing (pc.equal(NaN, v) is False)
+            m = pa.array([False] * t.num_rows)
+            for v in args[0]:
+                m = pc.or_kleene(m, pc.equal(t[col], v))
+            mask = pc.and_kleene(mask, m)
         else:
             vals = pa.array(args[0]) if args[0] else \
                 pa.array([], type=t[col].type)
@@ -510,12 +525,14 @@ def _overlap_pages(zones_dir: str,
         # all-null pages have null zmin/zmax → unknown → keep
         ok = pc.fill_null(ok, True)
         keep = np.asarray(ok)
-        if kind == "in" and args[0] and "bloom" in z.schema.names:
+        if kind == "in" and args[0] and "bloom" in z.schema.names \
+                and not pa.types.is_floating(zmin.type):
             # high-cardinality columns (url): min/max spans are useless
             # on unsorted pages, but the per-page bloom proves absence
             # exactly like the point-lookup path — same key-hash
             # canonicalization, so false negatives are impossible and a
-            # false positive only keeps an extra page
+            # false positive only keeps an extra page. Floats excluded:
+            # the bloom hashes bit patterns, IEEE equality doesn't
             hashes = bloom_hashes(pa.array(args[0]))
             keep = keep & np.array(
                 [_bloom_maybe_any(b.as_py(), hashes) for b in z["bloom"]],
@@ -687,13 +704,24 @@ def _page_classify(z: pa.Table, spec) -> tuple[np.ndarray, np.ndarray]:
                 pc.less_equal(zmin, v), pc.greater_equal(zmax, v)))
         disjoint |= np.asarray(pc.fill_null(pc.invert(overlap), False))
         if vals:
-            const_in = pc.and_kleene(
-                pc.equal(zmin, zmax),
-                pc.is_in(zmin, value_set=pa.array(vals)))
+            if pa.types.is_floating(zmin.type):
+                # IEEE equality (see predicate_mask): OR of pc.equal —
+                # is_in's bitwise hashing would treat -0.0 != 0.0
+                eq = pa.array([False] * n)
+                for v in vals:
+                    eq = pc.or_kleene(eq, pc.equal(zmin, v))
+                const_in = pc.and_kleene(pc.equal(zmin, zmax), eq)
+            else:
+                const_in = pc.and_kleene(
+                    pc.equal(zmin, zmax),
+                    pc.is_in(zmin, value_set=pa.array(vals)))
             contained &= np.asarray(pc.fill_null(const_in, False))
-            if "bloom" in z.schema.names:
+            if "bloom" in z.schema.names \
+                    and not pa.types.is_floating(zmin.type):
                 # bloom absence proof (see _overlap_pages): prunes
-                # unsorted high-cardinality pages min/max can't
+                # unsorted high-cardinality pages min/max can't. Floats
+                # are excluded — the bloom hashes bit patterns, so a
+                # page holding -0.0 would false-negative a 0.0 probe
                 hashes = bloom_hashes(pa.array(vals))
                 disjoint |= ~np.array(
                     [_bloom_maybe_any(b.as_py(), hashes)
