@@ -44,15 +44,21 @@ def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "inner",
 def semi_join(ds, keys, on: str, anti: bool = False):
     """Keep rows whose ``on`` value is (not) in the broadcast key set.
     Null/NaN keys are dropped from the set — a null never equals
-    anything (SQL join semantics), so it can't select rows."""
+    anything (SQL join semantics), so it can't select rows. Float keys
+    join by IEEE equality: -0.0 and 0.0 are canonicalized on BOTH sides
+    (``is_in`` alone matches bit patterns and would split them)."""
     import ray
-    keys = [k for k in keys if k is not None and k == k]
+    keys = [k + 0.0 if isinstance(k, float) else k
+            for k in keys if k is not None and k == k]
     key_arr = pa.array(sorted(set(keys)))
     ref = ray.put(key_arr)
 
     def fn(t: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        mask = pc.is_in(t[on], value_set=ks)
+        col = t[on]
+        if pa.types.is_floating(col.type):
+            col = pc.add(col, 0.0)  # -0.0 → +0.0; nulls/NaN unchanged
+        mask = pc.is_in(col, value_set=ks)
         if anti:
             mask = pc.invert(mask)
         return t.filter(mask)
@@ -94,11 +100,32 @@ def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
     repartitioned first: aggregate outputs can carry schema-less empty
     blocks, which Acero rejects on the build side. Both sides are
     metadata-stripped so the shuffle's schema dedup stays on the fast
-    path (:func:`_bare_meta`)."""
-    return strip_schema_metadata(ds).join(
-        strip_schema_metadata(keys_ds).repartition(num_partitions),
+    path (:func:`_bare_meta`). Float keys join by IEEE equality: both
+    sides join on a canonicalized temp column (-0.0 → +0.0, the join
+    engine matches bit patterns) which is dropped from the output, so
+    result rows keep their original bytes."""
+    left = strip_schema_metadata(ds)
+    right = strip_schema_metadata(keys_ds)
+    join_on, tmp = on, None
+    _sch = left.schema()  # ray.data Schema: parallel .names / .types
+    _t = _sch.types[_sch.names.index(on)]
+    if isinstance(_t, pa.DataType) and pa.types.is_floating(_t):
+        tmp = f"__{on}_ieee"
+
+        def canon(t: pa.Table) -> pa.Table:
+            return t.append_column(tmp, pc.add(t[on], 0.0))
+
+        left = left.map_batches(canon, batch_format="pyarrow")
+        right = right.map_batches(canon, batch_format="pyarrow")
+        join_on = tmp
+    out = left.join(
+        right.repartition(num_partitions),
         join_type="left_anti" if anti else "left_semi",
-        on=(on,), num_partitions=num_partitions)
+        on=(join_on,), num_partitions=num_partitions)
+    if tmp is not None:
+        out = out.map_batches(lambda t: t.drop_columns([tmp]),
+                              batch_format="pyarrow")
+    return out
 
 
 #: bloom filters above this size fall back to the plain distributed join
@@ -131,7 +158,11 @@ def _key_hashes(arr) -> "np.ndarray":
             or pa.types.is_boolean(t)):
         base = np.asarray(pc.fill_null(arr.cast(pa.int64()), 0))
     elif pa.types.is_floating(t):
-        base = np.asarray(pc.fill_null(arr.cast(pa.float64()), 0.0))
+        # + 0.0 canonicalizes negative zero (IEEE: -0.0 + 0.0 = +0.0):
+        # SQL join equality says -0.0 = 0.0, and the hash-join fallback
+        # tiers (pandas merge / Ray join) agree — a bit-pattern hash
+        # would make the bloom tier disagree with its own fallback
+        base = np.asarray(pc.fill_null(arr.cast(pa.float64()), 0.0)) + 0.0
     else:
         base = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=object)
     h = pd.util.hash_array(base, categorize=False)

@@ -162,3 +162,32 @@ def test_lookup_after_append_then_rebuild(ray_session, web, tmp_path):
     t = pq.read_table(os.path.join(out, "zones", zdirs[0], "url.parquet"))
     assert "bloom" in t.schema.names
     _check_lookup(out, web)
+
+
+def test_float_key_negative_zero_canonicalized(ray_session):
+    """SQL join equality says -0.0 = 0.0; the key-hash canonicalization
+    must agree, or the bloom tier of a join would disagree with its own
+    hash-join fallback tier on the same inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from raystack.ops.join import _key_hashes
+    h = _key_hashes(pa.array([-0.0, 0.0, 1.5, None]))
+    assert h[0] == h[1]
+    assert h[2] != h[0] and h[3] != h[0]
+
+    import ray.data
+
+    from raystack.ops.join import semi_join_bloom
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([-0.0, 1.5, 2.5]), "v": pa.array([1, 2, 3])}))
+    right = ray.data.from_arrow(pa.table({"k": pa.array([0.0, 2.5])}))
+    got = semi_join_bloom(left, right, on="k").to_pandas()
+    assert sorted(got["v"]) == [1, 3]  # -0.0 row joins the 0.0 key
+    # the distributed exact tier agrees (forced past the broadcast gate)
+    from raystack.ops.join import semi_join_ds
+    got2 = semi_join_ds(left, right, "k").to_pandas()
+    assert sorted(got2["v"]) == [1, 3]
+    assert list(got2.columns) == ["k", "v"]  # temp join column dropped
+    got3 = semi_join_ds(left, right, "k", anti=True).to_pandas()
+    assert sorted(got3["v"]) == [2]
