@@ -207,3 +207,53 @@ def add_bpe_ids(ds, tokenizer: dict, text_col: str = "text",
                                                            out_col),
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def vocab_bytes(tokenizer: dict) -> list[bytes]:
+    """id → exact byte string for every vocab entry: ids 0–255 are the
+    raw bytes, each merge appends the concatenation of its two parts.
+    ``b"".join(vocab[i] for i in ids)`` reverses tokenization exactly
+    (byte-level BPE has no unknown token and loses nothing)."""
+    vocab = [bytes([i]) for i in range(256)]
+    for a, b in tokenizer["merges"]:
+        vocab.append(vocab[a] + vocab[b])
+    return vocab
+
+
+def decode_ids(tokenizer: dict, ids) -> bytes:
+    """Exact detokenization: token ids back to the word bytes they
+    encode (the inverse of :func:`_encode_word`, whitespace excluded —
+    the tokenizer is word-level)."""
+    vocab = vocab_bytes(tokenizer)
+    return b"".join(vocab[int(i)] for i in ids)
+
+
+def save_tokenizer(tokenizer: dict, path: str) -> None:
+    """Persist a trained tokenizer as JSON (atomic tmp + rename): the
+    merges ARE the tokenizer — a loaded copy reproduces identical ids
+    on any machine. Pair with :func:`load_tokenizer`."""
+    import json
+    import os
+    payload = {"format": "raystack-bpe-v1",
+               "merges": [[int(a), int(b)] for a, b in
+                          tokenizer["merges"]],
+               "vocab_size": int(tokenizer["vocab_size"]),
+               "lowercase": bool(tokenizer["lowercase"])}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
+
+
+def load_tokenizer(path: str) -> dict:
+    """Load a tokenizer :func:`save_tokenizer` wrote; fails loudly on
+    an unknown format instead of mis-tokenizing silently."""
+    import json
+    with open(path) as fh:
+        payload = json.load(fh)
+    if payload.get("format") != "raystack-bpe-v1":
+        raise ValueError(f"{path}: not a raystack-bpe-v1 tokenizer "
+                         f"(format={payload.get('format')!r})")
+    return {"merges": [(int(a), int(b)) for a, b in payload["merges"]],
+            "vocab_size": int(payload["vocab_size"]),
+            "lowercase": bool(payload["lowercase"])}

@@ -136,3 +136,43 @@ def test_real_corpus_train_and_tokenize(ray_session):
         words = [w for w in re.split(r"\W+", src[row.doc_id].lower(), flags=re.ASCII) if w]
         assert b"".join(exp[int(i)] for i in row.bpe_ids) == \
             "".join(words).encode("utf-8")
+
+
+def test_tokenizer_save_load_decode_roundtrip(ray_session, tmp_path):
+    """A persisted tokenizer reproduces identical ids, and decode_ids
+    reverses tokenization to the exact word bytes."""
+    import ray.data
+
+    from raystack.ops.bpe import (add_bpe_ids, decode_ids, load_tokenizer,
+                                  save_tokenizer, train_bpe, vocab_bytes)
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    tok = train_bpe(docs, vocab_size=256 + 32)
+    p = str(tmp_path / "tok.json")
+    save_tokenizer(tok, p)
+    tok2 = load_tokenizer(p)
+    assert tok2 == tok
+
+    a = add_bpe_ids(docs, tok).to_pandas().sort_values("doc_id")
+    b = add_bpe_ids(docs, tok2).to_pandas().sort_values("doc_id")
+    assert [list(x) for x in a["bpe_ids"]] == \
+        [list(x) for x in b["bpe_ids"]]
+
+    # detokenization: ids -> the document's own word bytes
+    import re
+    row = a.iloc[len(a) // 3]
+    text = docs.to_pandas().set_index("doc_id") \
+        .loc[row["doc_id"], "text"]
+    words = [w for w in re.split(r"\W+", text.lower()) if w]
+    assert decode_ids(tok, row["bpe_ids"]) == "".join(words).encode()
+
+    # every merge concatenates its parts (vocab table self-consistent)
+    v = vocab_bytes(tok)
+    for i, (x, y) in enumerate(tok["merges"]):
+        assert v[256 + i] == v[x] + v[y]
+
+    import pytest as _pytest
+    (tmp_path / "bad.json").write_text('{"format": "other"}')
+    with _pytest.raises(ValueError, match="not a raystack-bpe"):
+        load_tokenizer(str(tmp_path / "bad.json"))
