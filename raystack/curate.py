@@ -231,3 +231,24 @@ def corpus_report(ds, text_col: str = "text", id_col: str = "doc_id",
         "n_distinct_texts": int(n_distinct),
         "exact_dup_rate": (1.0 - n_distinct / n_docs) if n_docs else 0.0,
     }
+
+
+def temperature_proportions(counts: dict, temperature: float) -> dict:
+    """The standard multilingual/multi-source sampling rule (public
+    multilingual-pretraining practice, e.g. the mT5/XLM-R papers):
+    mixing weight ``p_k ∝ count_k^(1/T)``. ``T=1`` reproduces natural
+    proportions, larger ``T`` upsamples low-resource sources toward
+    uniform (``T→∞``). Pure driver math over per-source counts — pass
+    the result straight to :func:`mix_corpora`:
+
+    >>> props = temperature_proportions({"en": 900, "yo": 100}, 3.0)
+    >>> mixed = mix_corpora(sources, props, total_rows=...)
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    w = {k: float(c) ** (1.0 / temperature)
+         for k, c in counts.items() if c > 0}
+    if not w:
+        raise ValueError("no source has rows")
+    s = sum(w.values())
+    return {k: v / s for k, v in w.items()}

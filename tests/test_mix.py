@@ -66,3 +66,46 @@ def test_same_ids_across_sources_order_deterministic(ray_session):
     y = mix_corpora(srcs, p, total_rows=400, seed=4).to_pandas()
     assert x.doc_id.tolist() == y.doc_id.tolist()
     assert x.source.tolist() == y.source.tolist()
+
+
+def test_temperature_proportions():
+    from raystack.curate import temperature_proportions
+    counts = {"en": 900, "de": 90, "yo": 10}
+    nat = temperature_proportions(counts, 1.0)
+    assert abs(nat["en"] - 0.9) < 1e-12 and abs(nat["yo"] - 0.01) < 1e-12
+    warm = temperature_proportions(counts, 3.0)
+    # upsampling: low-resource share grows, high-resource shrinks,
+    # order preserved, still a distribution
+    assert warm["yo"] > nat["yo"] and warm["en"] < nat["en"]
+    assert warm["en"] > warm["de"] > warm["yo"]
+    assert abs(sum(warm.values()) - 1.0) < 1e-12
+    # T→∞ approaches uniform
+    flat = temperature_proportions(counts, 1e9)
+    assert max(flat.values()) - min(flat.values()) < 1e-6
+    # zero-count sources drop; bad temperature loud
+    assert "x" not in temperature_proportions({"a": 5, "x": 0}, 2.0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_proportions(counts, 0.0)
+
+
+def test_temperature_mix_end_to_end(ray_session):
+    """temperature proportions drive mix_corpora: the hot source's share
+    shrinks vs the natural mix, deterministically."""
+    import pyarrow as pa
+    import ray.data
+
+    from raystack.curate import mix_corpora, temperature_proportions
+    big = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(900), pa.int64())}))
+    small = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(range(100), pa.int64())}))
+    sources = {"big": big, "small": small}
+    props = temperature_proportions({"big": 900, "small": 100}, 4.0)
+    mixed = mix_corpora(sources, props, total_rows=200, seed=3) \
+        .to_pandas()
+    share_small = (mixed["source"] == "small").mean()
+    assert 0.2 < share_small < 0.5  # natural would be ~0.1
+    again = mix_corpora(sources, props, total_rows=200, seed=3) \
+        .to_pandas()
+    assert mixed.equals(again)  # reproducible from the seed alone
