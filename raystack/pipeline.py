@@ -2203,6 +2203,57 @@ def _decode_partition_dir(dir_path: str,
     return pa.table(arrays, names=out_names)
 
 
+def _decode_partition_stream(dir_path: str,
+                             columns: list[str] | None = None,
+                             paths: list[str] | None = None):
+    """Generator variant of :func:`_decode_partition_dir` for the
+    streaming executor: when the partition's page boundaries are UNIFORM
+    (every page_idx carries every column once, equal row counts — one
+    fresh encode), yield one decoded table PER PAGE GROUP in page_idx
+    order, so a 128–512 MB partition flows through Ray as page-sized
+    blocks with backpressure instead of materializing as a single block.
+    Non-uniform layouts (map-side precoded heavy columns, union
+    schema-drift back-fill pages) fall back to yielding the one
+    whole-partition table — identical rows either way (pages concatenate
+    in page_idx order in both paths)."""
+    import pyarrow.dataset as pads
+    expr = None
+    if columns:
+        expr = pc.field("column").isin(sorted(columns))
+    src = pads.dataset(paths) if paths is not None \
+        else pads.dataset(dir_path)
+    t = src.to_table(columns=["page_idx", "column", "nrows", "data"],
+                     filter=expr)
+    if t.num_rows == 0:
+        return
+    idx = np.asarray(t["page_idx"]).tolist()
+    names = t["column"].to_pylist()
+    nrows = np.asarray(t["nrows"]).tolist()
+    by_page: dict[int, list[int]] = {}
+    for i, p in enumerate(idx):
+        by_page.setdefault(int(p), []).append(i)
+    all_cols = sorted(set(names))
+    uniform = all(
+        sorted(names[i] for i in ii) == all_cols
+        and len({int(nrows[i]) for i in ii}) == 1
+        for ii in by_page.values())
+    if not uniform:
+        full = _decode_partition_dir(dir_path, columns, paths=paths)
+        if full.num_rows:
+            yield full
+        return
+    col_order = list(dict.fromkeys(names))  # first-appearance order,
+    # identical across page groups → every yielded block shares a schema
+    data_col = t["data"]
+    for p in sorted(by_page):
+        per = {names[i]: i for i in by_page[p]}
+        arrays = []
+        for name in col_order:
+            chunk = EncodedChunk.from_bytes(data_col[per[name]].as_py())
+            arrays.append(get_codec(chunk.codec).decode(chunk))
+        yield pa.table(arrays, names=col_order)
+
+
 def decode_dir(out_dir: str, columns: list[str] | None = None,
                snapshot: int | None = None):
     """Partition-local decode of an encoded layout on disk: one task per
@@ -2211,7 +2262,10 @@ def decode_dir(out_dir: str, columns: list[str] | None = None,
     construction of both encode paths). This replaces the global
     groupby(part_key, page_idx) shuffle :func:`decode_pages` needs for
     in-memory pages datasets; at 100 TB the decode plan is a pure task
-    fan-out with parallelism = num_partitions.
+    fan-out with parallelism = num_partitions, and within each task the
+    decode STREAMS — uniform partitions yield page-group-sized blocks
+    (:func:`_decode_partition_stream`), so block size is bounded by the
+    encoder's page_rows, not the partition size.
 
     ``snapshot`` time-travels: the decode reads exactly the page files
     the snapshot log (:mod:`raystack.snapshots`) recorded as live at
@@ -2235,15 +2289,19 @@ def decode_dir(out_dir: str, columns: list[str] | None = None,
             raise FileNotFoundError(f"no part_key= dirs under {pages_root}")
         items = [{"dir": d} for d in dirs]
 
-    def decode_one(batch: dict) -> pa.Table:
+    def decode_one(batch: dict):
         path_lists = batch.get("paths")
-        parts = [_decode_partition_dir(
-            os.path.join(pages_root, str(d)), columns,
-            paths=list(path_lists[i]) if path_lists is not None else None)
-            for i, d in enumerate(batch["dir"])]
-        parts = [p for p in parts if p.num_rows]
-        return pa.concat_tables(parts, promote_options="default") \
-            if parts else pa.table({})
+        empty = True
+        for i, d in enumerate(batch["dir"]):
+            paths = list(path_lists[i]) if path_lists is not None else None
+            for piece in _decode_partition_stream(
+                    os.path.join(pages_root, str(d)), columns,
+                    paths=paths):
+                if piece.num_rows:
+                    empty = False
+                    yield piece
+        if empty:
+            yield pa.table({})
 
     return ray.data.from_items(items) \
         .map_batches(decode_one, batch_size=1, batch_format="numpy")

@@ -1646,3 +1646,40 @@ def test_mutation_lock_serializes_and_self_heals(ray_session, tmp_path):
     assert not os.path.exists(lock)
     # ...and the layout still mutates normally afterwards
     assert pl.recluster(out, "n_chars")["reclustered"] == 2
+
+
+def test_decode_dir_streams_page_sized_blocks(ray_session, tmp_path):
+    """decode_dir yields page-group-sized blocks on uniform layouts (the
+    streaming-executor shape: block size bounded by page_rows, not
+    partition size), with rows identical to the whole-partition path;
+    non-uniform layouts (union back-fill pages) fall back and stay
+    exact."""
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text", "source", "n_chars"])
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([src], out, url_col="source",
+                                num_partitions=2, add_filename=False,
+                                page_rows=64, precode=False)
+    # the per-partition generator yields one bounded table per page
+    # group (Ray then coalesces them into target-sized blocks — at toy
+    # scale that's one block, at 512 MB partitions it's backpressure)
+    part0 = os.path.join(out, "pages", "part_key=0")
+    pieces = list(pl._decode_partition_stream(part0))
+    assert len(pieces) > 1
+    assert all(p.num_rows <= 64 for p in pieces)
+    ds = pl.decode_dir(out).materialize()
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
+
+    # drifted append creates page_idx=-1 back-fill pages → that
+    # partition is non-uniform → fallback path, still exact
+    day2 = str(tmp_path / "day2.parquet")
+    pq.write_table(t.slice(0, 40).drop_columns(["n_chars"]), day2)
+    pl.encode_append([day2], out, add_filename=False, schema="union",
+                     page_rows=64)
+    got2 = pl.decode_dir(out).to_pandas()
+    assert len(got2) == t.num_rows + 40
+    assert got2["n_chars"].isna().sum() == 40
