@@ -166,6 +166,30 @@ def bloom_prune_key_pages(zones_dir: str, col: str,
     return out
 
 
+def _page_min_max(arr) -> tuple:
+    """Per-page (min, max) sidecar stats. Floats route through numpy
+    with NaN masked out: Arrow's ``min_max`` mishandles some NaN
+    payloads (a page ``[0.0, sNaN]`` can read ``(inf, -inf)``, which
+    would fabricate a DISJOINT proof and silently drop matching rows)
+    and skips quiet NaN anyway — so float stats, by declared semantics,
+    bound the page's non-NaN values (sound for disjoint proofs: a NaN
+    row never matches any predicate; containment is separately disabled
+    for floats in :func:`_page_classify`). A float page whose valid
+    values are all NaN gets null stats → unknown → the planner keeps
+    the page."""
+    if pa.types.is_floating(arr.type):
+        v = arr.drop_null()
+        if len(v) == 0:
+            return None, None
+        x = np.asarray(v, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size == 0:
+            return None, None
+        return float(np.min(x)), float(np.max(x))
+    mm = pc.min_max(arr)
+    return mm["min"].as_py(), mm["max"].as_py()
+
+
 class _PageSums:
     """Per-page exact SUM accumulator for a sidecar column: numeric
     columns get a ``zsum`` sidecar column (``pc.sum`` semantics — nulls
@@ -246,12 +270,12 @@ def _build_zone_partition(pages_dir: str, zones_dir: str,
             chunk = EncodedChunk.from_bytes(sel["data"][i].as_py())
             arr = get_codec(chunk.codec).decode(chunk)
             ztype = arr.type
-            mm = pc.min_max(arr)  # nulls ignored; all-null page → nulls
+            zlo, zhi = _page_min_max(arr)  # null/NaN-safe (see helper)
             rows["page_idx"].append(p)
             rows["nrows"].append(len(arr))
             rows["nnull"].append(arr.null_count)
-            rows["zmin"].append(mm["min"].as_py())
-            rows["zmax"].append(mm["max"].as_py())
+            rows["zmin"].append(zlo)
+            rows["zmax"].append(zhi)
             sums.add(arr)
             if blooms is not None:
                 blooms.append(_page_bloom(arr))
@@ -320,12 +344,12 @@ def zone_sidecar_from_table(zones_dir: str, table: pa.Table,
         try:
             for pidx, lo in enumerate(range(0, max(n, 1), page_rows)):
                 sl = arr.slice(lo, page_rows)
-                mm = pc.min_max(sl)
+                zlo, zhi = _page_min_max(sl)
                 rows["page_idx"].append(pidx)
                 rows["nrows"].append(len(sl))
                 rows["nnull"].append(sl.null_count)
-                rows["zmin"].append(mm["min"].as_py())
-                rows["zmax"].append(mm["max"].as_py())
+                rows["zmin"].append(zlo)
+                rows["zmax"].append(zhi)
                 sums.add(sl)
                 if blooms is not None:
                     blooms.append(_page_bloom(sl))
@@ -373,12 +397,12 @@ def zone_sidecar_from_pages(zones_dir: str, col: str,
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         ztype = arr.type
-        mm = pc.min_max(arr)
+        zlo, zhi = _page_min_max(arr)
         rows["page_idx"].append(int(p))
         rows["nrows"].append(len(arr))
         rows["nnull"].append(arr.null_count)
-        rows["zmin"].append(mm["min"].as_py())
-        rows["zmax"].append(mm["max"].as_py())
+        rows["zmin"].append(zlo)
+        rows["zmax"].append(zhi)
         sums.add(arr)
         if blooms is not None:
             blooms.append(_page_bloom(arr))
@@ -646,17 +670,23 @@ def decode_dir_where(out_dir: str, ranges: dict,
     items = [{"dir": d, "pages": json.dumps(p) if p is not None else ""}
              for d, p in plan.items()]
 
-    def decode_one(batch: dict) -> pa.Table:
-        parts = []
+    def decode_one(batch: dict):
+        # page-group streaming (see pipeline._decode_partition_stream):
+        # surviving pages decode and filter one bounded block at a time
+        from .pipeline import _decode_partition_stream
+        empty = True
         for d, pj in zip(batch["dir"], batch["pages"]):
             wl = json.loads(pj) if pj else None
-            t = _decode_partition_dir(os.path.join(pages_root, str(d)),
-                                      want, page_whitelist=wl)
-            if t.num_rows:
-                parts.append(exact_filter(t))
-        parts = [p for p in parts if p.num_rows]
-        return pa.concat_tables(parts, promote_options="default") \
-            if parts else pa.table({})
+            for piece in _decode_partition_stream(
+                    os.path.join(pages_root, str(d)), want,
+                    page_whitelist=wl):
+                if piece.num_rows:
+                    out = exact_filter(piece)
+                    if out.num_rows:
+                        empty = False
+                        yield out
+        if empty:
+            yield pa.table({})
 
     return ray.data.from_items(items) \
         .map_batches(decode_one, batch_size=1, batch_format="numpy")
@@ -685,6 +715,14 @@ def _page_classify(z: pa.Table, spec) -> tuple[np.ndarray, np.ndarray]:
     has_null = np.asarray(pc.greater(z["nnull"], 0)) \
         if "nnull" in z.schema.names else np.ones(n, dtype=bool)
     stats_null = np.asarray(pc.is_null(zmin))
+    if pa.types.is_floating(zmin.type):
+        # Arrow's min_max SKIPS NaN (an all-NaN page reads (inf, -inf)),
+        # so float stats bound only the non-NaN rows: DISJOINT proofs
+        # stay sound (a NaN row never matches any predicate), but
+        # CONTAINED would count a page's NaN rows as matches — a page
+        # with any NaN must decode as boundary, and the sidecar doesn't
+        # record NaN counts, so float pages never prove containment
+        contained &= False
     if kind == "range":
         lo, hi = args
         if lo is not None:

@@ -765,3 +765,37 @@ def test_plan_parallel_path_identical(ray_session, tmp_path,
         task_plan = zmod.zone_prune_plan(out, pred)
         monkeypatch.undo()
         assert task_plan == driver_plan, pred
+
+
+def test_count_where_float_nan_pages_exact(ray_session, tmp_path):
+    """NaN-bearing float pages: Arrow min/max stats skip NaN, so a page
+    can look fully inside the range while its NaN rows match nothing —
+    count_where/agg_where must decode such pages as boundary, never
+    trust containment. Regression for the hypothesis-found over-count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raystack import pipeline as pl
+    from raystack.zones import agg_where, count_where
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, 400)
+    vals[::7] = np.nan  # NaN sprinkled through every page
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "grp": pa.array((np.arange(400) % 4).astype(np.int64)),
+        "x": pa.array(vals, type=pa.float64()),
+    })
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([src], out, url_col="grp",
+                                num_partitions=2, add_filename=False,
+                                page_rows=32, zone_columns=["x"])
+    df = t.to_pandas()
+    exp = int(((df["x"] >= 10) & (df["x"] <= 60)).sum())
+    assert count_where(out, {"x": (10, 60)}) == exp
+    a = agg_where(out, "x", {"x": (10, 60)})
+    sub = df[(df["x"] >= 10) & (df["x"] <= 60)]["x"]
+    assert a["count"] == len(sub)
+    assert abs(a["sum"] - sub.sum()) < 1e-9

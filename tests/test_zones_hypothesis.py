@@ -102,16 +102,19 @@ _fpred = st.one_of(
 
 
 def _zone_table_typed(pages, typ, with_bloom=False):
+    # stats computed by the PRODUCT's builder helper — the sweep must
+    # exercise the same NaN handling the real sidecars carry
+    from raystack.zones import _page_min_max
     rows = {"page_idx": [], "nrows": [], "nnull": []}
     mins, maxs, blooms = [], [], []
     for i, vals in enumerate(pages):
         arr = pa.array(vals, type=typ)
-        mm = pc.min_max(arr)
+        zlo, zhi = _page_min_max(arr)
         rows["page_idx"].append(i)
         rows["nrows"].append(len(vals))
         rows["nnull"].append(arr.null_count)
-        mins.append(mm["min"].as_py())
-        maxs.append(mm["max"].as_py())
+        mins.append(zlo)
+        maxs.append(zhi)
         blooms.append(_page_bloom(arr))
     t = pa.table({**{k: pa.array(v) for k, v in rows.items()},
                   "zmin": pa.array(mins, type=typ),
