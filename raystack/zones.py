@@ -867,9 +867,15 @@ def _agg_partition(pages_dir: str, zones_dir: str, value_col: str,
         n = len(vals) - vals.null_count
         if n == 0:
             return dict(_EMPTY_PARTIAL)
-        mm = pc.min_max(vals)
+        # NaN-safe min/max (declared: min/max skip NaN, pandas-like —
+        # and Arrow's min_max misreads some NaN payloads entirely, see
+        # _page_min_max); sum keeps IEEE propagation (any NaN → NaN),
+        # matching the sidecar zsum so both answer paths agree
+        zlo, zhi = _page_min_max(
+            vals.combine_chunks() if isinstance(vals, pa.ChunkedArray)
+            else vals)
         return {"sum": pc.sum(vals).as_py(), "n": n,
-                "min": mm["min"].as_py(), "max": mm["max"].as_py()}
+                "min": zlo, "max": zhi}
 
     def full_agg() -> dict:
         return exact_agg(_decode_partition_dir(pages_dir, want))
