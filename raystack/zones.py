@@ -546,7 +546,11 @@ def _overlap_pages(zones_dir: str,
             for v in args[0]:
                 ok = pc.or_kleene(ok, pc.and_kleene(
                     pc.less_equal(zmin, v), pc.greater_equal(zmax, v)))
-        # all-null pages have null zmin/zmax → unknown → keep
+        # all-null pages have null zmin/zmax → unknown → keep; impossible
+        # stats (min > max — e.g. a pre-fix sidecar whose float page was
+        # poisoned by Arrow's NaN min_max bug to (inf, -inf)) are also
+        # unknown — never prune on stats that can't be real
+        ok = pc.or_kleene(ok, pc.greater(zmin, zmax))
         ok = pc.fill_null(ok, True)
         keep = np.asarray(ok)
         if kind == "in" and args[0] and "bloom" in z.schema.names \
@@ -771,6 +775,11 @@ def _page_classify(z: pa.Table, spec) -> tuple[np.ndarray, np.ndarray]:
     if "nnull" in z.schema.names:
         disjoint |= stats_null & np.asarray(pc.equal(z["nnull"],
                                                      z["nrows"]))
+    # impossible stats (min > max — a pre-fix sidecar poisoned by
+    # Arrow's NaN min_max bug) prove nothing: boundary-decode the page
+    invalid = np.asarray(pc.fill_null(pc.greater(zmin, zmax), False))
+    disjoint &= ~invalid
+    contained &= ~invalid
     return disjoint, contained
 
 

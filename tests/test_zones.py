@@ -799,3 +799,35 @@ def test_count_where_float_nan_pages_exact(ray_session, tmp_path):
     sub = df[(df["x"] >= 10) & (df["x"] <= 60)]["x"]
     assert a["count"] == len(sub)
     assert abs(a["sum"] - sub.sum()) < 1e-9
+
+
+def test_poisoned_sidecar_stats_never_prune(ray_session, tmp_path):
+    """Defense against pre-fix sidecars: a page whose stored stats are
+    impossible (min > max — the Arrow NaN min_max poisoning shape) must
+    be treated as unknown, never pruned or counted from metadata."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raystack import pipeline as pl
+    from raystack.zones import count_where, decode_dir_where
+    t = pa.table({"doc_id": pa.array(np.arange(100, dtype=np.int64)),
+                  "grp": pa.array((np.arange(100) % 2).astype(np.int64)),
+                  "x": pa.array(np.arange(100, dtype=np.float64))})
+    src = str(tmp_path / "d.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "enc")
+    pl.encode_partitioned_tasks([src], out, url_col="grp",
+                                num_partitions=2, add_filename=False,
+                                page_rows=16, zone_columns=["x"])
+    # poison one partition's x sidecar the way the old bug did
+    zf = os.path.join(out, "zones", "part_key=0", "x.parquet")
+    z = pq.read_table(zf).to_pydict()
+    z["zmin"] = [float("inf")] * len(z["zmin"])
+    z["zmax"] = [float("-inf")] * len(z["zmax"])
+    pq.write_table(pa.table(z), zf)
+    df = t.to_pandas()
+    exp = int(((df["x"] >= 10) & (df["x"] <= 30)).sum())
+    assert count_where(out, {"x": (10, 30)}) == exp
+    got = decode_dir_where(out, {"x": (10, 30)}).to_pandas()
+    assert len(got) == exp
