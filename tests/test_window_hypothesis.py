@@ -25,27 +25,33 @@ def _table(events):
     })
 
 
+_EPOCH_BASE = int(dt.datetime(2024, 1, 1,
+                               tzinfo=dt.timezone.utc).timestamp())
+
+
 @settings(max_examples=20, deadline=None)
 @given(_events, st.integers(min_value=1, max_value=7))
 def test_tumbling_matches_oracle(ray_session, events, win):
+    # windows are UNIX-EPOCH-aligned ((epoch // win) * win — the same
+    # rule the SQL mirrors use), NOT aligned to the data's first event
     from raystack.ops.window import tumbling_window_agg
     got = tumbling_window_agg(ray.data.from_arrow(_table(events)),
                               "ts", "user_id", win).to_pandas()
     oracle = {}
     for k, s, _ in events:
-        w = (s // win) * win
+        es = _EPOCH_BASE + s
+        w = (es // win) * win
         e = oracle.setdefault((k, w), [0, None, None])
         e[0] += 1
-        e[1] = s if e[1] is None else min(e[1], s)
-        e[2] = s if e[2] is None else max(e[2], s)
+        e[1] = es if e[1] is None else min(e[1], es)
+        e[2] = es if e[2] is None else max(e[2], es)
     assert len(got) == len(oracle), (events, win)
-    base = dt.datetime(2024, 1, 1)
     for _, row in got.iterrows():
-        w = int((row["window_start"] - base).total_seconds())
+        w = int(row["window_start"].timestamp())
         n, lo, hi = oracle[(row["user_id"], w)]
         assert row["n_events"] == n, (events, win)
-        assert row["min_ts"] == base + dt.timedelta(seconds=lo)
-        assert row["max_ts"] == base + dt.timedelta(seconds=hi)
+        assert int(row["min_ts"].timestamp()) == lo
+        assert int(row["max_ts"].timestamp()) == hi
 
 
 @settings(max_examples=15, deadline=None)
@@ -59,14 +65,14 @@ def test_hopping_matches_oracle(ray_session, events, hop, mult):
                              "ts", "user_id", win, hop).to_pandas()
     oracle = {}
     for k, s, _ in events:
-        last = (s // hop) * hop  # latest window start containing s
+        es = _EPOCH_BASE + s
+        last = (es // hop) * hop  # latest window start containing es
         for j in range(mult):
             w = last - j * hop
-            if w + win > s >= w:
+            if w + win > es >= w:
                 oracle[(k, w)] = oracle.get((k, w), 0) + 1
     assert len(got) == len(oracle), (events, hop, mult)
-    base = dt.datetime(2024, 1, 1)
     for _, row in got.iterrows():
-        w = int((row["window_start"] - base).total_seconds())
+        w = int(row["window_start"].timestamp())
         assert row["n_events"] == oracle[(row["user_id"], w)], \
             (events, hop, mult)
