@@ -2205,7 +2205,8 @@ def _decode_partition_dir(dir_path: str,
 
 def _decode_partition_stream(dir_path: str,
                              columns: list[str] | None = None,
-                             paths: list[str] | None = None):
+                             paths: list[str] | None = None,
+                             page_whitelist=None):
     """Generator variant of :func:`_decode_partition_dir` for the
     streaming executor: when the partition's page boundaries are UNIFORM
     (every page_idx carries every column once, equal row counts — one
@@ -2220,6 +2221,9 @@ def _decode_partition_stream(dir_path: str,
     expr = None
     if columns:
         expr = pc.field("column").isin(sorted(columns))
+    if page_whitelist is not None:
+        pw = pc.field("page_idx").isin([int(p) for p in page_whitelist])
+        expr = pw if expr is None else (expr & pw)
     src = pads.dataset(paths) if paths is not None \
         else pads.dataset(dir_path)
     t = src.to_table(columns=["page_idx", "column", "nrows", "data"],
@@ -2238,7 +2242,8 @@ def _decode_partition_stream(dir_path: str,
         and len({int(nrows[i]) for i in ii}) == 1
         for ii in by_page.values())
     if not uniform:
-        full = _decode_partition_dir(dir_path, columns, paths=paths)
+        full = _decode_partition_dir(dir_path, columns, paths=paths,
+                                     page_whitelist=page_whitelist)
         if full.num_rows:
             yield full
         return
