@@ -481,6 +481,12 @@ def probe_webp(payload: bytes) -> dict:
     raise ValueError(f"unknown WebP chunk {fourcc!r}")
 
 
+# Max pixels the pure-Python VP8L reference decoder will attempt
+# (~100k px/s, ~8 B/px working set): beyond this, untrusted payloads
+# get the dims-probe tier instead of a pinned actor.
+VP8L_PIXEL_BUDGET = 4_000_000
+
+
 def decode_image_any(payload) -> np.ndarray | None:
     """Sniff the payload's magic bytes and run the matching REAL image
     decoder (PNM/BMP/PNG/JPEG/GIF/TIFF); ``None`` when the payload is not a
@@ -506,7 +512,19 @@ def decode_image_any(payload) -> np.ndarray | None:
         # lossless WebP: real from-scratch decode; a stream the decoder
         # can't finish (truncated, or a feature beyond the implemented
         # envelope) falls back to MediaDecoder's dims-probe tier instead
-        # of losing the metadata — same None contract as unknown magic
+        # of losing the metadata — same None contract as unknown magic.
+        # Untrusted-crawl guard: the per-pixel reference decoder is
+        # O(w*h) Python — a few-KB crafted header can declare up to
+        # 16383x16383 (~268M px, fillable via LZ77 runs) and pin an
+        # actor for hours. Parse the 14-bit dims FIRST and route
+        # oversized images to the probe tier (dims only, decoded=False).
+        b = bytes(payload[:25])
+        if len(b) >= 25 and b[20] == 0x2F:
+            bits = int.from_bytes(b[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            if w * h > VP8L_PIXEL_BUDGET:
+                return None
         from raystack.ops.vp8l import Vp8lError, decode_webp
         try:
             return decode_webp(bytes(payload))

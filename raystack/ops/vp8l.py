@@ -418,8 +418,11 @@ def _inv_predictor(px: np.ndarray, tiles: np.ndarray,
                 left = int(out[y, x - 1])
                 top = int(out[y - 1, x])
                 tl = int(out[y - 1, x - 1])
+                # At the right edge TR wraps in raster order to the
+                # CURRENT row's leftmost pixel (RFC 9649 §4.2: pixel at
+                # linear index pos-width+1 == out[y, 0], already decoded).
                 tr = int(out[y - 1, x + 1]) if x + 1 < w \
-                    else int(out[y - 1, 0])
+                    else int(out[y, 0])
                 pred = _predict_one(mode, left, top, tl, tr)
             v = int(px[y, x])
             out[y, x] = (((((v >> 24) + (pred >> 24)) & 0xFF) << 24)
@@ -877,8 +880,10 @@ def encode_vp8l(rgba: np.ndarray, *, subtract_green: bool = False,
                         left = int(dec[y, x - 1])
                         top = int(dec[y - 1, x])
                         tl = int(dec[y - 1, x - 1])
+                        # right edge: TR wraps to the current row's
+                        # leftmost pixel (see _inv_predictor)
                         tr = int(dec[y - 1, x + 1]) if x + 1 < w \
-                            else int(dec[y - 1, 0])
+                            else int(dec[y, 0])
                         pred = _predict_one(predictor, left, top, tl, tr)
                     v = int(px[y, x])
                     res[y, x] = \

@@ -1425,11 +1425,13 @@ def _mutation_lock(out_dir: str, op: str):
     path = os.path.join(lock_dir, ".mutation.lock")
     me = {"pid": os.getpid(), "op": op,
           "host": socket.gethostname()}
-    for _ in range(2):  # second pass only after breaking a stale lock
+    acquired = False
+    for _ in range(3):  # extra passes only after breaking stale locks
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, json.dumps(me).encode())
             os.close(fd)
+            acquired = True
             break
         except FileExistsError:
             try:
@@ -1448,6 +1450,15 @@ def _mutation_lock(out_dir: str, op: str):
                 "concurrent layout mutations are unsupported (they "
                 "would corrupt page numbering); wait for it, or remove "
                 f"{path} if that run crashed on another host")
+    if not acquired:
+        # Every pass found a (stale-looking) lock and broke it, yet a
+        # new one kept appearing: live contention. Proceeding without
+        # the lock — or deleting a third mutator's lock in `finally` —
+        # would defeat the corruption guard, so fail loudly instead.
+        raise RuntimeError(
+            f"could not acquire mutation lock for {out_dir} after "
+            "repeated stale-lock breaks — another mutator is racing "
+            f"this one (lock file: {path})")
     try:
         yield
     finally:
@@ -3170,9 +3181,13 @@ def export_parquet(out_dir: str, dest: str,
         import pyarrow.parquet as _pq
         t = _decode_partition_dir(os.path.join(pages_root, d), want,
                                   paths=paths, page_whitelist=whitelist)
-        if where is not None and t.num_rows:
-            from .zones import predicate_mask
-            t = t.filter(predicate_mask(t, where))
+        if where is not None:
+            if t.num_rows:
+                from .zones import predicate_mask
+                t = t.filter(predicate_mask(t, where))
+            # drop appended predicate columns UNCONDITIONALLY (a zero-row
+            # partition must export the same schema as every other one,
+            # or reading dest as a single hive dataset fails on merge)
             if columns is not None:
                 t = t.select([c for c in columns if c in t.schema.names])
         part_dest = os.path.join(dest, d)

@@ -183,3 +183,56 @@ def test_export_where_filtered_subset(layout, tmp_path):
     # where composes with neither snapshot
     with pytest.raises(ValueError, match="live zone sidecars"):
         pl.export_parquet(layout, dest, where=pred, snapshot=1)
+
+
+def test_export_where_zero_row_partition_schema_consistent(layout,
+                                                           tmp_path):
+    """A partition whose decode yields ZERO matching rows must still
+    export the projected schema — NOT the predicate columns — so dest
+    reads as one hive dataset without a schema-merge failure."""
+    full = _decoded(layout)
+    # predicate satisfiable only in some partitions: pick a single
+    # doc_id, so 3 of 4 partitions (and often some non-pruned pages)
+    # filter down to zero rows
+    target = int(full["doc_id"].iloc[0])
+    pred = {"doc_id": (target, target)}
+    dest = str(tmp_path / "zslice")
+    pl.export_parquet(layout, dest, columns=["lang"], where=pred)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(dest)
+             for f in fs if f.endswith(".parquet")]
+    assert files
+    schemas = {tuple(pq.read_schema(f).names) for f in files}
+    assert schemas == {("lang",)}, schemas
+    # the union still reads as ONE hive dataset with exactly 1 row
+    got = pads.dataset(dest, partitioning="hive").to_table()
+    assert got.num_rows == 1
+
+
+def test_mutation_lock_contention_raises_without_deleting(tmp_path):
+    """If every acquisition pass finds a LIVE lock appearing anew, the
+    lock manager raises instead of proceeding unlocked — and never
+    deletes a lock it did not create."""
+    import json as _json
+
+    out = str(tmp_path / "lay")
+    lock_dir = os.path.join(out, "_manifest")
+    os.makedirs(lock_dir)
+    path = os.path.join(lock_dir, ".mutation.lock")
+
+    # stale lock (dead pid on this host) self-heals and acquires
+    with open(path, "w") as fh:
+        _json.dump({"pid": 2 ** 30, "op": "x",
+                    "host": __import__("socket").gethostname()}, fh)
+    with pl._mutation_lock(out, "test"):
+        assert os.path.exists(path)
+    assert not os.path.exists(path)
+
+    # live lock (this very process) blocks loudly, file untouched
+    with open(path, "w") as fh:
+        _json.dump({"pid": os.getpid(), "op": "other",
+                    "host": __import__("socket").gethostname()}, fh)
+    with pytest.raises(RuntimeError, match="being mutated"):
+        with pl._mutation_lock(out, "test"):
+            pass
+    assert os.path.exists(path)
+    os.remove(path)
