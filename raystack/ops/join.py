@@ -292,22 +292,26 @@ def hash_join(left, right, on, how: str = "inner", num_partitions: int = 32):
 
 def asof_join(left, right, key: str, ts: str,
               right_cols: list[str] | None = None,
-              suffix: str = "_r"):
+              suffix: str = "_r", *, bucket_sec: int = 86400,
+              plain: bool = False):
     """As-of join: for each left row, the right row with the same ``key``
     and the greatest ``ts`` ≤ the left row's ``ts`` (DuckDB
-    ``ASOF LEFT JOIN`` semantics; unmatched lefts keep nulls).
-
-    Ray-Data shape: tag the two sides, union, ONE ``groupby(key)``
-    shuffle, then a vectorized merge inside each group
-    (``np.searchsorted`` of left timestamps into the sorted right
-    timestamps — no per-row Python). Partitioning assumption: ``key``
-    hashes evenly; salt hot keys upstream if one key dominates. Ties on
+    ``ASOF LEFT JOIN`` semantics; unmatched lefts keep nulls). Ties on
     exactly-equal timestamps match (≤), and require (key, ts) unique on
     the right for a deterministic result.
 
-    One hot key = one task: :func:`asof_join_bucketed` is the
-    output-identical time-bucketed variant for keys whose history may not
-    fit a task."""
+    DEFAULT ROUTE is the hot-key-safe :func:`asof_join_bucketed` (the
+    merge groups by (key, time-bucket), so no task ever holds one key's
+    full history). Pass ``plain=True`` for the one-``groupby(key)``
+    shape as a micro-optimization when every key is KNOWN to fit a task
+    (output is identical — equivalence-tested): tag the two sides,
+    union, ONE ``groupby(key)`` shuffle, then a vectorized merge inside
+    each group (``np.searchsorted`` of left timestamps into the sorted
+    right timestamps — no per-row Python)."""
+    if not plain:
+        return asof_join_bucketed(left, right, key, ts,
+                                  right_cols=right_cols, suffix=suffix,
+                                  bucket_sec=bucket_sec)
     import numpy as np
 
     r_schema = right.schema()

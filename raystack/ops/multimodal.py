@@ -23,9 +23,10 @@ Decode support has two tiers:
   which this container doesn't ship — clearly marked below). Everything
   Ray-side is real and tested either way: the media schema, actor-pool
   ``map_batches`` stages with small batch sizes (large binary payloads),
-  the per-actor one-time setup, and the output layout. Swap
-  ``_decode_image_real`` for a PIL/ffmpeg call on a cluster that has
-  them and nothing else changes.
+  the per-actor one-time setup, and the output layout. Formats the
+  from-scratch decoders don't cover fall back to the probe/fake tier;
+  swap :func:`decode_image_any` for a PIL/ffmpeg call on a cluster that
+  has them and nothing else changes.
 """
 
 from __future__ import annotations
@@ -620,12 +621,6 @@ def decode_media(ds, concurrency=(1, 4), batch_size: int = MEDIA_BATCH_SIZE):
                           batch_size=batch_size, concurrency=concurrency)
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover
-    """STUB: real image decode (PIL.Image.open) — library not in container."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv; not available in this container")
-
-
 def _fake_decode_shape(payload_lens: np.ndarray, hashes: np.ndarray = None):
     """Deterministic fake decode: (w, h, c) derived from the payload byte
     length via SQL-expressible int64 arithmetic (so the driver's DuckDB
@@ -639,22 +634,54 @@ def _fake_decode_shape(payload_lens: np.ndarray, hashes: np.ndarray = None):
 
 
 class ImageFeatureExtractor:
-    """Actor-pool stage: byte-histogram features + fake-decoded dimensions.
+    """Actor-pool stage: histogram features + decoded dimensions.
 
     Real plumbing: one-time setup in ``__init__`` (histogram bin edges /
     would-be model load), vectorized per-batch work, list<float> feature
-    output. ``use_real_decode=True`` raises NotImplementedError per the stub
-    contract."""
+    output. ``use_real_decode=True`` routes each payload through the
+    shared magic-byte sniffer (:func:`decode_image_any` — the module's
+    from-scratch PNM/BMP/PNG/JPEG/GIF/TIFF/VP8L decoders): decodable
+    rows get TRUE dimensions and a pixel-value histogram; unrecognized
+    or malformed payloads fall back per-row to the byte-histogram +
+    deterministic fake-dims tier, so the output schema is identical
+    either way."""
 
     def __init__(self, n_bins: int = 16, use_real_decode: bool = False):
         self.n_bins = n_bins
         self.use_real_decode = use_real_decode
         self.edges = np.linspace(0, 256, n_bins + 1)
 
+    def _real_rows(self, payloads, n):
+        """Per-row real decode; returns (w, h, c, feats, decoded_mask).
+        The per-payload loop is intentional — each payload is one media
+        file and the heavy work inside (pixel math) is numpy."""
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        c = np.zeros(n, np.int64)
+        feats = np.zeros((n, self.n_bins), np.float64)
+        ok = np.zeros(n, bool)
+        for i in range(n):
+            p = payloads[i].as_py()
+            if p is None:
+                continue
+            try:
+                img = decode_image_any(p)
+            except Exception:
+                img = None  # malformed body → fake tier, never a crash
+            if img is None:
+                continue
+            h[i], w[i], c[i] = img.shape
+            px = img.ravel().astype(np.int64)
+            if img.dtype != np.uint8:  # 16-bit PNG → 8-bit bins
+                px >>= 8
+            counts = np.bincount((px * self.n_bins) >> 8,
+                                 minlength=self.n_bins)
+            feats[i] = counts / max(px.size, 1)
+            ok[i] = True
+        return w, h, c, feats, ok
+
     def __call__(self, t: pa.Table) -> pa.Table:
         from .hashing import flatten_column
-        if self.use_real_decode:
-            _decode_image_real(b"")
         data, starts, lengths = flatten_column(t["payload"])
         # histogram per row via reduceat over NON-EMPTY rows only: a
         # trailing empty row's clamped start index used to steal the
@@ -675,6 +702,13 @@ class ImageFeatureExtractor:
         norm = np.maximum(lengths, 1).astype(np.float64)
         feats = onehot_sum / norm[:, None]
         w, h, c = _fake_decode_shape(lengths)
+        if self.use_real_decode:
+            rw, rh, rc, rfeats, ok = self._real_rows(t["payload"],
+                                                     t.num_rows)
+            w = np.where(ok, rw, w)
+            h = np.where(ok, rh, h)
+            c = np.where(ok, rc, c)
+            feats = np.where(ok[:, None], rfeats, feats)
         return pa.table({
             "media_id": t["media_id"].combine_chunks()
             if isinstance(t["media_id"], pa.ChunkedArray) else t["media_id"],

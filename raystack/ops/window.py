@@ -60,15 +60,22 @@ def tumbling_window_agg(ds, ts_col: str, key_col: str, window_sec: int,
 
 
 def sessionize(ds, ts_col: str, key_col: str, id_col: str,
-               gap_sec: int = 1800):
+               gap_sec: int = 1800, *, bucket_sec: int = 86400,
+               plain: bool = False):
     """Gap-based session ids per key: events of one key sorted by
     (ts, id); a new session starts when the gap to the previous event
-    exceeds ``gap_sec``. One ``groupby(key).map_groups`` — the ordering
-    assumption (sort within group) is explicit here; the oracle is the
-    equivalent SQL window function. Returns (id_col, key_col, session_id
-    starting at 1 per key). One hot key = one task: use
-    :func:`sessionize_bucketed` when a single key's history may not fit a
-    task (it is output-identical)."""
+    exceeds ``gap_sec``. Returns (id_col, key_col, session_id starting
+    at 1 per key); the oracle is the equivalent SQL window function.
+
+    DEFAULT ROUTE is the hot-key-safe :func:`sessionize_bucketed`
+    (single streaming pass, no task ever holds one key's full history —
+    a bot key with 10^9 events would pin a task otherwise). Pass
+    ``plain=True`` for the one-``groupby(key).map_groups`` shape as a
+    micro-optimization when every key is KNOWN to fit a task (output is
+    identical — equivalence-tested)."""
+    if not plain:
+        return sessionize_bucketed(ds, ts_col, key_col, id_col,
+                                   gap_sec=gap_sec, bucket_sec=bucket_sec)
     gap_us = gap_sec * 1_000_000
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:

@@ -160,15 +160,35 @@ def test_multimodal_plumbing(ray_session):
     assert len(frames) >= 10 and {"media_id", "frame_idx", "frame"} <= set(frames)
 
 
-def test_real_decode_raises(ray_session):
+def test_real_decode_true_dims_and_pixel_histogram(ray_session):
+    """use_real_decode=True routes payloads through the shared
+    magic-byte sniffer: a real image yields TRUE dims + a pixel-value
+    histogram; an unrecognized payload falls back per-row to the
+    byte-histogram/fake-dims tier with the same schema."""
+    import numpy as np
     import ray.data
+
     from raystack.ops.multimodal import extract_image_features
-    t = pa.table({"media_id": pa.array([1], pa.int64()),
-                  "payload": pa.array([b"x"], pa.large_binary()),
-                  "mime": ["image/png"], "meta": ["{}"]})
+    from raystack.ops.vp8l import encode_vp8l
+    img = np.zeros((6, 9, 4), np.uint8)  # all-zero pixels → bin 0 == 1.0
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([encode_vp8l(img), b"not-an-image"],
+                                      pa.large_binary()),
+                  "mime": ["image/webp", "application/octet-stream"],
+                  "meta": ["{}", "{}"]})
     ds = ray.data.from_arrow(t)
-    with pytest.raises(Exception):  # NotImplementedError inside actor
-        extract_image_features(ds, concurrency=1, use_real_decode=True).to_pandas()
+    out = extract_image_features(ds, concurrency=1,
+                                 use_real_decode=True).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert (int(out.loc[0, "width"]), int(out.loc[0, "height"]),
+            int(out.loc[0, "channels"])) == (9, 6, 4)
+    f0 = out.loc[0, "features"]
+    assert abs(f0[0] - 1.0) < 1e-12 and sum(f0[1:]) < 1e-12
+    # fallback row: deterministic fake dims from payload length
+    from raystack.ops.multimodal import _fake_decode_shape
+    w, h, c = _fake_decode_shape(np.array([len(b"not-an-image")]))
+    assert (int(out.loc[1, "width"]), int(out.loc[1, "height"])) == \
+        (int(w[0]), int(h[0]))
 
 
 def test_tumbling_window(ray_session):
@@ -232,7 +252,8 @@ def test_sessionize_bucketed_matches_plain(ray_session):
         "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
     })
     ds = ray.data.from_arrow(t)
-    want = sessionize(ds, "ts", "user", "eid", gap_sec=30).to_pandas() \
+    want = sessionize(ds, "ts", "user", "eid", gap_sec=30,
+                      plain=True).to_pandas() \
         .sort_values("eid").reset_index(drop=True)
     # bucket_sec=60 with gap=30 forces many cross-bucket merges
     got = sessionize_bucketed(ds, "ts", "user", "eid", gap_sec=30,
@@ -254,7 +275,8 @@ def test_sessionize_bucketed_join_path(ray_session, monkeypatch):
                        type=pa.int64()).cast(pa.timestamp("us")),
     })
     ds = ray.data.from_arrow(t)
-    want = sessionize(ds, "ts", "user", "eid", gap_sec=1800).to_pandas() \
+    want = sessionize(ds, "ts", "user", "eid", gap_sec=1800,
+                      plain=True).to_pandas() \
         .sort_values("eid").reset_index(drop=True)
     monkeypatch.setattr(dedup, "_BROADCAST_LIMIT", 0)
     got = sessionize_bucketed(ds, "ts", "user", "eid", gap_sec=1800,
@@ -542,7 +564,8 @@ def test_asof_join_bucketed_matches_plain(ray_session):
         "price": pa.array(rng.normal(size=n_r)),
     })
     lds, rds = ray.data.from_arrow(lt), ray.data.from_arrow(rt)
-    want = asof_join(lds, rds, key="k", ts="ts").to_pandas() \
+    want = asof_join(lds, rds, key="k", ts="ts",
+                     plain=True).to_pandas() \
         .sort_values("lid").reset_index(drop=True)
     # bucket_sec=60 over a ~3000s span → ~50 buckets, many carry-ins
     got = asof_join_bucketed(lds, rds, key="k", ts="ts",
