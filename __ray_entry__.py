@@ -186,8 +186,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def combine_union(sf):
         return _aligned(sf, add_filename=False)
 
-    def combine_common(sf):
-        return _aligned(sf, columns_select_common=True, add_filename=False)
+    def epoch_order(sf):
+        """seeded_shuffle's permutation proven at the gate: the 200
+        EARLIEST docs of epoch seed=42 — i.e. the smallest bijective
+        sort keys splitmix64(doc_id ^ 42) — via the real distributed
+        sort + streaming limit. The SQL mirror recomputes the key with
+        the HUGEINT splitmix CTEs and takes the same prefix, so a wrong
+        hash, sort order or limit boundary flips the row set. (Took
+        combine_common's slot: the intersect-align path it exercised is
+        pytest-covered in test_plan_align.py and combine_union walks the
+        same align stage at the gate.)"""
+        import ray.data
+        from raystack.ops.text import seeded_shuffle
+        ds = ray.data.read_parquet(os.path.join(sf, "documents.parquet"),
+                                   columns=["doc_id", "lang"])
+        return seeded_shuffle(ds, seed=42).limit(200)
 
     def combine_provenance(sf):
         """columns_select (M6) + provenance (M4) proven in ONE query:
@@ -816,7 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_partitioned": roundtrip_partitioned,
         "curate_corpus": curate_corpus,
         "combine_union": combine_union,
-        "combine_common": combine_common,
+        "epoch_order": epoch_order,
         "combine_provenance": combine_provenance,
         "zone_count_where": zone_count_where,
         "combine_preview": combine_preview,
@@ -1120,7 +1133,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, lang, "
             "CASE WHEN doc_id % 3 = 1 THEN NULL ELSE source END AS source, "
             "n_chars FROM documents"),
-        "combine_common": "SELECT doc_id, text, lang, n_chars FROM documents",
+        "epoch_order": f"""
+        WITH ids AS (SELECT doc_id,
+                            {_sql_xor64('CAST(doc_id AS HUGEINT)', '42')}
+                            AS x FROM documents),
+        {_sql_splitmix_stages('s', 'ids')}
+        SELECT d.doc_id, d.lang FROM se JOIN documents d USING (doc_id)
+        ORDER BY CAST(se.x AS UBIGINT) LIMIT 200""",
         "combine_provenance": (
             "SELECT doc_id, lang, n_chars, "
             "'part-' || (doc_id % 3) || '.parquet' AS filename "

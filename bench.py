@@ -97,6 +97,17 @@ def _webtext_inputs(n_rows: int) -> tuple[list[str], int, int]:
     return paths, raw_bytes, snappy_bytes, host_counts
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal counter (jiffies the host took from this VM).
+    Recorded around the headline repeats so the artifact self-attributes:
+    a wall outside the quiet band with low steal is real; with high steal
+    it is the shared box, not the code (see BASELINE.md's epoch log)."""
+    try:
+        return int(open("/proc/stat").readline().split()[8])
+    except Exception:
+        return 0
+
+
 def _host_map_for(host_counts: dict, num_partitions: int) -> dict:
     """ANALYZE-cached counts → balanced explicit host→partition packing
     (pipeline.plan_host_partitions)."""
@@ -149,8 +160,12 @@ def run_bench(num_cpus: int) -> dict:
     repeats = int(os.environ.get("BENCH_REPEATS",
                                   "2" if headline_only else "3"))
 
-    # best of 3 repeats — the shared sandbox has high run-to-run variance
+    # best of 3 repeats — the shared sandbox has high run-to-run variance;
+    # every repeat's wall + the steal delta land in the JSON so the
+    # artifact names the same number as the quiet-band narrative
     t_enc = float("inf")
+    headline_runs: list[float] = []
+    steal0 = _steal_jiffies()
     web_cols = ["url", "warc_ts", "html", "text", "lang",
                 "filepath", "filename"]
     for _ in range(repeats):
@@ -167,7 +182,9 @@ def run_bench(num_cpus: int) -> dict:
                                     host_map=host_map,
                                     map_bytes=int(os.environ.get(
                                         "BENCH_MAP_MB", "64")) << 20)
-        t_enc = min(t_enc, time.perf_counter() - t0)
+        headline_runs.append(round(time.perf_counter() - t0, 3))
+        t_enc = min(t_enc, headline_runs[-1])
+    headline_steal = _steal_jiffies() - steal0
     queries["webtext_encode"] = round(t_enc, 3)
 
     if not headline_only:
@@ -221,6 +238,8 @@ def run_bench(num_cpus: int) -> dict:
             "unit": "sec", "queries": queries, "sf": SF_DIR,
             "num_cpus": num_cpus, "rows": n_rows, "raw_bytes": raw_bytes,
             "gb_per_sec": round(raw_bytes / t_enc / 1e9, 4),
+            "headline_runs": headline_runs,
+            "headline_steal_jiffies": headline_steal,
         }
     t0 = time.perf_counter()
     li_cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
@@ -519,6 +538,8 @@ def run_bench(num_cpus: int) -> dict:
         "snappy_bytes": snappy_bytes,
         "gb_per_sec": round(raw_bytes / t_enc / 1e9, 4),
         "compression_vs_snappy": round(encoded_bytes / snappy_bytes, 4),
+        "headline_runs": headline_runs,
+        "headline_steal_jiffies": headline_steal,
     }
 
 
