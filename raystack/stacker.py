@@ -32,6 +32,17 @@ from .pipeline import encode_partitioned
 
 
 class Stacker:
+    """The reference's ``CombinerCSV`` surface (d6tstack
+    combine_csv.py:57-504) on Parquet/CSV inputs: construct over a file
+    list with the drift-repair options (``columns_select``,
+    ``columns_select_common``, ``columns_rename``,
+    ``apply_after_read``), inspect schema drift driver-side
+    (footer-only sniff), then export through lazy Ray Datasets —
+    ``to_parquet_combine/align``, ``to_csv_combine/align``,
+    ``to_pandas``, or the codec engine via ``to_encoded``. Sniffing
+    and previews are metadata/head reads; every full-size path streams
+    through the Ray executor with per-file task parallelism."""
+
     def __init__(self, fname_list: list[str],
                  columns_select: list[str] | None = None,
                  columns_select_common: bool = False,
