@@ -30,10 +30,10 @@ __version__ = "0.1.0"
 
 
 def read_raystack(out_dir, *, columns=None, where=None, snapshot=None,
-                  parallelism: int = -1, **read_args):
+                  keys=None, parallelism: int = -1, **read_args):
     """Read an encoded layout as a composable Ray Data Dataset (see
     :mod:`raystack.datasource`). Lazy import so ``import raystack`` stays
     cheap and never touches ``ray.data`` at import time."""
     from .datasource import read_raystack as _impl
     return _impl(out_dir, columns=columns, where=where, snapshot=snapshot,
-                 parallelism=parallelism, **read_args)
+                 keys=keys, parallelism=parallelism, **read_args)

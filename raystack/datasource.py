@@ -94,15 +94,26 @@ class RaystackDatasource(Datasource):
     - ``snapshot``: time-travel to a snapshot id through the snapshot
       log; composes with ``columns`` but not ``where`` (zone sidecars
       describe the LIVE layout only — same contract as ``scan``).
+    - ``keys``: point lookup — each key routes through the layout's
+      persisted partition-key math, so only hash(|keys|) partitions
+      become read tasks at all, and inside each the key column's
+      per-page blooms cut decode to ~1 page per column per hit
+      (:func:`raystack.pipeline.lookup_rows` semantics). Composes with
+      ``columns`` only, like ``scan(keys=)``.
     """
 
     def __init__(self, out_dir: str, *, columns: Optional[list[str]] = None,
                  where: Optional[dict] = None,
-                 snapshot: Optional[int] = None):
+                 snapshot: Optional[int] = None,
+                 keys: Optional[list] = None):
         if where is not None and snapshot is not None:
             raise ValueError("where= reads the live zone sidecars — "
                              "read snapshot= unfiltered then filter for "
                              "historical states")
+        if keys is not None and (where is not None or snapshot is not None):
+            raise ValueError("keys= routes through the live layout's "
+                             "blooms — it composes with neither where= "
+                             "nor snapshot=")
         pages_root = os.path.join(out_dir, "pages")
         if not os.path.isdir(pages_root):
             raise FileNotFoundError(f"not an encoded layout: {out_dir!r} "
@@ -111,6 +122,7 @@ class RaystackDatasource(Datasource):
         self._columns = list(columns) if columns is not None else None
         self._where = dict(where) if where is not None else None
         self._snapshot = snapshot
+        self._keys = list(keys) if keys is not None else None
 
     def get_name(self) -> str:
         return "Raystack"
@@ -137,6 +149,31 @@ class RaystackDatasource(Datasource):
                 os.path.join(pages_root, dirname))
 
         items: list[dict] = []
+        if self._keys is not None:
+            import numpy as np
+            import pyarrow as pa_
+
+            from .pipeline import compute_part_keys
+            cfg = mf.load_config(self._out_dir)
+            if not cfg:
+                raise FileNotFoundError(
+                    f"no partitioning config under {self._out_dir}")
+            vals = pa_.array([str(v) for v in self._keys],
+                             type=pa_.string())
+            routed = np.unique(compute_part_keys(
+                vals, cfg["num_partitions"], cfg.get("hot_hosts") or {},
+                cfg.get("host_map")))
+            for k in routed:
+                d = f"part_key={int(k)}"
+                if not os.path.isdir(os.path.join(pages_root, d)):
+                    continue
+                _, nbytes = stats_for(d)
+                items.append({"dirname": d, "paths": None,
+                              "whitelist": None, "rows": None,
+                              "bytes": nbytes,
+                              "files": [os.path.join(pages_root, d)]})
+            return items
+
         if self._snapshot is not None:
             from .snapshots import resolve_snapshot_paths
             per_dir = resolve_snapshot_paths(self._out_dir, self._snapshot)
@@ -232,6 +269,8 @@ class RaystackDatasource(Datasource):
         items = self._plan_items()
         pages_root = os.path.join(self._out_dir, "pages")
         columns, ranges = self._columns, self._where
+        lookup_keys = self._keys
+        out_dir = self._out_dir
         want = columns
         if ranges is not None and want is not None:
             # predicate columns ride along for the exact filter, then the
@@ -279,16 +318,49 @@ class RaystackDatasource(Datasource):
             work = [(it["dirname"], it["whitelist"], it["paths"])
                     for it in group]
 
-            def read_fn(work=work) -> Iterable[pa.Table]:
-                empty = True
-                for dirname, wl, paths in work:
-                    for piece in _decode_stream_filtered(
-                            pages_root, dirname, want, columns, ranges,
-                            wl, paths):
-                        empty = False
-                        yield piece
-                if empty:
-                    yield pa.table({})
+            if lookup_keys is not None:
+                def read_fn(work=work) -> Iterable[pa.Table]:
+                    import pyarrow.compute as pc
+
+                    from . import manifest as mf
+                    from .pipeline import _lookup_partition_dir
+                    from .zones import ZONES_DIRNAME, bloom_hashes
+                    url_col = mf.load_config(out_dir)["url_col"]
+                    vals = pa.array([str(v) for v in lookup_keys],
+                                    type=pa.string())
+                    hashes = bloom_hashes(vals)
+                    wcols = columns
+                    if wcols is not None and url_col not in wcols:
+                        wcols = [url_col, *wcols]
+                    empty = True
+                    for dirname, _, _ in work:
+                        zdir = os.path.join(out_dir, ZONES_DIRNAME,
+                                            dirname)
+                        t = _lookup_partition_dir(
+                            os.path.join(pages_root, dirname), zdir,
+                            url_col, hashes, wcols)
+                        if t is None or not t.num_rows:
+                            continue
+                        t = t.filter(pc.is_in(t[url_col], value_set=vals))
+                        if columns is not None:
+                            t = t.select([c for c in columns
+                                          if c in t.schema.names])
+                        if t.num_rows:
+                            empty = False
+                            yield t
+                    if empty:
+                        yield pa.table({})
+            else:
+                def read_fn(work=work) -> Iterable[pa.Table]:
+                    empty = True
+                    for dirname, wl, paths in work:
+                        for piece in _decode_stream_filtered(
+                                pages_root, dirname, want, columns,
+                                ranges, wl, paths):
+                            empty = False
+                            yield piece
+                    if empty:
+                        yield pa.table({})
 
             tasks.append(ReadTask(read_fn, meta))
         return tasks
@@ -297,15 +369,16 @@ class RaystackDatasource(Datasource):
 def read_raystack(out_dir: str, *, columns: Optional[list[str]] = None,
                   where: Optional[dict] = None,
                   snapshot: Optional[int] = None,
+                  keys: Optional[list] = None,
                   parallelism: int = -1, **read_args):
     """Read an encoded raystack layout as a composable ``ray.data``
     Dataset, with projection (``columns=``), zone-pruned predicates
-    (``where=``) and time travel (``snapshot=``) pushed down into the
-    read tasks. Row-identical to :func:`raystack.pipeline.scan` with the
-    same arguments; prefer this entry point when the decode feeds further
-    Ray Data stages."""
+    (``where=``), time travel (``snapshot=``) and bloom point lookups
+    (``keys=``) pushed down into the read tasks. Row-identical to
+    :func:`raystack.pipeline.scan` with the same arguments; prefer this
+    entry point when the decode feeds further Ray Data stages."""
     import ray.data
     return ray.data.read_datasource(
         RaystackDatasource(out_dir, columns=columns, where=where,
-                           snapshot=snapshot),
+                           snapshot=snapshot, keys=keys),
         parallelism=parallelism, **read_args)

@@ -128,9 +128,32 @@ def test_snapshot_equals_scan(ray_session, tmp_path):
     assert len(_df(read_raystack(out, snapshot=1))) == 300
 
 
+def test_keys_lookup_equals_scan(encoded):
+    """keys= routes to hash(|keys|) partitions only and matches
+    scan(keys=) row-for-row."""
+    some = pl.scan(encoded, columns=["source", "doc_id"]) \
+        .limit(40).to_pandas()
+    keys = sorted(set(some["source"].tolist()))[:3]
+    got = _df(read_raystack(encoded, keys=keys,
+                            columns=["doc_id", "source", "lang"]))
+    exp = _df(pl.scan(encoded, keys=keys,
+                      columns=["doc_id", "source", "lang"]))
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(got, exp[got.columns])
+    assert set(got["source"]) <= set(keys)
+    # routing is real: fewer read tasks than partitions when the keys
+    # hash to a subset
+    tasks = RaystackDatasource(encoded, keys=keys[:1]).get_read_tasks(0)
+    assert len(tasks) < 4
+
+
 def test_invalid_combos_raise(encoded):
     with pytest.raises(ValueError):
         RaystackDatasource(encoded, where={"doc_id": (0, 1)}, snapshot=1)
+    with pytest.raises(ValueError):
+        RaystackDatasource(encoded, keys=["x"], where={"doc_id": (0, 1)})
+    with pytest.raises(ValueError):
+        RaystackDatasource(encoded, keys=["x"], snapshot=1)
     with pytest.raises(FileNotFoundError):
         RaystackDatasource("/tmp/definitely-not-a-layout-xyz")
 
