@@ -120,6 +120,9 @@ def build_text_index(ds, out_dir: str, text_col: str = "text",
     files = sorted(_glob.glob(os.path.join(out_dir, "bucket=*", "*.parquet")))
     total = ray.data.read_parquet(files, columns=["tf"]).sum("tf") \
         if files else 0
+    # a corpus whose every document tokenizes to nothing writes zero
+    # postings — write_parquet then never created out_dir (sweep-found)
+    os.makedirs(out_dir, exist_ok=True)
     meta = {"num_buckets": int(num_buckets), "text_col": text_col,
             "id_col": id_col, "lowercase": bool(lowercase),
             "n_docs": n_docs,
@@ -269,6 +272,10 @@ def bm25_topk(index_dir: str, words: list[str], k: int = 10,
     id_col = meta["id_col"]
     n_docs, avgdl = meta["n_docs"], max(meta["avgdl"], 1e-9)
     files = _bucket_files(index_dir, words, meta)
+    # empty results keep (id_col, score) in Dataset.schema(); note that
+    # Ray's to_pandas() drops ALL columns of a 0-row Dataset however the
+    # empty block is built — callers branching on emptiness should use
+    # .count() or .schema(), not the materialized frame's columns
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "score": pa.array([], pa.float64())})
     if not files:
