@@ -114,6 +114,8 @@ def train_bpe(ds, vocab_size: int, text_col: str = "text",
         raise ValueError("vocab_size must exceed the 256 byte symbols")
     wf = word_frequencies(ds, text_col, lowercase, max_word_types) \
         .to_pandas()
+    if not len(wf):  # token-less corpus: the 0-row frame has no columns
+        return {"merges": [], "vocab_size": 256, "lowercase": lowercase}
     words = [w.encode("utf-8") for w in wf["word"]]
     freqs = [int(n) for n in wf["n"]]
     merges = _merge_loop(words, freqs, vocab_size - 256)

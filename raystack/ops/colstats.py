@@ -145,6 +145,10 @@ def value_quantiles(ds, col: str, quantiles=(0.5, 0.9, 0.99),
     if len(hist) > max_distinct:
         raise ValueError(f"{col}: {len(hist)} distinct values exceed "
                          f"max_distinct={max_distinct}; quantize or sample")
+    if not len(hist):
+        # all-null/empty column: the 0-row frame has no columns to sort
+        return pd.DataFrame([{"quantile": q, "value": None}
+                             for q in quantiles])
     hist = hist.sort_values("v").reset_index(drop=True)
     cum = hist["sum(n)"].cumsum()
     total = int(cum.iloc[-1]) if len(cum) else 0
@@ -194,6 +198,12 @@ def frequent_items(ds, col: str, k: int = 10,
         .rename_columns({"sum(n)": "n"}) \
         .sort(["n", "value"], descending=[True, False]) \
         .limit(k).to_pandas()   # ≤ k rows ever reach the driver
+    if not len(totals):
+        # all-null/empty column: Ray's to_pandas drops a 0-row Dataset's
+        # columns — keep the documented (value, n) shape (sweep-found)
+        import pandas as pd
+        return pd.DataFrame({"value": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
     return totals[["value", "n"]].reset_index(drop=True)
 
 

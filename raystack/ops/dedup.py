@@ -208,6 +208,9 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     hot_rows = None
     if n_docs * bands <= _DRIVER_COUNT_ROWS:
         kb = slim.select_columns(["band", "bucket"]).to_pandas()
+        if not len(kb):  # empty corpus: the 0-row frame has no columns
+            import pandas as pd
+            kb = pd.DataFrame({"band": [], "bucket": []})
         k = ((kb["band"].to_numpy().astype(np.int64) << 48)
              ^ kb["bucket"].to_numpy().astype(np.int64))
         uniq, cnt = np.unique(k, return_counts=True)

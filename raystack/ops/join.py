@@ -255,8 +255,12 @@ def semi_join_bloom(ds, keys_ds, on: str, anti: bool = False,
     # one execution of the key pipeline, reused by count, the bloom
     # stream AND the exact join (object-store blocks, spillable)
     keys_ds = keys_ds.materialize()
-    if keys_ds.count() <= broadcast_limit:
-        keys = keys_ds.select_columns([on]).to_pandas()[on].tolist()
+    n_keys = keys_ds.count()
+    if n_keys <= broadcast_limit:
+        # 0-row frames lose their columns through to_pandas — empty key
+        # set means "drop nothing" (anti) / "keep nothing" (semi)
+        keys = keys_ds.select_columns([on]).to_pandas()[on].tolist() \
+            if n_keys else []
         return semi_join(ds, keys, on=on, anti=anti)
     built = build_key_bloom(keys_ds, on, bits_per_key, n_hashes)
     if built is None:

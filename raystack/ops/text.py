@@ -576,6 +576,12 @@ def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text",
         .rename_columns({"sum(n)": "n"}) \
         .sort(["n", "ngram"], descending=[True, False]) \
         .limit(k).to_pandas()
+    if not len(totals):
+        # Ray's to_pandas drops a 0-row Dataset's columns (all-empty
+        # corpus, or every doc shorter than n tokens) — keep the
+        # documented (ngram, n) frame shape regardless (sweep-found)
+        return pd.DataFrame({"ngram": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
     return totals[["ngram", "n"]].reset_index(drop=True)
 
 
