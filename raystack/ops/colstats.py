@@ -83,6 +83,13 @@ def column_stats(ds, columns: list[str] | None = None, k: int = _K,
             try:
                 mm = pc.min_max(arr)
                 mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                # arrow min_max SKIPS NaN; a float batch whose valid
+                # values are all NaN yields the (inf, -inf) sentinel —
+                # an impossible min>max that must not reach the merge
+                # (same guard as the zone sidecars, see zones.py)
+                if (isinstance(mn, float) and isinstance(mx, float)
+                        and mn > mx):
+                    mn = mx = None
             except Exception:
                 mn = mx = None
             # keep NATIVE values through the merge — stringified numbers
@@ -100,8 +107,12 @@ def column_stats(ds, columns: list[str] | None = None, k: int = _K,
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        mins = [m for m in g["min_raw"] if m is not None]
-        maxs = [m for m in g["max_raw"] if m is not None]
+        # m == m: an all-null batch's None min/max turns into NaN when
+        # pandas types the partial frame's column float64, and NaN
+        # poisons min()/max() (sweep-found: [None] + [inf] batches
+        # reported min_v="nan")
+        mins = [m for m in g["min_raw"] if m is not None and m == m]
+        maxs = [m for m in g["max_raw"] if m is not None and m == m]
         out = {"column": g["column"].iloc[0],
                "n_rows": int(g["n_rows"].sum()),
                "n_valid": int(g["n_valid"].sum()),

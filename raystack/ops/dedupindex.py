@@ -81,6 +81,16 @@ _BROADCAST_LIMIT = _DEDUP_BROADCAST_LIMIT
 #: partitions for the probe-side hash joins
 _JOIN_PARTITIONS = 16
 
+#: per-wave index-bytes budget for the distributed probe joins. The join
+#: key's bucket (``hash(key) % num_buckets``) partitions BOTH sides, so
+#: the join decomposes losslessly into per-bucket-group waves run
+#: sequentially — without this, a large increment against a large index
+#: pushes index_rows×sig_bytes + increment_rows×sig_bytes through ONE
+#: hash join and the aggregator actors OOM (observed at 9.6M-doc index ×
+#: 2.4M-doc increment: tens of GB in flight, aggregator killed). Waves
+#: bound in-flight join input to ~budget × in-memory blow-up.
+_JOIN_WAVE_BYTES = 512 << 20
+
 #: parquet row-group size for index files. Small on purpose: index rows
 #: are written SORTED by key within each batch, so row-group min/max
 #: stats become narrow key ranges and a broadcast probe reads ~one row
@@ -496,15 +506,21 @@ def _probe_join(sigs, index_dir: str, meta: dict, sim_threshold: float,
         lambda t: _exact_rows_fn(id_col, nb)(t).rename_columns(
             ["fp", "__new_id", "bucket"]),
         batch_format="pyarrow").materialize()
-    files = _bucket_files(os.path.join(index_dir, "exact"),
-                          _touched_buckets(new_fp, "bucket"))
-    if files:
+    exact_root = os.path.join(index_dir, "exact")
+    waves = _bucket_waves(exact_root, _touched_buckets(new_fp, "bucket"),
+                          _JOIN_WAVE_BYTES)
+    for wave in waves:
+        files = _bucket_files(exact_root, wave)
+        if not files:
+            continue
+        inc = new_fp if len(waves) == 1 else new_fp.map_batches(
+            _bucket_filter(wave), batch_format="pyarrow")
         # repartition: a join partition built only from schema-less
         # empty blocks is rejected by Acero (same guard as
         # ops.join.semi_join_ds)
         m = _strip(ray.data.read_parquet(files, columns=["fp", id_col])) \
             .repartition(_JOIN_PARTITIONS).join(
-            _strip(new_fp.select_columns(["fp", "__new_id"]))
+            _strip(inc.select_columns(["fp", "__new_id"]))
             .repartition(_JOIN_PARTITIONS),
             join_type="inner",
             num_partitions=_JOIN_PARTITIONS, on=("fp",)) \
@@ -520,24 +536,31 @@ def _probe_join(sigs, index_dir: str, meta: dict, sim_threshold: float,
         lambda t: _near_rows_fn(id_col, bands, nb)(t).rename_columns(
             ["k", "__new_id", "__nsig", "bucket"]),
         batch_format="pyarrow").materialize()
-    files = _bucket_files(os.path.join(index_dir, "near"),
-                          _touched_buckets(new_near, "bucket"))
-    if files:
-        def verdicts(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return empty.rename_columns(["__new_id", "dup_of"])
-            a = _matrix_from_bin(t["sig"], _N_PERM)
-            b = _matrix_from_bin(t["__nsig"], _N_PERM)
-            keep = (a == b).mean(axis=1) >= sim_threshold
-            return pa.table({"__new_id": t["__new_id"].filter(
-                pa.array(keep)),
-                "dup_of": t[id_col].filter(pa.array(keep))})
+    near_root = os.path.join(index_dir, "near")
+    waves = _bucket_waves(near_root, _touched_buckets(new_near, "bucket"),
+                          _JOIN_WAVE_BYTES)
 
+    def verdicts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty.rename_columns(["__new_id", "dup_of"])
+        a = _matrix_from_bin(t["sig"], _N_PERM)
+        b = _matrix_from_bin(t["__nsig"], _N_PERM)
+        keep = (a == b).mean(axis=1) >= sim_threshold
+        return pa.table({"__new_id": t["__new_id"].filter(
+            pa.array(keep)),
+            "dup_of": t[id_col].filter(pa.array(keep))})
+
+    for wave in waves:
+        files = _bucket_files(near_root, wave)
+        if not files:
+            continue
+        inc = new_near if len(waves) == 1 else new_near.map_batches(
+            _bucket_filter(wave), batch_format="pyarrow")
         m = _strip(ray.data.read_parquet(files,
                                          columns=["k", id_col, "sig"])) \
             .repartition(_JOIN_PARTITIONS).join(
-                _strip(new_near.select_columns(["k", "__new_id",
-                                                "__nsig"]))
+                _strip(inc.select_columns(["k", "__new_id",
+                                           "__nsig"]))
                 .repartition(_JOIN_PARTITIONS),
                 join_type="inner",
                 num_partitions=_JOIN_PARTITIONS, on=("k",)) \
@@ -560,6 +583,39 @@ def _touched_buckets(sigs, col: str) -> list[int]:
 def _bucket_files(root: str, buckets: list[int]) -> list[str]:
     return [f for b in buckets for f in sorted(
         _glob.glob(os.path.join(root, f"bucket={b}", "*.parquet")))]
+
+
+def _bucket_waves(root: str, buckets: list[int],
+                  budget_bytes: int) -> list[list[int]]:
+    """Greedy split of the touched buckets into waves whose index bytes
+    (on-disk parquet, stat only) stay under ``budget_bytes``, ≥1 bucket
+    per wave. The join key's bucket partitions both join sides, so
+    per-wave joins run sequentially and their union equals the single
+    big join — with aggregator memory bounded by one wave."""
+    waves: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for b in buckets:
+        nbytes = sum(os.path.getsize(f) for f in _bucket_files(root, [b]))
+        if cur and cur_bytes + nbytes > budget_bytes:
+            waves.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(b)
+        cur_bytes += nbytes
+    if cur:
+        waves.append(cur)
+    return waves
+
+
+def _bucket_filter(wave: list[int]):
+    """Batch filter keeping only rows whose ``bucket`` is in the wave."""
+    wv = np.array(sorted(wave), dtype=np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = np.isin(np.asarray(t["bucket"], dtype=np.int64), wv)
+        return t.filter(pa.array(mask))
+
+    return fn
 
 
 def dedup_increment(new_ds, index_dir: str, sim_threshold: float = 0.7):

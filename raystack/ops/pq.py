@@ -158,10 +158,13 @@ def pq_topk(ds, queries: np.ndarray, query_ids: np.ndarray, pq: dict,
         ids = np.asarray(t[id_col])
         kk = min(k + (1 if exclude_self else 0), len(ids))
         out = {"query_id": [], "neighbor_id": [], "dist": []}
+        from .similarity import _top_candidates
         for qi in range(lut.shape[0]):
-            d = lut[qi][srange[:, None], codes.T].sum(axis=0)
-            idx = np.argpartition(d, kk - 1)[:kk] if kk < len(d) \
-                else np.arange(len(d))
+            # boundary ties forwarded whole so the global merge's
+            # (dist asc, id asc) tie-break sees every candidate
+            d = np.nan_to_num(lut[qi][srange[:, None], codes.T].sum(axis=0),
+                              nan=np.inf)
+            idx = _top_candidates(-d, kk)
             out["query_id"].append(np.full(len(idx), qids[qi]))
             out["neighbor_id"].append(ids[idx])
             out["dist"].append(d[idx])

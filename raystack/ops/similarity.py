@@ -30,6 +30,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _top_candidates(s: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the ``kk`` highest sims PLUS every row tied with the
+    boundary value. A bare ``argpartition(...)[:kk]`` keeps an arbitrary
+    member of a tie straddling the cut, which breaks the documented
+    deterministic (sim desc, neighbor id asc) ordering when the dropped
+    tied row has the smaller id — the global merge can only tie-break
+    among the candidates each batch actually forwarded. Keeping the full
+    boundary tie costs only the tied rows and restores the invariant:
+    any row a batch drops is strictly worse than ≥ kk forwarded rows."""
+    if kk >= len(s):
+        return np.arange(len(s))
+    part = np.argpartition(-s, kk - 1)[:kk]
+    smin = s[part].min()
+    if smin == -np.inf:  # all-NaN tail: forward the cut as-is
+        return part
+    return np.flatnonzero(s >= smin)
+
+
 def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
              emb_col: str = "embedding", id_col: str = "vec_id",
              exclude_self: bool = True):
@@ -52,8 +70,8 @@ def ann_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         kk = min(k + (1 if exclude_self else 0), len(ids))
         out = {"query_id": [], "neighbor_id": [], "sim": []}
         for qi in range(qm.shape[0]):
-            s = sim[:, qi]
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            s = np.nan_to_num(sim[:, qi], nan=-np.inf)
+            idx = _top_candidates(s, kk)
             out["query_id"].append(np.full(len(idx), qids[qi]))
             out["neighbor_id"].append(ids[idx])
             out["sim"].append(s[idx])
@@ -134,10 +152,10 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
             mask = np.isin(assign, list(probe_sets[qi]))
             if not mask.any():
                 continue
-            s = (m[mask] @ qm[qi])
+            s = np.nan_to_num(m[mask] @ qm[qi], nan=-np.inf)
             sel_ids = ids[mask]
             kk = min(k + (1 if exclude_self else 0), len(s))
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            idx = _top_candidates(s, kk)
             out["query_id"].append(np.full(len(idx), qids[qi]))
             out["neighbor_id"].append(sel_ids[idx])
             out["sim"].append(s[idx])
@@ -324,11 +342,10 @@ def query_ivf_index(index_dir: str, queries: np.ndarray,
             mask = np.isin(bucket, list(probe_sets[qi]))
             if not mask.any():
                 continue
-            s = m[mask] @ qm[qi]
+            s = np.nan_to_num(m[mask] @ qm[qi], nan=-np.inf)
             sel_ids = ids[mask]
             kk = min(k + (1 if exclude_self else 0), len(s))
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) \
-                else np.arange(len(s))
+            idx = _top_candidates(s, kk)
             out["query_id"].append(np.full(len(idx), qids[qi]))
             out["neighbor_id"].append(sel_ids[idx])
             out["sim"].append(s[idx])
@@ -395,11 +412,12 @@ def _query_ivf_pq(files: list[str], meta: dict, qm: np.ndarray,
             mask = np.isin(bucket, list(probe_sets[qi]))
             if not mask.any():
                 continue
-            d = lut[qi][srange[:, None], codes[mask].T].sum(axis=0)
+            d = np.nan_to_num(
+                lut[qi][srange[:, None], codes[mask].T].sum(axis=0),
+                nan=np.inf)
             sel_ids = ids[mask]
             kk = min(k + (1 if exclude_self else 0), len(d))
-            idx = np.argpartition(d, kk - 1)[:kk] if kk < len(d) \
-                else np.arange(len(d))
+            idx = _top_candidates(-d, kk)
             out["query_id"].append(np.full(len(idx), qids[qi]))
             out["neighbor_id"].append(sel_ids[idx])
             out["dist"].append(d[idx])

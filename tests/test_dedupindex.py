@@ -235,3 +235,14 @@ def test_append_tags_exactly_once(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="already ingested"):
         dx.ingest_dedup(base, idx, tag="day1")
+
+
+def test_dedup_increment_forced_multiwave_parity(ray_session, tmp_path,
+                                                 monkeypatch):
+    """Bucket-wave probe joins (the OOM guard for large increments ×
+    large indexes): a 1-byte wave budget forces one wave PER BUCKET —
+    the sequential per-wave joins must union to exactly the single-join
+    result, which equals brute force."""
+    monkeypatch.setattr(dx, "_JOIN_WAVE_BYTES", 1)
+    got, want, _ = _probe(tmp_path, monkeypatch)
+    assert got == want
