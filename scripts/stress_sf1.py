@@ -135,14 +135,18 @@ def main():
     # ---- phase 2: sharded encode, forced multi-shard
     out = os.path.join(ROOT, "enc")
     n_parts = 64
-    # bound refs so the ledger really shards: ~32 map tasks per shard
-    max_refs = 32 * n_parts
+    # bound refs so the ledger REALLY shards: file grouping coalesces the
+    # 64 inputs to ~20 map groups at the default 128 MB target, so the
+    # cap must allow ≤6 map tasks per shard to yield ≥3 append shards
+    max_refs = 6 * n_parts
     t0 = time.perf_counter()
     stats = pl.encode_sharded(day1, out, columns_rename={"body": "text"},
                               url_col="url", num_partitions=n_parts,
                               max_refs=max_refs)
     phase(f"encode_sharded day1 ({stats.get('shards', '?')} shards)", t0)
     assert stats["rows"] == n_day1, stats
+    assert int(stats.get("shards", 1)) >= 3, \
+        f"multi-shard forcing failed: {stats}"
 
     # ---- phase 3: single-job fresh encode + content equality
     fresh = os.path.join(ROOT, "enc_fresh")
