@@ -115,8 +115,16 @@ def _bin_from_matrix(m: np.ndarray) -> pa.Array:
 
 def _matrix_from_bin(col, p: int) -> np.ndarray:
     """Binary column of uniform 8·p-byte blobs → (n, p) int64 matrix.
-    Offset-honoring gather (post-join arrays are slices), vectorized."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    Offset-honoring gather (post-join arrays are slices), vectorized.
+    Chunked inputs are gathered PER CHUNK: ``combine_chunks()`` on >2 GiB
+    of binary payload overflows arrow's int32 offsets (observed on a
+    hot-band-key join flood at 9.6M-doc scale)."""
+    if isinstance(col, pa.ChunkedArray):
+        parts = [_matrix_from_bin(c, p) for c in col.chunks if len(c)]
+        if not parts:
+            return np.empty((0, p), dtype=np.int64)
+        return parts[0] if len(parts) == 1 else np.vstack(parts)
+    arr = col
     n = len(arr)
     if n == 0:
         return np.empty((0, p), dtype=np.int64)
@@ -564,7 +572,8 @@ def _probe_join(sigs, index_dir: str, meta: dict, sim_threshold: float,
                 .repartition(_JOIN_PARTITIONS),
                 join_type="inner",
                 num_partitions=_JOIN_PARTITIONS, on=("k",)) \
-            .map_batches(verdicts, batch_format="pyarrow").materialize()
+            .map_batches(verdicts, batch_format="pyarrow",
+                         batch_size=32768).materialize()
         if m.count():
             matches.append(m)
     return matches
