@@ -147,6 +147,10 @@ def main():
     assert stats["rows"] == n_day1, stats
     assert int(stats.get("shards", 1)) >= 3, \
         f"multi-shard forcing failed: {stats}"
+    # the day1-complete state is the LATEST snapshot here (each shard
+    # after the first appends its own snapshot) — pin it for phase 7
+    from raystack import snapshots as sn
+    snap_day1 = sn.list_snapshots(out)[-1]["id"]
 
     # ---- phase 3: single-job fresh encode + content equality
     fresh = os.path.join(ROOT, "enc_fresh")
@@ -213,10 +217,8 @@ def main():
     phase("build_zone_maps(warc_ts)", t0)
 
     # ---- phase 7: snapshot + pruned-count checks
-    from raystack import snapshots as sn
-    snaps = sn.list_snapshots(out)
     t0 = time.perf_counter()
-    n_snap1 = pl.decode_dir(out, snapshot=snaps[0]["id"]).count()
+    n_snap1 = pl.decode_dir(out, snapshot=snap_day1).count()
     assert n_snap1 == n_day1, (n_snap1, n_day1)
     n_final = pl.decode_dir(out).count()
     assert n_final == n_day1 + n_day2, (n_final, n_day1 + n_day2)
