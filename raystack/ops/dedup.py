@@ -481,13 +481,19 @@ def resolve_clusters(pairs, id_col: str = "doc_id"):
 
 def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
     """Distributed min-label propagation over the duplicate-pair edge set:
-    each round, every node's label becomes the min label among itself and
-    its neighbors (symmetrized edges → groupby(node).min). Converges in
-    O(component diameter) rounds; each round shuffles only (node, label)
-    pairs. Labels stay a Dataset throughout — the convergence check is a
-    distributed sum aggregate (labels only ever decrease, so the label sum
-    strictly decreases until the fixpoint); the driver sees one scalar per
-    round, never the label table."""
+    each round, every node's label becomes the min among itself, its
+    neighbors' labels (symmetrized edges → groupby(node).min) AND its
+    label's own label (label chasing — pointer doubling, so a length-d
+    duplicate chain converges in O(log d) rounds, not O(d); without the
+    chase a 40-node drift chain would silently return non-converged
+    labels at the default ``max_iter``). Each round shuffles only
+    (node, label) pairs. Labels stay a Dataset throughout — the
+    convergence check is a distributed sum aggregate (labels only ever
+    decrease, so the label sum strictly decreases until the fixpoint);
+    the driver sees one scalar per round, never the label table. Raises
+    RuntimeError if ``max_iter`` rounds end without reaching the
+    fixpoint (a silent partial answer mislabels keep/drop decisions);
+    the default covers component diameters ≈ 2^max_iter."""
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
@@ -506,6 +512,7 @@ def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
                                                          t["min(nbr)"])}),
         batch_format="pyarrow").materialize()
     prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_iter):
         joined = edges.join(labels, join_type="inner", num_partitions=8,
                             on=("node",))
@@ -513,17 +520,35 @@ def propagate_labels(pairs_ds, id_col: str = "doc_id", max_iter: int = 10):
         prop = joined.map_batches(
             lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
             batch_format="pyarrow")
+        # label chasing: node learns label(label(node)) — every label
+        # value is itself a node id, so an inner self-join resolves it
+        chase = labels.map_batches(
+            lambda t: pa.table({"src": t["node"], "node": t["label"]}),
+            batch_format="pyarrow") \
+            .join(labels, join_type="inner", num_partitions=8,
+                  on=("node",)) \
+            .map_batches(
+                lambda t: pa.table({"node": t["src"], "label": t["label"]}),
+                batch_format="pyarrow")
         # repartition coalesces the aggregate's empty schema-less blocks,
         # which Acero's join rejects on the build side
-        labels = labels.union(prop).groupby("node").min("label") \
+        labels = labels.union(prop).union(chase) \
+            .groupby("node").min("label") \
             .map_batches(lambda t: pa.table({"node": t["node"],
                                              "label": t["min(label)"]}),
                          batch_format="pyarrow") \
             .repartition(8).materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"propagate_labels: no fixpoint after {max_iter} rounds — "
+            f"a component's diameter exceeds ~2^{max_iter}; raise "
+            "max_iter (silently returning partial labels would "
+            "mislabel keep/drop decisions)")
     return labels
 
 
