@@ -108,6 +108,11 @@ def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
     right = strip_schema_metadata(keys_ds)
     join_on, tmp = on, None
     _sch = left.schema()  # ray.data Schema: parallel .names / .types
+    if _sch is None:
+        # only an all-empty left resolves no schema (the 0-row quirk) —
+        # e.g. the bloom tier's exact join when every row was a bloom
+        # miss; the (anti-)semi join of nothing is nothing
+        return left
     _t = _sch.types[_sch.names.index(on)]
     if isinstance(_t, pa.DataType) and pa.types.is_floating(_t):
         tmp = f"__{on}_ieee"
@@ -115,13 +120,34 @@ def semi_join_ds(ds, keys_ds, on: str, anti: bool = False,
         def canon(t: pa.Table) -> pa.Table:
             return t.append_column(tmp, pc.add(t[on], 0.0))
 
+        def canon_keys(t: pa.Table) -> pa.Table:
+            # Acero's hash join matches NaN == NaN (bit-pattern); the
+            # documented contract is IEEE — NaN never equals anything —
+            # which the broadcast and bloom tiers already follow, so a
+            # NaN key must not build. Dropping it here keeps all three
+            # paths identical at ANY key-set size (the bloom path's
+            # exact tier is this join above the broadcast gate).
+            keep = pc.invert(pc.coalesce(pc.is_nan(t[on]),
+                                         pa.scalar(False)))
+            return canon(t.filter(keep))
+
         left = left.map_batches(canon, batch_format="pyarrow")
-        right = right.map_batches(canon, batch_format="pyarrow")
+        right = right.map_batches(canon_keys, batch_format="pyarrow")
         join_on = tmp
-    out = left.join(
-        right.repartition(num_partitions),
-        join_type="left_anti" if anti else "left_semi",
-        on=(join_on,), num_partitions=num_partitions)
+    # a key side with ONLY 0-row blocks (empty keys_ds, or every float
+    # key NaN-dropped above) loses its schema in the shuffle and Acero
+    # errors on the missing build-side key field — and a schema'd empty
+    # block union does NOT survive the hash shuffle. Materialize (the
+    # join executes this lineage anyway; this just pins its output) and
+    # short-circuit the trivial answer
+    right = right.materialize()
+    if right.count() == 0:
+        out = left if anti else left.limit(0)
+    else:
+        out = left.join(
+            right.repartition(num_partitions),
+            join_type="left_anti" if anti else "left_semi",
+            on=(join_on,), num_partitions=num_partitions)
     if tmp is not None:
         out = out.map_batches(lambda t: t.drop_columns([tmp]),
                               batch_format="pyarrow")
